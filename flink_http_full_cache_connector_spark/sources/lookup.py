@@ -1,0 +1,75 @@
+"""HTTP full-cache lookup table → static DataFrame.
+
+The reference materializes the entire HTTP JSON payload as a bounded
+one-split scan buffered in join-operator memory
+(``HttpInputFormatProvider.scala:50,80-81,148``) and serves it to a
+``FOR SYSTEM_TIME AS OF`` lookup join.  The Spark-native equivalent is a
+small **static DataFrame** fetched on the driver and broadcast to the join —
+same "whole dimension table in memory next to the probe" physical profile,
+but letting Catalyst/AQE pick broadcast-hash-join.
+
+Scale contract (100 TB design note): the *probe* side is arbitrarily large
+and fully partition-parallel; the *dimension* side is by definition a
+lookup-table payload (one HTTP document) and must fit in executor memory —
+identical to the reference's contract (README.md:210-217 memory sizing
+warning).  Nothing here collects probe data to the driver.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from flink_http_full_cache_connector_spark.http_client import fetch_with_retry, parse_payload
+from flink_http_full_cache_connector_spark.options import HttpLookupOptions, validate_options
+from flink_http_full_cache_connector_spark.rows import deserialize_nodes
+
+
+@dataclass
+class FetchStats:
+    """Observability for tests (≙ integration-test HTTP call counting)."""
+
+    fetch_count: int = 0
+    last_fetch_duration_s: float = 0.0
+    last_row_count: int = 0
+
+
+def fetch_rows(opts: HttpLookupOptions, schema: StructType) -> list[tuple]:
+    """One full scan: GET → parse → pointer → fan-out → typed rows."""
+    body = fetch_with_retry(
+        opts.url,
+        connect_timeout_seconds=opts.connect_timeout_seconds,
+        read_timeout_seconds=opts.read_timeout_seconds,
+        max_retries=opts.max_retries,
+        retry_delay_ms=opts.retry_delay_ms,
+    )
+    nodes = parse_payload(body, opts.xpath)
+    return deserialize_nodes(nodes, schema)
+
+
+def create_lookup_df(
+    spark: SparkSession,
+    options: dict[str, object] | HttpLookupOptions,
+    schema: StructType,
+    *,
+    stats: FetchStats | None = None,
+) -> DataFrame:
+    """Build the full-cache lookup DataFrame (one bounded scan).
+
+    Single partition ≙ the reference's single ``GenericInputSplit``
+    (``HttpInputFormatProvider.scala:80-81``); the dimension side is meant to
+    be broadcast by the join, so one partition is the right shape and incurs
+    no shuffle.
+    """
+    opts = options if isinstance(options, HttpLookupOptions) else validate_options(options)
+    t0 = time.monotonic()
+    rows = fetch_rows(opts, schema)
+    df = spark.createDataFrame(rows, schema).coalesce(1)
+    if stats is not None:
+        stats.fetch_count += 1
+        stats.last_fetch_duration_s = time.monotonic() - t0
+        stats.last_row_count = len(rows)
+    return df

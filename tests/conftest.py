@@ -1,0 +1,133 @@
+"""Shared fixtures: session-scoped SparkSession + controllable local HTTP server.
+
+The HTTP server replaces the reference's Testcontainers MockServer
+(``HttpLookupConnectorIntegrationTest.scala:32-45``): a stdlib
+``http.server`` on a background thread whose responses are scripted per-test
+(status sequences for retry tests, payload swaps for refresh tests) and
+which counts requests (cache-proof assertions).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+from pyspark.sql import SparkSession
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("flink-http-full-cache-connector-spark-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()
+
+
+# --- golden 10-user fixture (FIXTURES.md F1; integration test :57-84) ------
+
+USERS_V1 = [
+    {
+        "id": i,
+        "name": f"Mock User {i}",
+        "username": f"mockuser{i}",
+        "email": f"user{i}@example.com",
+    }
+    for i in range(1, 11)
+]
+
+USERS_V2 = [
+    {**u, "name": "Updated " + u["name"]} for u in USERS_V1
+]
+
+
+class ScriptedHandler(BaseHTTPRequestHandler):
+    """Serves scripted (status, body) responses and counts requests."""
+
+    server_version = "MockServer/0"
+
+    def do_GET(self):  # noqa: N802
+        script = self.server.script  # type: ignore[attr-defined]
+        with self.server.lock:  # type: ignore[attr-defined]
+            self.server.request_count += 1  # type: ignore[attr-defined]
+            self.server.paths.append(self.path)  # type: ignore[attr-defined]
+            if self.server.status_sequence:  # type: ignore[attr-defined]
+                status = self.server.status_sequence.pop(0)  # type: ignore[attr-defined]
+            else:
+                status = 200
+            body = script() if callable(script) else script
+        payload = body if isinstance(body, (bytes, bytearray)) else json.dumps(body).encode()
+        if status != 200:
+            payload = b'{"error": "mock failure"}'
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def log_message(self, *args):  # silence
+        pass
+
+
+class MockHttpServer:
+    def __init__(self):
+        self.httpd = ThreadingHTTPServer(("127.0.0.1", 0), ScriptedHandler)
+        self.httpd.script = USERS_V1
+        self.httpd.status_sequence = []
+        self.httpd.request_count = 0
+        self.httpd.paths = []
+        self.httpd.lock = threading.Lock()
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self.thread.start()
+
+    @property
+    def url(self) -> str:
+        host, port = self.httpd.server_address
+        return f"http://{host}:{port}/users"
+
+    @property
+    def request_count(self) -> int:
+        return self.httpd.request_count
+
+    def set_payload(self, payload) -> None:
+        with self.httpd.lock:
+            self.httpd.script = payload
+
+    def set_status_sequence(self, statuses: list[int]) -> None:
+        """Next N requests answer with these statuses (then 200)."""
+        with self.httpd.lock:
+            self.httpd.status_sequence = list(statuses)
+
+    def reset(self) -> None:
+        with self.httpd.lock:
+            self.httpd.script = USERS_V1
+            self.httpd.status_sequence = []
+            self.httpd.request_count = 0
+            self.httpd.paths = []
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+@pytest.fixture(scope="session")
+def _http_server_session():
+    server = MockHttpServer()
+    yield server
+    server.shutdown()
+
+
+@pytest.fixture()
+def http_server(_http_server_session):
+    _http_server_session.reset()
+    return _http_server_session

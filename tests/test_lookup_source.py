@@ -1,0 +1,139 @@
+"""End-to-end lookup-table + lookup-join tests against the local mock server
+— port of the reference's hermetic integration suite
+(``HttpLookupConnectorIntegrationTest.scala``, pinned behaviors 1-3 in
+FIXTURES.md) plus batch-form B1-B4 query shapes."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_http_full_cache_connector_spark.http_client import HttpFetchError
+from flink_http_full_cache_connector_spark.operators.lookup_join import (
+    lookup_join,
+    with_proc_time,
+)
+from flink_http_full_cache_connector_spark.sources.lookup import FetchStats, create_lookup_df
+from tests.conftest import USERS_V1
+
+USERS_SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+        StructField("username", StringType()),
+        StructField("email", StringType()),
+    ]
+)
+
+
+def test_full_cache_contains_all_records(spark, http_server):
+    """Pinned behavior 1: sequence probe 1-10 ⋈ cache → exactly 10 rows, all
+    fields non-null; endpoint fetched exactly once."""
+    stats = FetchStats()
+    cache = create_lookup_df(spark, {"url": http_server.url}, USERS_SCHEMA, stats=stats)
+    probe = spark.range(1, 11).select(F.col("id").cast("int").alias("id"))
+    out = lookup_join(probe, cache, on="id", how="inner").collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.name is not None and r.username is not None and r.email is not None
+    assert http_server.request_count == 1
+    assert stats.fetch_count == 1 and stats.last_row_count == 10
+
+
+def test_inner_join_golden_rows_order_insensitive(spark, http_server):
+    """Pinned behavior 2: orders probe ⋈ users on user_id=id → golden
+    name/username/email per key, compared after sort by key."""
+    cache = create_lookup_df(spark, {"url": http_server.url}, USERS_SCHEMA)
+    probe = spark.createDataFrame(
+        [Row(order_id=f"o{i}", user_id=(i % 3) + 1, amount=10.0 * i) for i in range(9)]
+    )
+    out = lookup_join(probe, cache, on=[("user_id", "id")], how="inner")
+    rows = sorted(out.collect(), key=lambda r: (r.user_id, r.order_id))
+    assert len(rows) == 9
+    golden = {u["id"]: u for u in USERS_V1}
+    for r in rows:
+        assert r.name == golden[r.user_id]["name"]
+        assert r.username == golden[r.user_id]["username"]
+        assert r.email == golden[r.user_id]["email"]
+    assert "id" not in out.columns  # cache-side key dropped
+
+
+def test_left_join_keeps_misses_with_nulls(spark, http_server):
+    """B2: LEFT OUTER keeps unmatched probe rows with NULL dim columns."""
+    cache = create_lookup_df(spark, {"url": http_server.url}, USERS_SCHEMA)
+    probe = spark.createDataFrame([Row(user_id=1), Row(user_id=99)])
+    rows = {
+        r.user_id: r
+        for r in lookup_join(probe, cache, on=[("user_id", "id")], how="left").collect()
+    }
+    assert rows[1].name == "Mock User 1"
+    assert rows[99].name is None and rows[99].email is None
+
+
+def test_retry_then_success_e2e(spark, http_server):
+    """Pinned behavior 3: 500, 500, 200 → query succeeds, exactly 3 calls."""
+    http_server.set_status_sequence([500, 500])
+    cache = create_lookup_df(
+        spark,
+        {"url": http_server.url, "max.retries": "3", "retry.delay.ms": "10"},
+        USERS_SCHEMA,
+    )
+    assert cache.count() == 10
+    assert http_server.request_count == 3
+
+
+def test_fail_fast_fails_query(spark, http_server):
+    """Pinned behavior 5 (batch form): permanent 500 + max.retries=1 →
+    error chain contains the HTTP status."""
+    http_server.set_status_sequence([500] * 10)
+    with pytest.raises(HttpFetchError) as exc:
+        create_lookup_df(
+            spark,
+            {"url": http_server.url, "max.retries": "1", "retry.delay.ms": "10"},
+            USERS_SCHEMA,
+        )
+    assert "HTTP request failed with status 500" in str(exc.value.__cause__)
+
+
+def test_json_pointer_and_single_object(spark, http_server):
+    http_server.set_payload({"wrap": {"users": USERS_V1[:3]}})
+    cache = create_lookup_df(
+        spark, {"url": http_server.url, "xpath": "/wrap/users"}, USERS_SCHEMA
+    )
+    assert cache.count() == 3
+
+    http_server.set_payload(USERS_V1[0])  # single object → 1 row
+    cache1 = create_lookup_df(spark, {"url": http_server.url}, USERS_SCHEMA)
+    assert cache1.collect() == [Row(id=1, name="Mock User 1", username="mockuser1", email="user1@example.com")]
+
+
+def test_projection_and_nested_subquery(spark, http_server):
+    """B3/B4: select-list projection and projection over a derived table."""
+    cache = create_lookup_df(spark, {"url": http_server.url}, USERS_SCHEMA)
+    probe = spark.createDataFrame([Row(order_id="a", user_id=2, amount=5.0)])
+    joined = lookup_join(probe, cache, on=[("user_id", "id")], how="left")
+    derived = joined.select("order_id", "user_id", "name", "amount")  # B4 inner projection
+    out = derived.select("order_id", "name").collect()  # B3 outer projection
+    assert out == [Row(order_id="a", name="Mock User 2")]
+
+
+def test_proc_time_column(spark):
+    """B5: proc_time AS PROCTIME()."""
+    df = with_proc_time(spark.range(3))
+    rows = df.collect()
+    assert all(r.proc_time is not None for r in rows)
+    assert dict(df.dtypes)["proc_time"] == "timestamp"
+
+
+def test_broadcast_in_plan(spark, http_server):
+    """The dimension side must broadcast — no shuffle on the probe side."""
+    cache = create_lookup_df(spark, {"url": http_server.url}, USERS_SCHEMA)
+    probe = spark.range(100).select(F.col("id").cast("int").alias("id"))
+    plan = lookup_join(probe, cache, on="id", how="inner")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
