@@ -1,0 +1,155 @@
+"""Reference query surface (SURVEY.md §2.B) as registered, oracle-checked
+queries over the driver's parquet tables.
+
+The lookup-table pattern maps small tables (``nation``, ``customer``) to the
+F1 dimension role and big tables (``orders``, ``events``, ``lineitem``) to
+the F2/F4 probe role (FIXTURES.md).  The ``http_*`` queries additionally
+serve the dimension over a real local HTTP endpoint and read it through the
+full connector path (fetch → pointer → coercion), so the DuckDB oracle
+checks the whole source, not just the join.
+
+Scale note: every query keeps the big side shuffle-free — dimensions are
+broadcast; projections/filters are plain DataFrame ops that Catalyst pushes
+into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_http_full_cache_connector_spark.operators.lookup_join import lookup_join
+from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+from flink_http_full_cache_connector_spark.sources.local_http import (
+    parquet_as_records,
+    serve_json,
+)
+from flink_http_full_cache_connector_spark.sources.lookup import create_lookup_df
+
+NATION_SCHEMA = StructType(
+    [
+        StructField("n_nationkey", IntegerType()),
+        StructField("n_name", StringType()),
+        StructField("n_regionkey", IntegerType()),
+    ]
+)
+
+CUSTOMER_SCHEMA = StructType(
+    [
+        StructField("c_custkey", LongType()),
+        StructField("c_name", StringType()),
+        StructField("c_nationkey", IntegerType()),
+        StructField("c_acctbal", DoubleType()),
+        StructField("c_mktsegment", StringType()),
+    ]
+)
+
+
+@register(
+    "lookup_join_inner",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    doc="B1: temporal lookup join, INNER — probe=orders, dim=customer (broadcast).",
+)
+def lookup_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return lookup_join(
+        orders, customer, on=[("o_custkey", "c_custkey")], how="inner"
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+
+
+@register(
+    "lookup_join_left",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, e.value, c.c_name
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="B2: temporal lookup join, LEFT OUTER — unmatched probe rows keep NULL dim columns.",
+)
+def lookup_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return lookup_join(
+        events, customer, on=[("user_id", "c_custkey")], how="left"
+    ).select("event_id", "user_id", "event_type", "value", "c_name")
+
+
+@register(
+    "projection",
+    "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem",
+    doc="B3: select-list projection — Catalyst prunes the parquet scan to 4 columns.",
+)
+def projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+@register(
+    "nested_subquery",
+    """
+    SELECT order_id, c_name
+    FROM (
+        SELECT o.o_orderkey AS order_id, o.o_totalprice AS total, c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) t
+    WHERE total > 100000.0
+    """,
+    doc="B4: projection over a derived table (nested subquery in FROM).",
+)
+def nested_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    derived = lookup_join(
+        orders, customer, on=[("o_custkey", "c_custkey")], how="inner"
+    ).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("total"),
+        "c_name",
+    )
+    return derived.where(F.col("total") > 100000.0).select("order_id", "c_name")
+
+
+@register(
+    "http_lookup_scan",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="A1/A8/A9/A10: bounded HTTP scan — nation served over local HTTP, read "
+    "through fetch→pointer→coercion; oracle reads the same parquet directly.",
+)
+def http_lookup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = parquet_as_records(f"{sf_dir}/nation.parquet")
+    with serve_json({"data": {"rows": records}}) as url:
+        # create_lookup_df fetches eagerly on the driver, so the server can
+        # shut down as soon as it returns.
+        return create_lookup_df(
+            spark, {"url": url, "xpath": "/data/rows"}, NATION_SCHEMA
+        )
+
+
+@register(
+    "http_lookup_join",
+    """
+    SELECT c_custkey, c_name, n_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="B1 over the real connector path: probe=customer parquet, dim=nation via HTTP.",
+)
+def http_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    records = parquet_as_records(f"{sf_dir}/nation.parquet")
+    with serve_json(records) as url:
+        dim = create_lookup_df(spark, {"url": url}, NATION_SCHEMA)
+    customer = load_table(spark, sf_dir, "customer")
+    return lookup_join(
+        customer, dim, on=[("c_nationkey", "n_nationkey")], how="inner"
+    ).select("c_custkey", "c_name", "n_name")
