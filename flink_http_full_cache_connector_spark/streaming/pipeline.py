@@ -1,0 +1,71 @@
+"""Streaming pipeline helpers: sinks, watermark, bounded collection.
+
+Covers the reference's exercised streaming surface:
+- B6 watermark declaration — ``with_watermark``
+- B8 print sink           — ``start_console_sink``
+- B9 INSERT INTO sink     — ``start_table_sink`` (writeStream.toTable)
+- B10 bounded collection  — ``collect_stream`` (memory sink, take first N)
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, Row
+from pyspark.sql.streaming import StreamingQuery
+
+
+def with_watermark(df: DataFrame, event_time_col: str, delay: str = "5 seconds") -> DataFrame:
+    """B6: ``WATERMARK FOR event_time AS event_time - INTERVAL '5' SECOND``."""
+    return df.withWatermark(event_time_col, delay)
+
+
+def start_console_sink(df: DataFrame, **options) -> StreamingQuery:
+    """B8: print sink."""
+    return df.writeStream.format("console").options(**options).start()
+
+
+def start_table_sink(df: DataFrame, table_name: str, checkpoint: str, **options) -> StreamingQuery:
+    """B9: INSERT INTO <table> SELECT ... (managed table sink)."""
+    return (
+        df.writeStream.option("checkpointLocation", checkpoint)
+        .options(**options)
+        .toTable(table_name)
+    )
+
+
+def collect_stream(
+    df: DataFrame,
+    n: int,
+    *,
+    timeout_s: float = 60.0,
+    foreach_batch=None,
+) -> list[Row]:
+    """B10: run the stream and take the first ``n`` results (client-side
+    iterator take-N, ``HttpLookupConnectorTest.scala:71-81``).
+
+    Uses a memory sink and polls until ``n`` rows arrive or the query fails
+    (failures re-raise — fail-fast parity) or the timeout lapses.
+    """
+    name = f"collect_{uuid.uuid4().hex[:12]}"
+    spark = df.sparkSession
+    writer = df.writeStream.format("memory").queryName(name)
+    if foreach_batch is not None:
+        writer = df.writeStream.foreachBatch(foreach_batch)
+    query = writer.start()
+    try:
+        deadline = time.monotonic() + timeout_s
+        while time.monotonic() < deadline:
+            if query.exception() is not None:
+                raise query.exception()
+            if foreach_batch is None:
+                rows = spark.sql(f"SELECT * FROM {name}").limit(n).collect()
+                if len(rows) >= n:
+                    return rows[:n]
+            time.sleep(0.2)
+        if foreach_batch is None:
+            return spark.sql(f"SELECT * FROM {name}").limit(n).collect()
+        return []
+    finally:
+        query.stop()

@@ -1,0 +1,151 @@
+"""Streaming parity tests: datagen shim (B7), refresh manager FIXED_DELAY +
+v1→v2 swap + fail-fast (A5 / pinned behaviors 4-5), watermark (B6),
+collect-N (B10), and the flagship example-job shape (§3.3)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from flink_http_full_cache_connector_spark.http_client import HttpFetchError
+from flink_http_full_cache_connector_spark.sources.datagen import (
+    RandomDouble,
+    RandomInt,
+    RandomString,
+    Sequence,
+    datagen_batch,
+    datagen_stream,
+)
+from flink_http_full_cache_connector_spark.streaming.pipeline import (
+    collect_stream,
+    with_watermark,
+)
+from flink_http_full_cache_connector_spark.streaming.refresh import (
+    RefreshingLookupCache,
+    enrich_stream,
+)
+from tests.conftest import USERS_V2
+
+USERS_SCHEMA = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+        StructField("username", StringType()),
+        StructField("email", StringType()),
+    ]
+)
+
+
+# --- datagen (B7) -----------------------------------------------------------
+
+def test_datagen_batch_field_specs(spark):
+    df = datagen_batch(
+        spark,
+        {
+            "order_id": RandomString(5),
+            "user_id": RandomInt(1, 10),
+            "amount": RandomDouble(10.0, 100.0),
+        },
+        num_rows=500,
+    )
+    rows = df.collect()
+    assert len(rows) == 500
+    assert all(len(r.order_id) == 5 for r in rows)
+    assert all(1 <= r.user_id <= 10 for r in rows)
+    assert {r.user_id for r in rows} == set(range(1, 11))  # covers the range
+    assert all(10.0 <= r.amount < 100.0 for r in rows)
+    assert all(r.proc_time is not None for r in rows)
+
+
+def test_datagen_sequence_bounds(spark):
+    df = datagen_batch(spark, {"id": Sequence(1, 10)}, num_rows=100)
+    ids = sorted(r.id for r in df.collect())
+    assert ids == list(range(1, 11))
+
+
+def test_datagen_long_random_string(spark):
+    df = datagen_batch(spark, {"s": RandomString(40)}, num_rows=10)
+    assert all(len(r.s) == 40 for r in df.collect())
+
+
+def test_datagen_stream_is_streaming(spark):
+    df = datagen_stream(spark, {"user_id": RandomInt(1, 3)}, rows_per_second=100)
+    assert df.isStreaming
+    rows = collect_stream(df, 5, timeout_s=30)
+    assert len(rows) == 5 and all(1 <= r.user_id <= 3 for r in rows)
+
+
+# --- refresh manager (A5; pinned behaviors 4-5) ------------------------------
+
+def test_refresh_fixed_delay_and_swap(spark, http_server):
+    cache = RefreshingLookupCache(
+        spark,
+        {"url": http_server.url, "cache.refresh-interval": "PT1S"},
+        USERS_SCHEMA,
+    )
+    assert cache.current().count() == 10
+    assert http_server.request_count == 1
+    assert cache.check_and_reload() is False  # not due yet
+    assert http_server.request_count == 1  # exactly one fetch per lifetime
+
+    http_server.set_payload(USERS_V2)
+    time.sleep(1.1)
+    assert cache.due() and cache.check_and_reload() is True
+    names = [r.name for r in cache.current().collect()]
+    assert all(n.startswith("Updated ") for n in names)
+    assert http_server.request_count == 2
+
+
+def test_refresh_fail_fast_propagates(spark, http_server):
+    cache = RefreshingLookupCache(
+        spark,
+        {
+            "url": http_server.url,
+            "cache.refresh-interval": "PT0.1S",
+            "max.retries": "1",
+            "retry.delay.ms": "10",
+        },
+        USERS_SCHEMA,
+    )
+    http_server.set_status_sequence([500] * 10)
+    time.sleep(0.2)
+    with pytest.raises(HttpFetchError, match="after 1 retries"):
+        cache.check_and_reload()
+
+
+def test_enrich_stream_example_job_shape(spark, http_server):
+    """§3.3 flagship pipeline: datagen → refresh-aware lookup join → sink."""
+    cache = RefreshingLookupCache(
+        spark, {"url": http_server.url, "cache.refresh-interval": "PT1H"}, USERS_SCHEMA
+    )
+    probe = datagen_stream(
+        spark,
+        {"order_id": RandomString(5), "user_id": RandomInt(1, 10), "amount": RandomDouble(10, 100)},
+        rows_per_second=50,
+    )
+    seen: list = []
+
+    def sink(df, epoch_id):
+        seen.extend(df.collect())
+
+    process = enrich_stream(probe, cache, on=[("user_id", "id")], how="left", sink=sink)
+    query = probe.writeStream.foreachBatch(process).start()
+    try:
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline and len(seen) < 20:
+            time.sleep(0.3)
+    finally:
+        query.stop()
+    assert len(seen) >= 20
+    matched = [r for r in seen if r.name is not None]
+    assert matched and all(r.name == f"Mock User {r.user_id}" for r in matched)
+    assert http_server.request_count == 1  # PT1H → never re-fetched mid-test
+
+
+# --- watermark (B6) ----------------------------------------------------------
+
+def test_watermark_declaration(spark):
+    df = datagen_stream(spark, {"user_id": RandomInt(1, 10)}, rows_per_second=1)
+    wm = with_watermark(df.withColumn("event_time", F.col("proc_time")), "event_time")
+    assert wm.isStreaming  # declaration survives; feeds no windowed op (B6 parity)
