@@ -1,0 +1,379 @@
+"""Deduplication operators for large-scale training-data pipelines
+(SURVEY.md §2.D): exact (hash-groupBy), n-gram Jaccard, MinHash+LSH,
+SimHash, and embedding-cosine near-dup — each with a DuckDB oracle twin
+built from the same constants, over the ``documents`` / ``embeddings``
+tables.
+
+Scale design (100 TB):
+
+- **exact**: one hash-partitioned groupBy on a 128-bit digest — the only
+  shuffle is on the digest key, which is uniformly distributed (no skew).
+- **minhash_lsh**: the scale path for near-dup.  Cost is linear in corpus
+  size: shingle→signature is map-side; candidate generation shuffles on
+  (band, band-key) — tiny keys, bounded bucket sizes; verification touches
+  candidate pairs only.  No O(n²) stage anywhere.
+- **ngram_jaccard**: the *exact* pairwise method; its shingle self-join is
+  quadratic in per-shingle document frequency, so it's the correctness
+  baseline the LSH path is verified against, not the 100 TB path.
+- **simhash**: map-side signature (explode tokens → 60 bit-votes →
+  fingerprint); near-neighbor search then bands the fingerprint bits.
+- **embedding_cosine**: brute-force double-precision cosine over all pairs
+  (exact baseline); the bucketed/ANN scale path lives in
+  ``operators.similarity``.
+
+All hashing is md5-prefix based — portable, engine-identical (verified
+bit-for-bit against DuckDB) — never engine-private hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.functions.vectors import (
+    as_double,
+    cosine,
+    duck_cosine,
+)
+from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+
+# ---------------------------------------------------------------------------
+# shared constants (identical in Spark exprs and DuckDB SQL twins)
+# ---------------------------------------------------------------------------
+
+P = 2147483647  # 2^31 - 1: keeps every intermediate product < 2^62 (no overflow)
+NUM_MINHASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_MINHASHES // BANDS
+JACCARD_THRESHOLD = 0.5
+COSINE_DUP_THRESHOLD = 0.4
+SIMHASH_BITS = 60  # 15 md5 hex chars → fits signed 64-bit with headroom
+
+#: fixed affine minhash coefficients (a_j odd, < P; b_j < P)
+MINHASH_A = [(2 * j + 1) * 12345679 % P for j in range(NUM_MINHASHES)]
+MINHASH_B = [(j * 987654321 + 13) % P for j in range(NUM_MINHASHES)]
+
+_DUCK_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_DUCK_SHINGLES = (
+    f"list_distinct(list_transform(range(1, len({_DUCK_TOKENS})-1), "
+    f"i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1] || ' ' || {_DUCK_TOKENS}[i+2]))"
+)
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (document → set of shingles)."""
+    toks = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def md5_mod_p(col: Column) -> Column:
+    """Portable 31-bit hash: first 8 md5 hex chars mod P."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % P
+
+
+def _shingle_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle, h) — exploded distinct shingles with portable hash."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+    ).withColumn("h", md5_mod_p(F.col("s")))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*)::bigint AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup via hash-groupBy on a text digest; shuffle key is uniform (no skew).",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise near-dup baseline)
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
+),
+sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(i / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _NGRAM_ORACLE,
+    doc="Exact 3-gram-shingle Jaccard near-dup pairs (>= 0.5); correctness baseline for LSH.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_table(docs).select("doc_id", "s")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, on=["s"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the 100 TB near-dup path)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, n [shingle count], m0..m{K-1}) via map-side min-aggregation."""
+    sh = _shingle_table(docs)
+    aggs = [F.count("*").alias("n")] + [
+        F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % P).alias(f"m{j}")
+        for j in range(NUM_MINHASHES)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing at least one LSH band bucket."""
+    bands = None
+    for band in range(BANDS):
+        cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        one = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("bkey"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
+    return (
+        a.join(b, on=["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def _minhash_oracle() -> str:
+    mh = ", ".join(
+        f"min(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {P}) AS m{j}"
+        for j in range(NUM_MINHASHES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {band} AS band, ".format(band=band)
+        + " || '_' || ".join(
+            f"m{band * ROWS_PER_BAND + r}::varchar" for r in range(ROWS_PER_BAND)
+        )
+        + " AS bkey FROM sig"
+        for band in range(BANDS)
+    )
+    return f"""
+WITH sh AS (
+    SELECT doc_id, s, ('0x' || substr(md5(s), 1, 8))::bigint % {P} AS h
+    FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents)
+),
+sig AS (SELECT doc_id, count(*) AS n, {mh} FROM sh GROUP BY doc_id),
+bands AS ({band_rows}),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+    WHERE a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS i
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+FROM inter i
+JOIN sig sa ON sa.doc_id = i.doc_a
+JOIN sig sb ON sb.doc_id = i.doc_b
+WHERE i.i / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    doc=f"MinHash({NUM_MINHASHES})+LSH({BANDS}x{ROWS_PER_BAND}) near-dup: linear-cost "
+    "candidates, Jaccard-verified (>= 0.5). The 100 TB dedup path.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_table(docs).select("doc_id", "s")
+    sig = minhash_signatures(docs)
+    cand = lsh_candidate_pairs(sig)
+    # verification: true Jaccard on candidate pairs only
+    x = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        cand.join(x, "doc_a").join(y, ["doc_b", "s"]).groupBy("doc_a", "doc_b").agg(
+            F.count("*").alias("i")
+        )
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::bigint AS th
+    FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents)
+),
+votes AS (SELECT doc_id, {votes} FROM toks GROUP BY doc_id)
+SELECT doc_id, ({fp})::bigint AS simhash FROM votes
+"""
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit TF-weighted fingerprint, map-side only."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+    ).withColumn("th", F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long"))
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        fp = term if fp is None else (fp + term)
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    _simhash_oracle(),
+    doc=f"SimHash: {SIMHASH_BITS}-bit term-frequency-weighted fingerprint per document "
+    "(map-side only; near-neighbor search bands the bits).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def simhash_near_pairs(simhash_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance over banded fingerprints.
+
+    Scale path: split the fingerprint into ``max_hamming + 1`` bands — two
+    fingerprints within ``max_hamming`` bits must agree exactly on at least
+    one band (pigeonhole), so candidates come from equi-joins on band
+    values (shuffle on small keys), then exact popcount verification.
+    """
+    nbands = max_hamming + 1
+    width = SIMHASH_BITS // nbands
+    bands = None
+    for band in range(nbands):
+        key = F.shiftright(F.col("simhash"), band * width).bitwiseAND((1 << width) - 1)
+        one = simhash_df.select(
+            F.col("doc_id"),
+            F.col("simhash"),
+            F.lit(band).alias("band"),
+            key.alias("bkey"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band", "bkey"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band", "bkey"
+    )
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.where(ham <= max_hamming).select(
+        "doc_a", "doc_b", ham.alias("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (exact baseline; ANN path in operators.similarity)
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_cosine",
+    _COSINE_ORACLE,
+    doc="Embedding near-dup: exact all-pairs double cosine (>= 0.4); "
+    "brute-force baseline for the LSH/IVF ANN path.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), as_double("embedding").alias("eb"))
+    sim = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .where(sim >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+    )

@@ -1,0 +1,202 @@
+"""Similarity search over embedding columns (SURVEY.md §2.D).
+
+- ``topk_cosine``  — brute-force exact top-k: broadcast the (small) query
+  set, score every corpus vector with a codegen'd double cosine, take top-k
+  per query with a window.  Exact baseline; linear scan of the corpus, fully
+  partition-parallel — at 100 TB this is one pass over the embedding table
+  with no shuffle of the corpus side (only k rows per query survive the
+  per-partition window when AQE pushes the limit down).
+- ``ivf_*``        — IVF (inverted-file) ANN: assign every vector to its
+  nearest centroid (map-side, centroids broadcast), shuffle once on
+  ``cell_id`` to co-locate cells, probe only ``nprobe`` cells per query.
+  Search cost drops from N to ~N·nprobe/C — the scale path.
+
+Determinism contract: centroids are the first ``NUM_CENTROIDS`` vectors by
+``vec_id`` (a deterministic stand-in for k-means training — same role,
+reproducible across engines), ranking ties break on ``vec_id``, and all
+cosine math is double precision with a fixed fold order (bit-identical to
+the DuckDB oracle twins).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.functions.vectors import (
+    as_double,
+    cosine,
+    duck_cosine,
+)
+from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+
+NUM_QUERIES = 10
+TOP_K = 10
+NUM_CENTROIDS = 16
+NPROBE = 4
+
+
+def topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    sim = cosine(F.col("qv"), F.col("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cent_id",
+    cent_vec: str = "cv",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (broadcast, map-side)."""
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    k = centroids.select(F.col(cent_id), F.col(cent_vec))
+    sim = cosine(F.col("v"), F.col(cent_vec))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(cent_id))
+    return (
+        c.join(F.broadcast(k))
+        .select(id_col, cent_id, "v", sim.alias("sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col(id_col), F.col(cent_id).alias("cell_id"), "v")
+    )
+
+
+@register(
+    "sim_topk_cosine",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NUM_QUERIES}),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {duck_cosine('q.qv', 'c.embedding')} AS cos_sim
+    FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank::int AS rank
+FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc=f"Brute-force exact cosine top-{TOP_K} for {NUM_QUERIES} query vectors "
+    "(broadcast queries, one linear corpus scan).",
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < NUM_QUERIES)
+    return topk_cosine(emb, queries, TOP_K).withColumn("rank", F.col("rank").cast("int"))
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < {NUM_CENTROIDS}),
+assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cent_id AS cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NUM_QUERIES}),
+probes AS (
+    SELECT query_id, cell_id FROM (
+        SELECT q.query_id, c.cent_id AS cell_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {duck_cosine('q.qv', 'c.cv')} DESC, c.cent_id) AS rn
+        FROM q CROSS JOIN cent c
+    ) WHERE rn <= {NPROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+    WHERE a.vec_id <> p.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           {duck_cosine('q2.embedding', 'e2.embedding')} AS cos_sim
+    FROM cand
+    JOIN embeddings q2 ON q2.vec_id = cand.query_id
+    JOIN embeddings e2 ON e2.vec_id = cand.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank::int AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivf",
+    _ivf_oracle(),
+    doc=f"IVF ANN top-{TOP_K}: {NUM_CENTROIDS} cells, nprobe={NPROBE} — broadcast "
+    "centroids, one shuffle on cell_id; search cost ~N*nprobe/C (the 100 TB path).",
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    assign = ivf_assign(emb, cent)
+
+    q = emb.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    probe_sim = cosine(F.col("qv"), F.col("cv"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cent_id"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "qv", "cent_id", probe_sim.alias("psim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("query_id", "qv", F.col("cent_id").alias("cell_id"))
+    )
+    cand = (
+        probes.join(assign, "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), F.col("v"))
+    )
+    sim = cosine(F.col("qv"), F.col("v"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cos_sim", 6).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

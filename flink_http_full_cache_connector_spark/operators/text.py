@@ -1,0 +1,263 @@
+"""Text analysis operators for large-scale training-data pipelines.
+
+Beyond the reference surface (SURVEY.md §2.D): language-ID, quality
+scoring, token counting, document fingerprinting — all expressed with
+built-in ``pyspark.sql.functions`` only (JVM-side, whole-stage codegen; no
+Python in the per-row path), over the ``documents`` table.
+
+Every operator has a DuckDB oracle twin registered alongside; formulas are
+written with engine-portable primitives (md5, replace-based substring
+counting, same-order arithmetic, ``round(...,6)``) so the two engines
+produce identical values.
+
+Scale: all operators are embarrassingly partition-parallel (per-row
+``select``; no shuffle, no driver materialization) — they stream through
+100 TB as fast as the scan goes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+
+# ---------------------------------------------------------------------------
+# column-level building blocks
+# ---------------------------------------------------------------------------
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (regex split, trim first)."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def occurrences(text: Column, needle: str) -> Column:
+    """Portable substring-occurrence count via the replace trick
+    (identical semantics in Spark and DuckDB: no regex involved)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("long")
+
+
+def _padded(text: Column) -> Column:
+    # pad so word-boundary markers match at string edges
+    return F.concat(F.lit(" "), F.trim(text), F.lit(" "))
+
+
+#: language marker words for the n-gram/stopword heuristic (word-boundary
+#: padded, counted with the replace trick on both engines)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " in "],
+    "es": [" el ", " la ", " de ", " los ", " que "],
+    "de": [" der ", " die ", " und ", " das ", " ist "],
+    "fr": [" le ", " la ", " et ", " les ", " des "],
+    "zh": [" de ", " shi ", " le ", " zai ", " you "],
+}
+
+#: deterministic priority order for arg-max ties (both engines use the same
+#: CASE ladder, so ties resolve identically)
+LANG_PRIORITY = ["en", "es", "de", "fr", "zh"]
+
+STOPWORDS = [" the ", " a ", " and ", " of ", " to "]
+PUNCT = [".", ",", "!", "?", ";"]
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    padded = _padded(text)
+    return {
+        lang: sum(occurrences(padded, m) for m in markers).cast("long")
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """Arg-max language with deterministic tie-break; 'und' when no marker hits."""
+    scores = lang_scores(text)
+    total = sum(scores.values())
+    max_score = F.greatest(*[scores[o] for o in LANG_PRIORITY])
+    # CASE ladder in priority order: first lang hitting the max wins ties —
+    # built inside-out, so the highest-priority WHEN ends up outermost,
+    # matching the oracle's forward CASE ladder.
+    result = F.lit("und")
+    for lang in reversed(LANG_PRIORITY):
+        result = F.when((total > 0) & (scores[lang] == max_score), F.lit(lang)).otherwise(
+            result
+        )
+    return result
+
+
+def quality_components(text: Column) -> dict[str, Column]:
+    ntok = token_count(text)
+    nchars = F.length(text)
+    nonspace = F.length(F.replace(text, F.lit(" "), F.lit("")))
+    padded = _padded(text)
+    stop_hits = sum(occurrences(padded, s) for s in STOPWORDS)
+    punct_hits = sum(occurrences(text, p) for p in PUNCT)
+    return {
+        "n_tokens": ntok.cast("long"),
+        "avg_token_len": F.round(nonspace / ntok, 6),
+        "stopword_ratio": F.round(stop_hits / ntok, 6),
+        "punct_ratio": F.round(punct_hits / nchars, 6),
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic heuristic in [0,1]: length sweet-spot + stopword signal
+    + punctuation sanity.  Same-order arithmetic on both engines."""
+    c = quality_components(text)
+    ntok = c["n_tokens"]
+    length_term = F.least(ntok / F.lit(64.0), F.lit(1.0))
+    stop_term = F.least(c["stopword_ratio"] * F.lit(4.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - F.least(c["punct_ratio"] * F.lit(10.0), F.lit(1.0))
+    return F.round(
+        length_term * F.lit(0.5) + stop_term * F.lit(0.3) + punct_term * F.lit(0.2), 6
+    )
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash over token hashes (content-defined
+    fingerprint; stable under trailing-whitespace noise).
+
+    ``h = fold(tokens, h*131 + tokenhash mod p)`` with init = first token
+    hash — matching DuckDB's ``list_reduce`` (first element as init).  All
+    intermediates < 2^63 so no overflow on either engine.
+    """
+    p = 2147483647  # 2^31 - 1
+    tok_hashes = F.transform(
+        F.split(F.trim(text), r"\s+"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % p,
+    )
+    return F.aggregate(
+        F.slice(tok_hashes, 2, F.size(tok_hashes) - 1),
+        F.element_at(tok_hashes, 1),
+        lambda acc, x: (acc * 131 + x) % p,
+    )
+
+
+# ---------------------------------------------------------------------------
+# registered queries (oracle twins in DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+_DUCK_TOKENS = r"string_split_regex(trim(text), '\s+')"
+
+
+@register(
+    "text_token_count",
+    rf"""
+    SELECT doc_id, n_chars, len({_DUCK_TOKENS})::bigint AS n_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace-regex tokens per document (scan-only, no shuffle).",
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "n_chars", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+
+
+def _duck_occ(padded: str, needle: str) -> str:
+    n = len(needle)
+    return f"((length({padded}) - length(replace({padded}, '{needle}', ''))) // {n})"
+
+
+def _duck_lang_sql() -> str:
+    padded = "(' ' || trim(text) || ' ')"
+    scores = {
+        lang: "(" + " + ".join(_duck_occ(padded, m) for m in markers) + ")"
+        for lang, markers in LANG_MARKERS.items()
+    }
+    total = "(" + " + ".join(scores.values()) + ")"
+    all_scores = ", ".join(scores.values())
+    ladder = " ".join(
+        f"WHEN {scores[lang]} = greatest({all_scores}) THEN '{lang}'"
+        for lang in LANG_PRIORITY
+    )
+    return f"""
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN {total} > 0 THEN (CASE {ladder} END) ELSE 'und' END AS lang_pred
+    FROM documents
+    """
+
+
+@register(
+    "text_lang_id",
+    _duck_lang_sql(),
+    doc="Language-ID: marker-word n-gram heuristic, deterministic arg-max ladder.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _duck_quality_sql() -> str:
+    padded = "(' ' || trim(text) || ' ')"
+    ntok = rf"len({_DUCK_TOKENS})"
+    nonspace = "length(replace(text, ' ', ''))"
+    stop = "(" + " + ".join(_duck_occ(padded, s) for s in STOPWORDS) + ")"
+    punct = "(" + " + ".join(_duck_occ("text", p) for p in PUNCT) + ")"
+    return f"""
+    SELECT doc_id,
+           {ntok}::bigint AS n_tokens,
+           round({nonspace} / {ntok}, 6) AS avg_token_len,
+           round({stop} / {ntok}, 6) AS stopword_ratio,
+           round({punct} / length(text), 6) AS punct_ratio,
+           round(least({ntok} / 64.0, 1.0) * 0.5
+                 + least(round({stop} / {ntok}, 6) * 4.0, 1.0) * 0.3
+                 + (1.0 - least(round({punct} / length(text), 6) * 10.0, 1.0)) * 0.2,
+                 6) AS quality
+    FROM documents
+    """
+
+
+@register(
+    "text_quality_score",
+    _duck_quality_sql(),
+    doc="Quality scoring: length/stopword/punctuation heuristics, one scan-side select.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    c = quality_components(text)
+    return docs.select(
+        "doc_id",
+        c["n_tokens"].alias("n_tokens"),
+        c["avg_token_len"].alias("avg_token_len"),
+        c["stopword_ratio"].alias("stopword_ratio"),
+        c["punct_ratio"].alias("punct_ratio"),
+        quality_score(text).alias("quality"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    rf"""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5,
+           list_reduce(
+             list_transform({_DUCK_TOKENS},
+               t -> ('0x' || substr(md5(t), 1, 8))::bigint % 2147483647),
+             (acc, x) -> (acc * 131 + x) % 2147483647
+           ) AS fp_rolling
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 of normalized text + polynomial rolling hash over token hashes.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        md5_fingerprint(F.col("text")).alias("fp_md5"),
+        rolling_hash(F.col("text")).alias("fp_rolling"),
+    )

@@ -1,0 +1,148 @@
+"""Behavioral tests for the LLM-pipeline operators: dedup recall, simhash
+near-pair search, ANN recall vs brute force, text heuristics on crafted
+inputs. (Value-level oracle parity is covered by test_oracle_parity.py.)"""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.operators.dedup import (
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    minhash_signatures,
+    simhash,
+    simhash_near_pairs,
+    word_shingles,
+)
+from flink_http_full_cache_connector_spark.operators.similarity import (
+    sim_ann_ivf,
+    sim_topk_cosine,
+    topk_cosine,
+)
+from flink_http_full_cache_connector_spark.operators.text import (
+    lang_id,
+    quality_score,
+    rolling_hash,
+    token_count,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _pairs(df):
+    return {(r.doc_a, r.doc_b) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH (linear cost) must recover the exact pairwise near-dup pairs.
+
+    With 16 hashes / 4 bands / threshold 0.5 on the planted ~0.99-Jaccard
+    dupes, expected recall is ~1.0; require >= 0.9 to keep the test stable.
+    """
+    exact = _pairs(dedup_ngram_jaccard(spark, SF_DIR))
+    lsh = _pairs(dedup_minhash_lsh(spark, SF_DIR))
+    assert exact, "exact near-dup baseline found no pairs — testdata changed?"
+    assert lsh <= exact  # verification step guarantees no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_near_pairs_find_planted_dupes(spark):
+    """Planted near-dup docs differ by a few tokens → small Hamming distance.
+    The banded pair search must find mostly the same pairs as Jaccard."""
+    exact = _pairs(dedup_ngram_jaccard(spark, SF_DIR))
+    sims = dedup_simhash(spark, SF_DIR)
+    near = {(r.doc_a, r.doc_b) for r in simhash_near_pairs(sims, max_hamming=8).collect()}
+    overlap = len(near & exact) / len(exact)
+    assert overlap >= 0.7, f"simhash found {overlap:.2f} of planted dupes"
+
+
+def test_simhash_identical_text_same_fingerprint(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma"), Row(doc_id=2, text="alpha beta gamma")]
+    )
+    out = {r.doc_id: r.simhash for r in simhash(df).collect()}
+    assert out[1] == out[2]
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF with nprobe=4/16 cells should recover a solid fraction of exact
+    top-10; with weak clusters expect moderate recall — require >= 0.3,
+    and exact agreement on the neighbors it does return (no fabricated sims)."""
+    exact = sim_topk_cosine(spark, SF_DIR).collect()
+    ann = sim_ann_ivf(spark, SF_DIR).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ann_sets = {}
+    sim_by_pair = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        if (r.query_id, r.neighbor_id) in sim_by_pair:
+            assert r.cos_sim == sim_by_pair[(r.query_id, r.neighbor_id)]
+    recalls = [
+        len(ann_sets.get(q, set()) & s) / len(s) for q, s in exact_sets.items()
+    ]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.3, f"IVF recall@10 {avg:.2f}"
+
+
+def test_topk_excludes_self_and_is_ranked(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = topk_cosine(emb, emb.where(F.col("vec_id") < 3), k=5).collect()
+    assert all(r.query_id != r.neighbor_id for r in out)
+    by_q = {}
+    for r in sorted(out, key=lambda r: (r.query_id, r.rank)):
+        by_q.setdefault(r.query_id, []).append(r.cos_sim)
+    for sims in by_q.values():
+        assert len(sims) == 5
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_word_shingles_and_token_count(spark):
+    df = spark.createDataFrame([Row(text="  a  b c d ")])
+    r = df.select(
+        word_shingles(F.col("text")).alias("sh"), token_count(F.col("text")).alias("n")
+    ).first()
+    assert r.sh == ["a b c", "b c d"] and r.n == 4
+
+
+def test_lang_id_on_crafted_text(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog of the house"),
+            Row(doc_id=2, text="el perro la casa de los gatos que duermen"),
+            Row(doc_id=3, text="der hund und die katze das ist gut"),
+            Row(doc_id=4, text="xyzzy plugh qwerty"),
+        ]
+    )
+    out = {r.doc_id: r.p for r in df.select("doc_id", lang_id(F.col("text")).alias("p")).collect()}
+    assert out[1] == "en" and out[2] == "es" and out[3] == "de" and out[4] == "und"
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog and runs to the barn " * 8),
+            Row(doc_id=2, text="x"),
+        ]
+    )
+    out = {r.doc_id: r.q for r in df.select("doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_rolling_hash_stable_under_whitespace(spark):
+    df = spark.createDataFrame([Row(a="alpha beta gamma", b="  alpha beta gamma  ")])
+    r = df.select(
+        rolling_hash(F.col("a")).alias("ha"), rolling_hash(F.col("b")).alias("hb")
+    ).first()
+    assert r.ha == r.hb
+
+
+def test_minhash_signature_shape(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20)
+    sig = minhash_signatures(docs)
+    assert [c for c in sig.columns if c.startswith("m")] == [f"m{j}" for j in range(16)]
+    row = sig.first()
+    assert all(0 <= row[f"m{j}"] < 2147483647 for j in range(16))
