@@ -35,6 +35,8 @@ from flink_http_full_cache_connector_spark.functions.vectors import (
     cosine,
     duck_cosine,
 )
+from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
+from flink_http_full_cache_connector_spark.operators.scale import widen
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
 
 # ---------------------------------------------------------------------------
@@ -76,7 +78,13 @@ def md5_mod_p(col: Column) -> Column:
 
 
 def _shingle_table(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle, h) — exploded distinct shingles with portable hash."""
+    """(doc_id, shingle, h) — exploded distinct shingles with portable hash.
+
+    Input is widened to cluster parallelism first: the explode + md5 fan-out
+    is the map-side hot path, and a single-file input would otherwise run it
+    on one core (no-op on already-wide scans).
+    """
+    docs = widen(docs)
     return docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
     ).withColumn("h", md5_mod_p(F.col("s")))
@@ -118,7 +126,7 @@ inter AS (
     GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       round(i / (sa.n + sb.n - i), 6) AS jaccard
+       {duck_trunc6('i / (sa.n + sb.n - i)')} AS jaccard
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
@@ -150,7 +158,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", trunc6(jac).alias("jaccard"))
     )
 
 
@@ -221,7 +229,7 @@ inter AS (
     JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
     GROUP BY 1, 2
 )
-SELECT i.doc_a, i.doc_b, round(i.i / (sa.n + sb.n - i.i), 6) AS jaccard
+SELECT i.doc_a, i.doc_b, {duck_trunc6('i.i / (sa.n + sb.n - i.i)')} AS jaccard
 FROM inter i
 JOIN sig sa ON sa.doc_id = i.doc_a
 JOIN sig sb ON sb.doc_id = i.doc_b
@@ -255,7 +263,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", trunc6(jac).alias("jaccard"))
     )
 
 
@@ -283,7 +291,7 @@ SELECT doc_id, ({fp})::bigint AS simhash FROM votes
 
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 60-bit TF-weighted fingerprint, map-side only."""
-    toks = docs.select(
+    toks = widen(docs).select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
     ).withColumn("th", F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long"))
     votes = toks.groupBy("doc_id").agg(
@@ -355,7 +363,7 @@ def simhash_near_pairs(simhash_df: DataFrame, max_hamming: int = 3) -> DataFrame
 
 _COSINE_ORACLE = f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+       {duck_trunc6(duck_cosine('a.embedding', 'b.embedding'))} AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
 """
@@ -369,11 +377,13 @@ WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("ea"))
+    # widen the streamed side: the broadcast nested-loop scoring is the hot
+    # path and must use every core, not the input's (single) file split
+    a = widen(emb).select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), as_double("embedding").alias("eb"))
     sim = cosine(F.col("ea"), F.col("eb"))
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .where(sim >= COSINE_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+        .select("vec_a", "vec_b", trunc6(sim).alias("cos_sim"))
     )

@@ -28,6 +28,8 @@ from flink_http_full_cache_connector_spark.functions.vectors import (
     cosine,
     duck_cosine,
 )
+from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
+from flink_http_full_cache_connector_spark.operators.scale import widen
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
 
 NUM_QUERIES = 10
@@ -48,7 +50,9 @@ def topk_cosine(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
     )
-    c = corpus.select(
+    # widen the streamed corpus side — the broadcast join scoring must use
+    # every core, not the input's (possibly single) file split
+    c = widen(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     )
     sim = cosine(F.col("qv"), F.col("cv"))
@@ -62,7 +66,7 @@ def topk_cosine(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), "rank")
+        .select("query_id", "neighbor_id", trunc6(F.col("cos_sim")).alias("cos_sim"), "rank")
     )
 
 
@@ -76,7 +80,7 @@ def ivf_assign(
     cent_vec: str = "cv",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (broadcast, map-side)."""
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    c = widen(corpus).select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     k = centroids.select(F.col(cent_id), F.col(cent_vec))
     sim = cosine(F.col("v"), F.col(cent_vec))
     w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(cent_id))
@@ -103,7 +107,7 @@ ranked AS (
            row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
     FROM scored
 )
-SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank::int AS rank
+SELECT query_id, neighbor_id, {duck_trunc6('cos_sim')} AS cos_sim, rank::int AS rank
 FROM ranked WHERE rank <= {TOP_K}
 """,
     doc=f"Brute-force exact cosine top-{TOP_K} for {NUM_QUERIES} query vectors "
@@ -152,7 +156,7 @@ ranked AS (
            row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
     FROM scored
 )
-SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rank::int AS rank
+SELECT query_id, neighbor_id, {duck_trunc6('cos_sim')} AS cos_sim, rank::int AS rank
 FROM ranked WHERE rank <= {TOP_K}
 """
 
@@ -196,7 +200,7 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round("cos_sim", 6).alias("cos_sim"),
+            trunc6(F.col("cos_sim")).alias("cos_sim"),
             F.col("rank").cast("int").alias("rank"),
         )
     )

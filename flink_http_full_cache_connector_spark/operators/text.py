@@ -7,7 +7,7 @@ Python in the per-row path), over the ``documents`` table.
 
 Every operator has a DuckDB oracle twin registered alongside; formulas are
 written with engine-portable primitives (md5, replace-based substring
-counting, same-order arithmetic, ``round(...,6)``) so the two engines
+counting, same-order arithmetic, portable ``trunc6``) so the two engines
 produce identical values.
 
 Scale: all operators are embarrassingly partition-parallel (per-row
@@ -20,7 +20,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
+from flink_http_full_cache_connector_spark.operators.scale import widen
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents widened to cluster parallelism — the md5/replace-chain
+    per-row work is CPU-bound and a single-file input would pin one core."""
+    return widen(load_table(spark, sf_dir, "documents"))
 
 # ---------------------------------------------------------------------------
 # column-level building blocks
@@ -96,9 +104,9 @@ def quality_components(text: Column) -> dict[str, Column]:
     punct_hits = sum(occurrences(text, p) for p in PUNCT)
     return {
         "n_tokens": ntok.cast("long"),
-        "avg_token_len": F.round(nonspace / ntok, 6),
-        "stopword_ratio": F.round(stop_hits / ntok, 6),
-        "punct_ratio": F.round(punct_hits / nchars, 6),
+        "avg_token_len": trunc6(nonspace / ntok),
+        "stopword_ratio": trunc6(stop_hits / ntok),
+        "punct_ratio": trunc6(punct_hits / nchars),
     }
 
 
@@ -110,8 +118,8 @@ def quality_score(text: Column) -> Column:
     length_term = F.least(ntok / F.lit(64.0), F.lit(1.0))
     stop_term = F.least(c["stopword_ratio"] * F.lit(4.0), F.lit(1.0))
     punct_term = F.lit(1.0) - F.least(c["punct_ratio"] * F.lit(10.0), F.lit(1.0))
-    return F.round(
-        length_term * F.lit(0.5) + stop_term * F.lit(0.3) + punct_term * F.lit(0.2), 6
+    return trunc6(
+        length_term * F.lit(0.5) + stop_term * F.lit(0.3) + punct_term * F.lit(0.2)
     )
 
 
@@ -157,7 +165,7 @@ _DUCK_TOKENS = r"string_split_regex(trim(text), '\s+')"
     doc="Token counting: whitespace-regex tokens per document (scan-only, no shuffle).",
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", "n_chars", token_count(F.col("text")).cast("long").alias("n_tokens")
     )
@@ -193,7 +201,7 @@ def _duck_lang_sql() -> str:
     doc="Language-ID: marker-word n-gram heuristic, deterministic arg-max ladder.",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_label"),
@@ -210,13 +218,14 @@ def _duck_quality_sql() -> str:
     return f"""
     SELECT doc_id,
            {ntok}::bigint AS n_tokens,
-           round({nonspace} / {ntok}, 6) AS avg_token_len,
-           round({stop} / {ntok}, 6) AS stopword_ratio,
-           round({punct} / length(text), 6) AS punct_ratio,
-           round(least({ntok} / 64.0, 1.0) * 0.5
-                 + least(round({stop} / {ntok}, 6) * 4.0, 1.0) * 0.3
-                 + (1.0 - least(round({punct} / length(text), 6) * 10.0, 1.0)) * 0.2,
-                 6) AS quality
+           {duck_trunc6(f'{nonspace} / {ntok}')} AS avg_token_len,
+           {duck_trunc6(f'{stop} / {ntok}')} AS stopword_ratio,
+           {duck_trunc6(f'{punct} / length(text)')} AS punct_ratio,
+           {duck_trunc6(
+               f'least({ntok} / 64.0, 1.0) * 0.5'
+               f' + least({duck_trunc6(f"{stop} / {ntok}")} * 4.0, 1.0) * 0.3'
+               f' + (1.0 - least({duck_trunc6(f"{punct} / length(text)")} * 10.0, 1.0)) * 0.2'
+           )} AS quality
     FROM documents
     """
 
@@ -227,7 +236,7 @@ def _duck_quality_sql() -> str:
     doc="Quality scoring: length/stopword/punctuation heuristics, one scan-side select.",
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     text = F.col("text")
     c = quality_components(text)
     return docs.select(
@@ -255,7 +264,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Document fingerprinting: md5 of normalized text + polynomial rolling hash over token hashes.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         md5_fingerprint(F.col("text")).alias("fp_md5"),

@@ -50,6 +50,22 @@ def fetch_rows(opts: HttpLookupOptions, schema: StructType) -> list[tuple]:
     return deserialize_nodes(nodes, schema)
 
 
+def _local_relation(spark: SparkSession, rows: list[tuple], schema: StructType) -> DataFrame:
+    """Driver rows → LocalTableScan via Arrow; classic path as fallback.
+
+    ``dtype=object`` keeps int64 keys exact (no float64 round-trip for
+    columns containing NULLs).
+    """
+    try:
+        import pandas as pd
+
+        spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        pdf = pd.DataFrame(rows, columns=[f.name for f in schema.fields], dtype=object)
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema).coalesce(1)
+
+
 def create_lookup_df(
     spark: SparkSession,
     options: dict[str, object] | HttpLookupOptions,
@@ -59,15 +75,18 @@ def create_lookup_df(
 ) -> DataFrame:
     """Build the full-cache lookup DataFrame (one bounded scan).
 
-    Single partition ≙ the reference's single ``GenericInputSplit``
-    (``HttpInputFormatProvider.scala:80-81``); the dimension side is meant to
-    be broadcast by the join, so one partition is the right shape and incurs
-    no shuffle.
+    The whole payload lives on the driver ≙ the reference's single
+    ``GenericInputSplit`` (``HttpInputFormatProvider.scala:80-81``).  The
+    rows become an Arrow-backed **LocalTableScan** — a JVM-side local
+    relation with no Python workers in the execution path, which Catalyst
+    broadcasts directly in the lookup join (no shuffle, no scan stage).
+    Falls back to the classic ``createDataFrame`` path for payloads pandas
+    can't represent (e.g. deeply nested rows).
     """
     opts = options if isinstance(options, HttpLookupOptions) else validate_options(options)
     t0 = time.monotonic()
     rows = fetch_rows(opts, schema)
-    df = spark.createDataFrame(rows, schema).coalesce(1)
+    df = _local_relation(spark, rows, schema)
     if stats is not None:
         stats.fetch_count += 1
         stats.last_fetch_duration_s = time.monotonic() - t0
