@@ -1,0 +1,290 @@
+"""Multimodal column handling for large-scale training-data pipelines
+(SURVEY.md §2.D): media as opaque ``binary`` payload columns with typed
+metadata, plus Arrow-batched Python decode/feature/frame-sample operators.
+
+Design:
+
+- **Representation**: a media item is ``(payload: binary, meta: struct
+  <kind, byte_len, checksum>)``.  The payload is opaque to the engine —
+  only metadata and explicitly-extracted features are queryable columns.
+  Here payloads are deterministically synthesized from ``documents.text``
+  (UTF-8 bytes) so every operator has an exact DuckDB oracle; with real
+  image/audio bytes the plumbing is unchanged.
+- **Decode plumbing**: feature extraction and frame sampling run as
+  ``mapInPandas`` — Arrow-batched, partition-parallel, no driver
+  materialization.  At 100 TB this is one pass over the payload column
+  with Python cost amortized over Arrow batches (the 10-100x-over-row-UDF
+  path); the binary column never shuffles unless the query asks for it.
+- **Real codec decode is stubbed**: the container has no image/audio
+  libraries, so ``decode_image``/``decode_audio`` raise
+  ``NotImplementedError`` unless ``PIL``/``soundfile`` import; the Spark
+  plumbing (schema, batching, UDF signatures) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from flink_http_full_cache_connector_spark.operators.scale import widen
+from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+
+FRAME_STRIDE = 64  # characters between sampled frames
+FRAME_LEN = 16  # characters per sampled frame
+HEADER_LEN = 4  # leading characters treated as the format header
+
+
+# ---------------------------------------------------------------------------
+# media representation
+# ---------------------------------------------------------------------------
+
+def attach_media(docs: DataFrame, *, kind_col: str = "source") -> DataFrame:
+    """documents → (doc_id, payload binary, meta struct<kind, byte_len, checksum>).
+
+    Pure JVM expressions (encode/md5/octet_length) — the metadata path adds
+    no Python to the scan.
+    """
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.col(kind_col).alias("kind"),
+            F.octet_length(payload).cast("long").alias("byte_len"),
+            F.md5(F.col("text")).alias("checksum"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-batched decode operators (mapInPandas)
+# ---------------------------------------------------------------------------
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("byte_len", LongType()),
+        StructField("checksum", StringType()),
+        StructField("header_hex", StringType()),
+        StructField("header_u32", LongType()),
+    ]
+)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Per-item features from the raw payload bytes via ``mapInPandas``.
+
+    header = first ``HEADER_LEN`` characters' UTF-8 bytes (≙ a magic-number
+    sniff on real media); header_u32 is their big-endian integer value.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            header = payloads.map(
+                lambda b: bytes(b).decode("utf-8")[:HEADER_LEN].encode("utf-8")
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": payloads.map(len).astype("int64"),
+                    "checksum": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "header_hex": header.map(lambda b: b.hex().upper()),
+                    "header_u32": header.map(
+                        lambda b: int.from_bytes(b, "big")
+                    ).astype("int64"),
+                }
+            )
+
+    return widen(media).select("doc_id", "payload").mapInPandas(
+        batches, FEATURES_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_hex", StringType()),
+    ]
+)
+
+
+def frame_sample(
+    media: DataFrame, *, stride: int = FRAME_STRIDE, frame_len: int = FRAME_LEN
+) -> DataFrame:
+    """Sample fixed-length frames every ``stride`` characters (≙ key-frame
+    extraction from a video payload), exploding one row per frame."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                chars = bytes(payload).decode("utf-8")
+                n_frames = (max(len(chars) - 1, 0) // stride) + 1
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(
+                        chars[i * stride : i * stride + frame_len]
+                        .encode("utf-8")
+                        .hex()
+                        .upper()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_hex": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return widen(media).select("doc_id", "payload").mapInPandas(batches, FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# real codec decode — stubbed (no image/audio libs in this container)
+# ---------------------------------------------------------------------------
+
+IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mode", StringType()),
+        StructField("thumbnail", BinaryType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> Any:
+    """Decode an image payload. Requires pillow (not installed here)."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - exercised via tests
+        raise NotImplementedError(
+            "image decode requires pillow; payload plumbing (schema, "
+            "batching, UDF signature) is real — see extract_features"
+        ) from exc
+    import io
+
+    from PIL import Image
+
+    return Image.open(io.BytesIO(payload))
+
+
+def decode_audio(payload: bytes) -> Any:
+    """Decode an audio payload. Requires soundfile (not installed here)."""
+    try:
+        import soundfile  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "audio decode requires soundfile; payload plumbing is real"
+        ) from exc
+    import io
+
+    import soundfile
+
+    return soundfile.read(io.BytesIO(payload))
+
+
+def decode_resize_images(
+    media: DataFrame, *, max_side: int = 256
+) -> DataFrame:
+    """Decode + thumbnail every image payload (mapInPandas; stub decode).
+
+    The Spark plan — widen → Arrow batches → per-batch decode → typed
+    struct output — is the production shape; only the pixel codec is
+    stubbed behind the pillow import.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))  # raises NotImplementedError
+                img.thumbnail((max_side, max_side))
+                rows.append((doc_id, img.width, img.height, img.mode, b""))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mode", "thumbnail"]
+            )
+
+    return widen(media).select("doc_id", "payload").mapInPandas(batches, IMAGE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# registered queries (oracle twins in DuckDB dialect)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id, source AS kind,
+           octet_length(encode(text))::bigint AS byte_len,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    doc="Media metadata columns (kind/byte_len/checksum) over binary payloads — "
+    "pure JVM expressions, scan-speed.",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        F.col("meta.kind").alias("kind"),
+        F.col("meta.byte_len").alias("byte_len"),
+        F.col("meta.checksum").alias("checksum"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    f"""
+    SELECT doc_id,
+           octet_length(encode(text))::bigint AS byte_len,
+           md5(text) AS checksum,
+           hex(encode(substring(text, 1, {HEADER_LEN}))) AS header_hex,
+           ('0x' || hex(encode(substring(text, 1, {HEADER_LEN}))))::bigint AS header_u32
+    FROM documents
+    """,
+    doc="Arrow-batched payload feature extraction via mapInPandas (magic-number "
+    "header sniff); oracle recomputes the same bytes in SQL.",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media)
+
+
+@register(
+    "multimodal_frame_sample",
+    f"""
+    WITH f AS (
+        SELECT doc_id, text,
+               unnest(range(0, greatest(length(text) - 1, 0) // {FRAME_STRIDE} + 1)) AS i
+        FROM documents
+    )
+    SELECT doc_id, i::int AS frame_idx,
+           hex(encode(substring(text, 1 + i * {FRAME_STRIDE}, {FRAME_LEN}))) AS frame_hex
+    FROM f
+    """,
+    doc=f"Frame sampling (every {FRAME_STRIDE} chars, {FRAME_LEN}-char frames) via "
+    "mapInPandas explode — one row per sampled frame.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media)
