@@ -122,6 +122,45 @@ def nested_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_lookup_join",
+    """
+    SELECT e.event_id, e.user_id, e.event_type, c.c_name
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+    doc="B1/B2 in true Structured Streaming form: events consumed as a parquet "
+    "file stream (availableNow trigger), stream-static broadcast lookup join "
+    "per microbatch, memory sink; the oracle is the equivalent batch SQL — "
+    "proving snapshot-join parity between the streaming and batch planners.",
+)
+def streaming_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    # load_table sets the TIMESTAMP(NANOS) legacy conf; the stream needs the
+    # file's RAW schema (ts as nanos-long), not the converted one
+    load_table(spark, sf_dir, "events")
+    events_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    customer = load_table(spark, sf_dir, "customer")
+    stream = (
+        spark.readStream.schema(events_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("event_id", "user_id", "event_type")
+    )
+    joined = lookup_join(
+        stream, customer, on=[("user_id", "c_custkey")], how="left"
+    ).select("event_id", "user_id", "event_type", "c_name")
+    name = f"stream_lookup_{uuid.uuid4().hex[:12]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "http_lookup_scan",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     doc="A1/A8/A9/A10: bounded HTTP scan — nation served over local HTTP, read "
