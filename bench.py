@@ -40,8 +40,13 @@ def main() -> None:
 
     from flink_http_full_cache_connector_spark.plans.registry import all_queries
 
-    # warm-up: JVM + parquet footer reads outside the timed region
+    # warm-up outside the timed region: JVM/codegen, parquet footers, and the
+    # Python-worker pool (mapInPandas queries otherwise pay ~5s one-time
+    # worker spin-up in whichever query happens to run first)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(0, cpus * 4, 1, cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, qd in all_queries().items():

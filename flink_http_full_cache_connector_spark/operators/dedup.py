@@ -141,7 +141,9 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_table(docs).select("doc_id", "s")
+    # the shingle table feeds three subplans (sizes + both join sides);
+    # persist so explode+md5 runs once (MEMORY_AND_DISK: spills, never OOMs)
+    sh = _shingle_table(docs).select("doc_id", "s").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -245,8 +247,11 @@ WHERE i.i / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_table(docs).select("doc_id", "s")
-    sig = minhash_signatures(docs)
+    sh = _shingle_table(docs).select("doc_id", "s").persist()
+    # signatures feed ~10 subplans (4 band selects x 2 join sides + 2 size
+    # lookups); persisting them is the 100 TB design too — K longs per doc,
+    # tiny next to the corpus, and avoids re-scanning it per band
+    sig = minhash_signatures(docs).persist()
     cand = lsh_candidate_pairs(sig)
     # verification: true Jaccard on candidate pairs only
     x = sh.select(F.col("doc_id").alias("doc_a"), "s")
