@@ -38,6 +38,34 @@ NUM_CENTROIDS = 16
 NPROBE = 4
 
 
+def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Two-stage exact top-k over (query_id, neighbor_id, cos_sim) rows.
+
+    A single ``Window.partitionBy(query_id)`` would shuffle the ENTIRE
+    scored corpus into #queries partitions — catastrophic skew at scale
+    (10 reducers for 100 TB of scores).  Stage 1 pre-ranks within each
+    *input* partition (keys = #partitions x #queries, evenly spread) and
+    keeps k rows per (partition, query): the global top-k is provably a
+    subset.  Stage 2 ranks the ~partitions*k survivors per query — tiny.
+    Total order (cos_sim desc, neighbor_id asc) is duplicate-free, so both
+    stages are deterministic.
+    """
+    pre = Window.partitionBy("_pid", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    final = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prank", F.row_number().over(pre))
+        .where(F.col("_prank") <= k)
+        .drop("_pid", "_prank")
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= k)
+    )
+
+
 def topk_cosine(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,13 +88,8 @@ def topk_cosine(
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", trunc6(F.col("cos_sim")).alias("cos_sim"), "rank")
+    return topk_per_query(scored, k).select(
+        "query_id", "neighbor_id", trunc6(F.col("cos_sim")).alias("cos_sim"), "rank"
     )
 
 
@@ -79,17 +102,27 @@ def ivf_assign(
     cent_id: str = "cent_id",
     cent_vec: str = "cv",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast, map-side)."""
+    """Assign each vector to its nearest centroid (broadcast, map-side).
+
+    The per-vector argmax is a ``max_by`` aggregation, not a window: the
+    partial aggregate combines map-side (each vector's C centroid rows are
+    co-located after the broadcast join), so the shuffle carries one row per
+    vector instead of C.  Tie-break (highest sim, then lowest cent_id) is
+    encoded as lexicographic max over ``struct(sim, -cent_id)``.
+    """
     c = widen(corpus).select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     k = centroids.select(F.col(cent_id), F.col(cent_vec))
     sim = cosine(F.col("v"), F.col(cent_vec))
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col(cent_id))
+    best = F.max_by(
+        F.struct(F.col(cent_id).alias("cid"), F.col("v").alias("vec")),
+        F.struct(F.col("sim"), (-F.col(cent_id)).alias("neg")),
+    )
     return (
         c.join(F.broadcast(k))
         .select(id_col, cent_id, "v", sim.alias("sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select(F.col(id_col), F.col(cent_id).alias("cell_id"), "v")
+        .groupBy(id_col)
+        .agg(best.alias("b"))
+        .select(F.col(id_col), F.col("b.cid").alias("cell_id"), F.col("b.vec").alias("v"))
     )
 
 
@@ -192,11 +225,9 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), F.col("v"))
     )
     sim = cosine(F.col("qv"), F.col("v"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    scored = cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
     return (
-        cand.select("query_id", "neighbor_id", sim.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= TOP_K)
+        topk_per_query(scored, TOP_K)
         .select(
             "query_id",
             "neighbor_id",

@@ -1,0 +1,123 @@
+"""Physical-plan regression tests: the properties that make these operators
+scale (broadcast joins, pushdown/pruning, no skewed single-key shuffles)
+must be visible in the executed plan, not just hoped for."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_lookup_join_broadcasts_dimension(spark):
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["lookup_join_inner"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_projection_prunes_parquet_scan(spark):
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["projection"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    # ReadSchema must carry only the 4 selected columns — no l_comment etc.
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"):
+        assert col in read_schema
+    assert "l_comment" not in read_schema and "l_shipdate" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["nested_subquery"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_totalprice" in ln and "GreaterThan" in ln for ln in pushed), plan
+
+
+def test_dedup_exact_single_shuffle(spark):
+    from flink_http_full_cache_connector_spark.operators.dedup import dedup_exact
+
+    plan = plan_of(dedup_exact(spark, SF_DIR))
+    # one hash-partitioned exchange on the digest (plus AQE reads); partial
+    # aggregation must appear before it
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_topk_has_no_query_id_only_exchange(spark):
+    """The two-stage top-k must not shuffle the full scored corpus on the
+    (few-key, skewed) query_id alone before pre-ranking."""
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        sim_topk_cosine,
+    )
+
+    df = sim_topk_cosine(spark, SF_DIR)
+    plan = plan_of(df)
+    lines = plan.splitlines()
+    first_exchange = next(
+        i for i, ln in enumerate(lines) if "Exchange hashpartitioning" in ln
+    )
+    # the first (bottom-most in execution order = last listed) exchange must
+    # be on (_pid, query_id); check no exchange partitions by query_id alone
+    for ln in lines:
+        if "Exchange hashpartitioning" in ln and "query_id" in ln:
+            assert "_pid" in ln or "SinglePartition" not in ln
+    assert any("_pid" in ln for ln in lines if "Exchange" in ln), plan
+
+
+def test_ivf_assign_uses_partial_aggregation(spark):
+    from flink_http_full_cache_connector_spark.functions.vectors import as_double
+    from flink_http_full_cache_connector_spark.operators.similarity import ivf_assign
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cent = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    plan = plan_of(ivf_assign(emb, cent))
+    # argmax via max_by aggregation: partial ObjectHashAggregate before the
+    # exchange, broadcast of the centroid side, no window exchange on vec_id
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Aggregate" in plan
+    assert "Window" not in plan
+
+
+def test_lookup_df_is_local_relation(spark, http_server):
+    """The HTTP cache must materialize as a JVM local relation (no Python
+    workers, broadcastable without a scan stage)."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    from flink_http_full_cache_connector_spark.sources.lookup import create_lookup_df
+    from tests.conftest import USERS_V1
+
+    http_server.set_payload(USERS_V1)
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("name", StringType()),
+            StructField("username", StringType()),
+            StructField("email", StringType()),
+        ]
+    )
+    df = create_lookup_df(spark, {"url": http_server.url}, schema)
+    assert "LocalTableScan" in plan_of(df)
+
+
+def test_text_ops_are_scan_only(spark):
+    from flink_http_full_cache_connector_spark.operators.text import text_quality_score
+
+    plan = plan_of(text_quality_score(spark, SF_DIR))
+    # per-row select: the only exchange allowed is the widen() round-robin
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
