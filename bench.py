@@ -24,17 +24,14 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
-    from pyspark.sql import SparkSession
+    from flink_http_full_cache_connector_spark.streaming.session import build_session
 
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName("flink-http-full-cache-connector-spark-bench")
-        .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .getOrCreate()
+    spark = build_session(
+        "flink-http-full-cache-connector-spark-bench",
+        cpus=cpus,
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
