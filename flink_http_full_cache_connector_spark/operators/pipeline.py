@@ -1,0 +1,67 @@
+"""Composite training-data pipeline: the §2.D operators chained the way a
+real 100 TB corpus-cleaning job chains them —
+
+    language filter → quality filter → exact dedup (keep first)
+
+One scan computes every per-row signal (lang-ID ladder, quality heuristic,
+md5 fingerprint); one uniform-key shuffle does the dedup groupBy.  Nothing
+else moves data: the plan is scan → filter → partial agg → exchange →
+final agg, the shape that survives a 1000-executor scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.operators.text import (
+    _docs,
+    duck_lang_expr,
+    duck_quality_expr,
+    lang_id,
+    md5_fingerprint,
+    quality_score,
+)
+from flink_http_full_cache_connector_spark.plans.registry import register
+
+QUALITY_CUT = 0.5
+KEEP_LANG = "en"
+
+
+@register(
+    "pipeline_clean_corpus",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+               {duck_lang_expr()} AS lang_pred,
+               {duck_quality_expr()} AS quality
+        FROM documents
+    )
+    SELECT fp, min(doc_id) AS keep_id, count(*)::bigint AS dup_count,
+           min(quality) AS quality
+    FROM scored
+    WHERE lang_pred = '{KEEP_LANG}' AND quality >= {QUALITY_CUT}
+    GROUP BY fp
+    """,
+    doc="Composite corpus-cleaning pipeline: lang filter + quality filter + "
+    "exact dedup keep-first, in one scan + one uniform-key shuffle.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        md5_fingerprint(text).alias("fp"),
+        lang_id(text).alias("lang_pred"),
+        quality_score(text).alias("quality"),
+    )
+    return (
+        scored.where((F.col("lang_pred") == KEEP_LANG) & (F.col("quality") >= QUALITY_CUT))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+            F.min("quality").alias("quality"),
+        )
+    )

@@ -39,6 +39,17 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
 
 
+#: BPE-ish tokenizer regex: letter runs, digit runs, single punctuation —
+#: the class-based pattern evaluates identically under Java regex (Spark)
+#: and RE2 (DuckDB)
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Approximate subword token count via the BPE-ish regex."""
+    return F.regexp_count(text, F.lit(BPE_PATTERN))
+
+
 def occurrences(text: Column, needle: str) -> Column:
     """Portable substring-occurrence count via the replace trick
     (identical semantics in Spark and DuckDB: no regex involved)."""
@@ -159,15 +170,20 @@ _DUCK_TOKENS = r"string_split_regex(trim(text), '\s+')"
 @register(
     "text_token_count",
     rf"""
-    SELECT doc_id, n_chars, len({_DUCK_TOKENS})::bigint AS n_tokens
+    SELECT doc_id, n_chars, len({_DUCK_TOKENS})::bigint AS n_tokens,
+           len(regexp_extract_all(text, '{BPE_PATTERN}'))::bigint AS n_bpe_tokens
     FROM documents
     """,
-    doc="Token counting: whitespace-regex tokens per document (scan-only, no shuffle).",
+    doc="Token counting: whitespace tokens + BPE-ish regex subword count "
+    "(scan-only, no shuffle).",
 )
 def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     return docs.select(
-        "doc_id", "n_chars", token_count(F.col("text")).cast("long").alias("n_tokens")
+        "doc_id",
+        "n_chars",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -176,7 +192,8 @@ def _duck_occ(padded: str, needle: str) -> str:
     return f"((length({padded}) - length(replace({padded}, '{needle}', ''))) // {n})"
 
 
-def _duck_lang_sql() -> str:
+def duck_lang_expr() -> str:
+    """DuckDB expression twin of :func:`lang_id` (reusable in composites)."""
     padded = "(' ' || trim(text) || ' ')"
     scores = {
         lang: "(" + " + ".join(_duck_occ(padded, m) for m in markers) + ")"
@@ -188,9 +205,12 @@ def _duck_lang_sql() -> str:
         f"WHEN {scores[lang]} = greatest({all_scores}) THEN '{lang}'"
         for lang in LANG_PRIORITY
     )
+    return f"(CASE WHEN {total} > 0 THEN (CASE {ladder} END) ELSE 'und' END)"
+
+
+def _duck_lang_sql() -> str:
     return f"""
-    SELECT doc_id, lang AS lang_label,
-           CASE WHEN {total} > 0 THEN (CASE {ladder} END) ELSE 'und' END AS lang_pred
+    SELECT doc_id, lang AS lang_label, {duck_lang_expr()} AS lang_pred
     FROM documents
     """
 
@@ -209,6 +229,19 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def duck_quality_expr() -> str:
+    """DuckDB expression twin of :func:`quality_score` (reusable)."""
+    padded = "(' ' || trim(text) || ' ')"
+    ntok = rf"len({_DUCK_TOKENS})"
+    stop = "(" + " + ".join(_duck_occ(padded, s) for s in STOPWORDS) + ")"
+    punct = "(" + " + ".join(_duck_occ("text", p) for p in PUNCT) + ")"
+    return duck_trunc6(
+        f"least({ntok} / 64.0, 1.0) * 0.5"
+        f" + least({duck_trunc6(f'{stop} / {ntok}')} * 4.0, 1.0) * 0.3"
+        f" + (1.0 - least({duck_trunc6(f'{punct} / length(text)')} * 10.0, 1.0)) * 0.2"
+    )
+
+
 def _duck_quality_sql() -> str:
     padded = "(' ' || trim(text) || ' ')"
     ntok = rf"len({_DUCK_TOKENS})"
@@ -221,11 +254,7 @@ def _duck_quality_sql() -> str:
            {duck_trunc6(f'{nonspace} / {ntok}')} AS avg_token_len,
            {duck_trunc6(f'{stop} / {ntok}')} AS stopword_ratio,
            {duck_trunc6(f'{punct} / length(text)')} AS punct_ratio,
-           {duck_trunc6(
-               f'least({ntok} / 64.0, 1.0) * 0.5'
-               f' + least({duck_trunc6(f"{stop} / {ntok}")} * 4.0, 1.0) * 0.3'
-               f' + (1.0 - least({duck_trunc6(f"{punct} / length(text)")} * 10.0, 1.0)) * 0.2'
-           )} AS quality
+           {duck_quality_expr()} AS quality
     FROM documents
     """
 
