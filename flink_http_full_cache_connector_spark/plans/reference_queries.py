@@ -122,6 +122,53 @@ def nested_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "datagen_probe",
+    None,  # Spark-hash-derived draws + wall-clock proc_time: rows-only check
+    doc="B7: datagen source shim — random int/double/string + bounded sequence "
+    "fields derived declaratively from the range/rate value column (JVM-side, "
+    "replayable); proc_time computed column included (B5).",
+)
+def datagen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.sources.datagen import (
+        RandomDouble,
+        RandomInt,
+        RandomString,
+        Sequence,
+        datagen_batch,
+    )
+
+    return datagen_batch(
+        spark,
+        {
+            "order_id": Sequence(1, 1000),
+            "user_id": RandomInt(1, 100),
+            "amount": RandomDouble(1.0, 500.0),
+            "token": RandomString(12),
+        },
+        num_rows=1000,
+    )
+
+
+@register(
+    "proctime_lookup_join",
+    None,  # proc_time is wall-clock: rows-only check
+    doc="B5+B1: datagen probe with PROCTIME() computed column, enriched "
+    "against the customer dimension (flagship example-job shape in batch form).",
+)
+def proctime_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.sources.datagen import (
+        RandomInt,
+        datagen_batch,
+    )
+
+    probe = datagen_batch(spark, {"user_id": RandomInt(1, 1500)}, num_rows=2000)
+    customer = load_table(spark, sf_dir, "customer")
+    return lookup_join(
+        probe, customer, on=[("user_id", "c_custkey")], how="left"
+    ).select("user_id", "proc_time", "c_name", "c_mktsegment")
+
+
+@register(
     "streaming_lookup_join",
     """
     SELECT e.event_id, e.user_id, e.event_type, c.c_name

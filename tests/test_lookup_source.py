@@ -137,3 +137,11 @@ def test_broadcast_in_plan(spark, http_server):
     plan = lookup_join(probe, cache, on="id", how="inner")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_empty_payload_yields_empty_typed_df(spark, http_server):
+    """Empty JSON array -> 0-row DataFrame with the declared schema."""
+    http_server.set_payload([])
+    df = create_lookup_df(spark, {"url": http_server.url}, USERS_SCHEMA)
+    assert df.count() == 0
+    assert df.schema == USERS_SCHEMA
