@@ -126,6 +126,79 @@ def ivf_assign(
     )
 
 
+def ivf_train(
+    corpus: DataFrame,
+    k: int = NUM_CENTROIDS,
+    iters: int = 3,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means for IVF centroids, DataFrame-native.
+
+    Seeded deterministically (first ``k`` vectors by id); each iteration is
+    one broadcast assign (map-side) + one partial-aggregating shuffle: the
+    per-dimension means are ``k*dim`` avg aggregates, so the shuffle carries
+    partial sums, never vectors.  Iterative → no SQL oracle; quality is
+    pinned by the recall-improvement test instead.
+    """
+    dim = len(
+        corpus.select(F.col(vec_col)).where(F.col(vec_col).isNotNull()).first()[0]
+    )
+    cent = corpus.orderBy(id_col).limit(k).select(
+        F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    for _ in range(iters):
+        assign = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+        means = assign.groupBy("cell_id").agg(
+            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("mv")
+        )
+        # empty cells keep their previous centroid
+        cent = (
+            cent.join(means, cent["cent_id"] == means["cell_id"], "left")
+            .select("cent_id", F.coalesce(F.col("mv"), F.col("cv")).alias("cv"))
+        )
+    return cent
+
+
+@register(
+    "sim_ann_ivf_trained",
+    None,  # iterative float means: no bit-stable SQL oracle (rows-only)
+    doc=f"IVF ANN with Lloyd-trained centroids ({NUM_CENTROIDS} cells, 3 iters, "
+    f"nprobe={NPROBE}) — same probe path as sim_ann_ivf, better cell geometry.",
+)
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = ivf_train(emb).persist()
+    assign = ivf_assign(emb, cent)
+    q = emb.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    probe_sim = cosine(F.col("qv"), F.col("cv"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cent_id"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "qv", "cent_id", probe_sim.alias("psim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("query_id", "qv", F.col("cent_id").alias("cell_id"))
+    )
+    cand = (
+        probes.join(assign, "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", F.col("vec_id").alias("neighbor_id"), F.col("v"))
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("v")).alias("cos_sim")
+    )
+    return topk_per_query(scored, TOP_K).select(
+        "query_id",
+        "neighbor_id",
+        trunc6(F.col("cos_sim")).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @register(
     "sim_topk_cosine",
     f"""
