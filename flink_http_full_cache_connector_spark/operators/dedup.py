@@ -111,6 +111,42 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "streaming_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*)::bigint AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup as a STATEFUL STREAMING aggregation: documents consumed "
+    "as a file stream, groupBy(digest) state across microbatches, complete-"
+    "mode memory sink — final state must equal the batch result (oracle).",
+)
+def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(sf_dir)
+    )
+    agg = stream.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count")
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact pairwise near-dup baseline)
 # ---------------------------------------------------------------------------
