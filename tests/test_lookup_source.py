@@ -145,3 +145,30 @@ def test_empty_payload_yields_empty_typed_df(spark, http_server):
     df = create_lookup_df(spark, {"url": http_server.url}, USERS_SCHEMA)
     assert df.count() == 0
     assert df.schema == USERS_SCHEMA
+
+
+def test_nested_row_schema_through_arrow_path(spark, http_server):
+    """Nested ROW columns (HttpLookupTableSourceFactoryTest.scala:189-193)
+    must survive the Arrow local-relation path: struct values populated,
+    missing nested field -> NULL, plan stays a LocalTableScan."""
+    from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+    nested = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField(
+                "address",
+                StructType(
+                    [StructField("city", StringType()), StructField("zip", StringType())]
+                ),
+            ),
+        ]
+    )
+    http_server.set_payload(
+        [{"id": 1, "address": {"city": "Oslo", "zip": "0150"}}, {"id": 2}]
+    )
+    df = create_lookup_df(spark, {"url": http_server.url}, nested)
+    rows = {r.id: r.address for r in df.collect()}
+    assert rows[1].city == "Oslo" and rows[1].zip == "0150"
+    assert rows[2] is None
+    assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
