@@ -36,6 +36,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine with precomputed norms — bit-identical to :func:`cosine`
+    (same fold, same division/multiply order) but each vector's norm is
+    evaluated once per row instead of once per pair.  Use in all-pairs /
+    top-k scans where a vector meets many partners."""
+    return dot(a, b) / (na * nb)
+
+
 # DuckDB dialect twins (same fold order → bit-identical doubles)
 
 def duck_dot(a: str, b: str) -> str:

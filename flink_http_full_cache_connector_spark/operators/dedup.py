@@ -417,12 +417,22 @@ WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
     "brute-force baseline for the LSH/IVF ANN path.",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     # widen the streamed side: the broadcast nested-loop scoring is the hot
-    # path and must use every core, not the input's (single) file split
-    a = widen(emb).select(F.col("vec_id").alias("vec_a"), as_double("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), as_double("embedding").alias("eb"))
-    sim = cosine(F.col("ea"), F.col("eb"))
+    # path and must use every core, not the input's (single) file split;
+    # norms are precomputed per vector (bit-identical, 1/pair -> 1/vector)
+    a = widen(emb).select(
+        F.col("vec_id").alias("vec_a"), as_double("embedding").alias("ea")
+    ).withColumn("na", norm(F.col("ea")))
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), as_double("embedding").alias("eb")
+    ).withColumn("nb", norm(F.col("eb")))
+    sim = cosine_with_norms(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
     return (
         a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
         .where(sim >= COSINE_DUP_THRESHOLD)

@@ -75,15 +75,21 @@ def topk_cosine(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded)."""
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("nq", norm(F.col("qv")))
     # widen the streamed corpus side — the broadcast join scoring must use
-    # every core, not the input's (possibly single) file split
+    # every core, not the input's (possibly single) file split; norms are
+    # precomputed per vector (bit-identical, evaluated once not once-per-pair)
     c = widen(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    )
-    sim = cosine(F.col("qv"), F.col("cv"))
+    ).withColumn("nc", norm(F.col("cv")))
+    sim = cosine_with_norms(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc"))
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
@@ -110,9 +116,17 @@ def ivf_assign(
     vector instead of C.  Tie-break (highest sim, then lowest cent_id) is
     encoded as lexicographic max over ``struct(sim, -cent_id)``.
     """
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
     c = widen(corpus).select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    k = centroids.select(F.col(cent_id), F.col(cent_vec))
-    sim = cosine(F.col("v"), F.col(cent_vec))
+    c = c.withColumn("_nv", norm(F.col("v")))
+    k = centroids.select(F.col(cent_id), F.col(cent_vec)).withColumn(
+        "_nc", norm(F.col(cent_vec))
+    )
+    sim = cosine_with_norms(F.col("v"), F.col(cent_vec), F.col("_nv"), F.col("_nc"))
     best = F.max_by(
         F.struct(F.col(cent_id).alias("cid"), F.col("v").alias("vec")),
         F.struct(F.col("sim"), (-F.col(cent_id)).alias("neg")),
