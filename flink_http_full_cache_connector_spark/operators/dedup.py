@@ -147,6 +147,77 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def stateful_dedup_stream(hashed: DataFrame) -> DataFrame:
+    """First-occurrence streaming dedup as a CUSTOM STATEFUL OPERATOR
+    (``applyInPandasWithState``): per text-hash group state remembers
+    whether the hash was already emitted; later microbatches containing the
+    same hash emit nothing.  Input: (doc_id, text_hash) stream; output: one
+    row per first-seen hash with the batch-local min doc_id and count.
+
+    State is one small tuple per distinct hash — at 100 TB the state store
+    scales with distinct documents, partitioned by the uniform hash key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def first_seen(key, pdfs, state: GroupState):
+        min_id, cnt = None, 0
+        for pdf in pdfs:
+            cnt += len(pdf)
+            m = int(pdf["doc_id"].min())
+            min_id = m if min_id is None else min(min_id, m)
+        if state.exists:
+            seen_min, seen_cnt = state.get
+            state.update((min(seen_min, min_id), seen_cnt + cnt))
+            return iter(())  # already emitted: suppress duplicates
+        state.update((min_id, cnt))
+        yield pd.DataFrame(
+            {"text_hash": [key[0]], "keep_id": [min_id], "dup_count": [cnt]}
+        )
+
+    return hashed.groupBy("text_hash").applyInPandasWithState(
+        first_seen,
+        outputStructType="text_hash string, keep_id long, dup_count long",
+        stateStructType="seen_min long, seen_cnt long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "streaming_dedup_stateful",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+           count(*)::bigint AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="First-occurrence dedup as a CUSTOM stateful streaming operator "
+    "(applyInPandasWithState, per-hash state); single-batch run equals the "
+    "batch groupBy oracle, cross-batch suppression pinned by unit test.",
+)
+def streaming_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    schema = load_table(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .select("doc_id", F.md5(F.col("text")).alias("text_hash"))
+    )
+    deduped = stateful_dedup_stream(stream)
+    name = f"stateful_dedup_{uuid.uuid4().hex[:12]}"
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard (exact pairwise near-dup baseline)
 # ---------------------------------------------------------------------------

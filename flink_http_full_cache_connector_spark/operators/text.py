@@ -17,6 +17,7 @@ Scale: all operators are embarrassingly partition-parallel (per-row
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against globals
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -276,6 +277,40 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["punct_ratio"].alias("punct_ratio"),
         quality_score(text).alias("quality"),
     )
+
+
+@register(
+    "text_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(nfc_normalize(text), '[ \t\n\r\f\v]+', ' ', 'g'))
+               AS normalized
+    FROM documents
+    """,
+    doc="Unicode NFC + whitespace-collapse normalization via an Arrow-batched "
+    "pandas UDF (the canonical pre-tokenization cleanup step); oracle uses "
+    "DuckDB's utf8proc nfc_normalize — verified byte-identical.",
+)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    # explicit ASCII whitespace class: Python re and RE2 agree on it, unlike
+    # \s (Python matches unicode spaces, RE2 does not)
+    ws = re.compile(r"[ \t\n\r\f\v]+")
+
+    @pandas_udf("string")
+    def nfc_clean(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: ws.sub(" ", unicodedata.normalize("NFC", t)).strip()
+            if t is not None
+            else None
+        )
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", nfc_clean(F.col("text")).alias("normalized"))
 
 
 @register(

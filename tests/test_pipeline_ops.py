@@ -165,3 +165,41 @@ def test_ivf_trained_centroids_recall(spark):
         ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(ann_sets.get(q, set()) & s) / len(s) for q, s in exact_sets.items()]
     assert sum(recalls) / len(recalls) >= 0.7
+
+
+def test_stateful_dedup_suppresses_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: a hash first seen in batch 1 must NOT re-emit
+    when batch 2 delivers more duplicates; new hashes in batch 2 emit once."""
+    import pandas as pd
+
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        stateful_dedup_stream,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    pd.DataFrame({"doc_id": [1, 2], "text_hash": ["A", "B"]}).to_parquet(
+        src / "batch1.parquet"
+    )
+    pd.DataFrame({"doc_id": [3, 4], "text_hash": ["A", "C"]}).to_parquet(
+        src / "batch2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text_hash string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    query = (
+        stateful_dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("stateful_dedup_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    rows = {r.text_hash: r for r in spark.table("stateful_dedup_test").collect()}
+    # exactly one emission per distinct hash, no re-emission of A
+    assert len(spark.table("stateful_dedup_test").collect()) == 3
+    assert set(rows) == {"A", "B", "C"}
+    assert rows["B"].keep_id == 2 and rows["C"].keep_id == 4
