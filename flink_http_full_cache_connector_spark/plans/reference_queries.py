@@ -208,6 +208,58 @@ def streaming_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_windowed_events",
+    """
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*)::bigint AS cnt,
+           min(value) AS min_val, max(value) AS max_val
+    FROM events GROUP BY 1, 2
+    """,
+    doc="B6 + streaming window: event-time tumbling 1h aggregation with a "
+    "watermark declaration over the events file stream (complete mode, "
+    "availableNow); aggregates are order-independent (count/min/max) so the "
+    "final state is value-exact against the batch oracle.",
+)
+def streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withWatermark("ts", "5 seconds")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "min_val",
+            "max_val",
+        )
+    )
+    name = f"stream_window_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "http_lookup_scan",
     "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     doc="A1/A8/A9/A10: bounded HTTP scan — nation served over local HTTP, read "
