@@ -229,7 +229,7 @@ def streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         .withWatermark("ts", "5 seconds")
     )
     agg = (
@@ -257,6 +257,48 @@ def streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "session_windows",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    )
+    SELECT user_id,
+           min(ts)::TIMESTAMP AS session_start,  -- ns -> us, like the Spark side
+           max(ts)::TIMESTAMP AS session_end,
+           count(*)::bigint AS cnt
+    FROM numbered GROUP BY user_id, sid
+    """,
+    doc="Session windows (10-minute gap) per user over event time — Spark "
+    "session_window vs a gaps-and-islands oracle; order-independent "
+    "aggregates (min/max/count) keep the comparison value-exact.",
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("cnt"),
+        )
+        .select("user_id", "session_start", "session_end", "cnt")
+    )
 
 
 @register(
