@@ -260,6 +260,38 @@ def streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hopping_windows",
+    """
+    WITH hops AS (
+        SELECT event_type, ts, value,
+               time_bucket(INTERVAL '30 minutes', ts)
+                   - i * INTERVAL '30 minutes' AS win_start
+        FROM events, unnest(range(0, 2)) AS t(i)
+    )
+    SELECT win_start::TIMESTAMP AS win_start, event_type,
+           count(*)::bigint AS cnt, min(value) AS min_val, max(value) AS max_val
+    FROM hops GROUP BY 1, 2
+    """,
+    doc="Hopping (sliding) windows: 1h size / 30m slide — each event lands in "
+    "2 windows; Spark window(ts, '1 hour', '30 minutes') vs an explicit "
+    "bucket-expansion oracle (order-independent aggregates).",
+)
+def hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt", "min_val", "max_val")
+    )
+
+
+@register(
     "session_windows",
     """
     WITH marked AS (
