@@ -314,6 +314,32 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_vocabulary",
+    rf"""
+    WITH toks AS (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+    SELECT count(DISTINCT tok)::bigint AS vocab_size,
+           count(*)::bigint AS total_tokens,
+           min(tok) AS first_token, max(tok) AS last_token
+    FROM toks
+    """,
+    doc="Corpus vocabulary stats: DISTINCT aggregation over exploded tokens — "
+    "partial counts combine map-side; the distinct shuffle keys on the "
+    "(uniform) token itself.",
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    return toks.agg(
+        F.countDistinct("tok").alias("vocab_size"),
+        F.count("*").alias("total_tokens"),
+        F.min("tok").alias("first_token"),
+        F.max("tok").alias("last_token"),
+    )
+
+
+@register(
     "text_fingerprint",
     rf"""
     SELECT doc_id,
