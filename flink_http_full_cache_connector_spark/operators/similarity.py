@@ -10,6 +10,12 @@
   nearest centroid (map-side, centroids broadcast), shuffle once on
   ``cell_id`` to co-locate cells, probe only ``nprobe`` cells per query.
   Search cost drops from N to ~N·nprobe/C — the scale path.
+- ``lsh_*``        — random-hyperplane LSH ANN: L hash tables of B sign
+  bits each; a vector's bit is the sign of its projection onto a
+  hyperplane, its bucket the packed B-bit integer.  Signatures are
+  computed map-side (planes broadcast) with one partial-aggregating
+  shuffle on ``vec_id``; candidates are same-bucket-in-any-table pairs.
+  Unlike IVF there is no training pass — the complementary scale path.
 
 Determinism contract: centroids are the first ``NUM_CENTROIDS`` vectors by
 ``vec_id`` (a deterministic stand-in for k-means training — same role,
@@ -26,7 +32,9 @@ from pyspark.sql import functions as F
 from flink_http_full_cache_connector_spark.functions.vectors import (
     as_double,
     cosine,
+    dot,
     duck_cosine,
+    duck_dot,
 )
 from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
 from flink_http_full_cache_connector_spark.operators.scale import widen
@@ -36,6 +44,15 @@ NUM_QUERIES = 10
 TOP_K = 10
 NUM_CENTROIDS = 16
 NPROBE = 4
+
+# LSH: L tables x B sign-bits; hyperplane p is the difference of two fixed
+# corpus vectors (ids PLANE_BASE+2p / PLANE_BASE+2p+1) — a deterministic,
+# SQL-expressible stand-in for Gaussian planes (difference of two draws from
+# the data distribution is a valid zero-mean random direction).
+LSH_TABLES = 4
+LSH_BITS = 6
+LSH_PLANE_BASE = 100
+LSH_NUM_PLANES = LSH_TABLES * LSH_BITS
 
 
 def topk_per_query(scored: DataFrame, k: int) -> DataFrame:
@@ -279,6 +296,145 @@ ranked AS (
 SELECT query_id, neighbor_id, {duck_trunc6('cos_sim')} AS cos_sim, rank::int AS rank
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+def lsh_planes(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Derive the L*B hyperplanes from fixed corpus rows — pure DataFrame ops
+    (no driver collect), tiny result (one row per plane), meant to be
+    broadcast.  ``weight`` is the bit's place value ``2^(p mod B)``;
+    ``table_id`` is ``p div B``."""
+    off = F.col(id_col) - F.lit(LSH_PLANE_BASE)
+    pl = emb.where(
+        (F.col(id_col) >= LSH_PLANE_BASE)
+        & (F.col(id_col) < LSH_PLANE_BASE + 2 * LSH_NUM_PLANES)
+    ).select(
+        (off / 2).cast("int").alias("p"),
+        (off % 2).alias("side"),
+        as_double(F.col(vec_col)).alias("v"),
+    )
+    return (
+        pl.groupBy("p")
+        .agg(
+            F.first(F.when(F.col("side") == 0, F.col("v")), ignorenulls=True).alias("av"),
+            F.first(F.when(F.col("side") == 1, F.col("v")), ignorenulls=True).alias("bv"),
+        )
+        .select(
+            (F.col("p") / LSH_BITS).cast("int").alias("table_id"),
+            F.pow(F.lit(2.0), F.col("p") % LSH_BITS).cast("long").alias("weight"),
+            "av",
+            "bv",
+        )
+    )
+
+
+def lsh_signatures(vecs: DataFrame, planes: DataFrame) -> DataFrame:
+    """(vec_id, v) → (vec_id, v, table_id, bucket), one row per table.
+
+    The broadcast plane join and the bit tests are map-side; the single
+    shuffle carries ONE partially-aggregated row per vector (the per-table
+    bit sums combine map-side), not L*B bit rows.  The sign test
+    ``dot(v,a) - dot(v,b) >= 0`` is a difference of two identical-fold
+    dot products, bit-reproducible in the DuckDB oracle twin.
+    """
+    bit = dot(F.col("v"), F.col("av")) - dot(F.col("v"), F.col("bv")) >= 0
+    contrib = F.when(bit, F.col("weight")).otherwise(F.lit(0).cast("long"))
+    per_table = [
+        F.sum(
+            F.when(F.col("table_id") == t, F.col("c")).otherwise(F.lit(0).cast("long"))
+        ).alias(f"b{t}")
+        for t in range(LSH_TABLES)
+    ]
+    agg = (
+        vecs.join(F.broadcast(planes))
+        .select("vec_id", "v", "table_id", contrib.alias("c"))
+        .groupBy("vec_id")
+        .agg(F.first("v").alias("v"), *per_table)
+    )
+    return agg.select(
+        "vec_id",
+        "v",
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(LSH_TABLES)])).alias(
+            "table_id", "bucket"
+        ),
+    )
+
+
+def _lsh_oracle() -> str:
+    return f"""
+WITH pl AS (
+    SELECT (t.p // {LSH_BITS}) AS table_id,
+           (1 << (t.p % {LSH_BITS}))::bigint AS weight,
+           a.embedding AS av, b.embedding AS bv
+    FROM (SELECT unnest(range(0, {LSH_NUM_PLANES})) AS p) t
+    JOIN embeddings a ON a.vec_id = {LSH_PLANE_BASE} + 2 * t.p
+    JOIN embeddings b ON b.vec_id = {LSH_PLANE_BASE} + 2 * t.p + 1
+),
+sigs AS (
+    SELECT e.vec_id, pl.table_id,
+           sum(CASE WHEN {duck_dot('e.embedding', 'pl.av')}
+                         - {duck_dot('e.embedding', 'pl.bv')} >= 0
+                    THEN pl.weight ELSE 0 END)::bigint AS bucket
+    FROM embeddings e CROSS JOIN pl
+    GROUP BY 1, 2
+),
+qs AS (SELECT vec_id AS query_id, table_id, bucket FROM sigs WHERE vec_id < {NUM_QUERIES}),
+cand AS (
+    SELECT DISTINCT qs.query_id, s.vec_id AS neighbor_id
+    FROM qs JOIN sigs s USING (table_id, bucket)
+    WHERE s.vec_id <> qs.query_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           {duck_cosine('q.embedding', 'n.embedding')} AS cos_sim
+    FROM cand c
+    JOIN embeddings q ON q.vec_id = c.query_id
+    JOIN embeddings n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, {duck_trunc6('cos_sim')} AS cos_sim, rank::int AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "sim_ann_lsh",
+    _lsh_oracle(),
+    doc=f"Random-hyperplane LSH ANN top-{TOP_K}: {LSH_TABLES} tables x "
+    f"{LSH_BITS} sign-bits, broadcast planes, one signature shuffle — the "
+    "training-free scale path (complements IVF).",
+)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = lsh_planes(emb)
+    vecs = widen(emb).select("vec_id", as_double(F.col("embedding")).alias("v"))
+    sigs = lsh_signatures(vecs, planes)
+    qs = sigs.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "table_id", "bucket"
+    )
+    cand = (
+        sigs.join(F.broadcast(qs), ["table_id", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.first("qv").alias("qv"), F.first("v").alias("cv"))
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+    )
+    return topk_per_query(scored, TOP_K).select(
+        "query_id",
+        "neighbor_id",
+        trunc6(F.col("cos_sim")).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
+    )
 
 
 @register(

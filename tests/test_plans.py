@@ -93,6 +93,39 @@ def test_ivf_assign_uses_partial_aggregation(spark):
     assert "Window" not in plan
 
 
+def test_lsh_signature_shuffle_is_per_vector(spark):
+    """LSH signatures: planes broadcast, bit contributions partially
+    aggregated map-side — the shuffle carries one row per vector, never
+    the L*B per-bit rows, and no window runs over the corpus."""
+    from flink_http_full_cache_connector_spark.functions.vectors import as_double
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        lsh_planes,
+        lsh_signatures,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    plan = plan_of(lsh_signatures(vecs, lsh_planes(emb)))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning(vec_id") <= 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_lsh_recall_overlaps_exact_topk(spark):
+    """ANN sanity: LSH candidates must recover a non-trivial share of the
+    exact top-k (the oracle pins correctness; this pins usefulness)."""
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        sim_ann_lsh,
+        sim_topk_cosine,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in sim_topk_cosine(spark, SF_DIR).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in sim_ann_lsh(spark, SF_DIR).collect()}
+    assert len(approx & exact) / len(exact) > 0.05, f"recall {len(approx & exact)}/{len(exact)}"
+
+
 def test_lookup_df_is_local_relation(spark, http_server):
     """The HTTP cache must materialize as a JVM local relation (no Python
     workers, broadcastable without a scan stage)."""
