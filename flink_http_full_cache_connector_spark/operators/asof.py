@@ -1,0 +1,117 @@
+"""Backward as-of join — an operator Spark's DataFrame API lacks natively
+(SURVEY.md §2.C notes the reference has no as-of join either; this is a
+§2.D-style extension every event/market-data pipeline needs).
+
+Semantics: for each left row, attach the single most recent right row with
+``right.ts <= left.ts`` in the same key group (DuckDB's ``ASOF LEFT JOIN``,
+pandas ``merge_asof(direction="backward")``).
+
+Implementation is a *composition of built-in operators* — union the two
+sides, then per key carry the latest right values forward with a running
+``last(ignorenulls)`` window ordered by ``(ts, side)`` (right rows sort
+before left rows at equal timestamps, so ties are inclusive, matching
+``>=``).  One hash shuffle on the key, one per-key sort — the same cost as
+a sort-merge join, with NO range-condition row explosion: a naive
+``left.ts >= right.ts`` theta-join materializes O(|L|·|R|) rows per key
+before picking the max, which is quadratic in key history and unusable at
+100 TB.  This plan stays linear and AQE-splittable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str | Sequence[str],
+    ts_col: str = "ts",
+    how: str = "left",
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Backward as-of join: latest right row with ``ts <= left.ts`` per key.
+
+    ``left`` and ``right`` must share ``on`` + ``ts_col``; all other column
+    names must be disjoint (rename before calling — the right side's values
+    land under their own names).  ``how`` is ``left`` (unmatched left rows
+    keep NULL right columns) or ``inner``.  ``order_extra`` adds tie-break
+    columns when (key, ts) is not unique within a side.
+    """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    lcols = [c for c in left.columns if c not in (*keys, ts_col)]
+    rcols = [c for c in right.columns if c not in (*keys, ts_col)]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"asof_join: overlapping value columns {sorted(overlap)}")
+
+    l_side = left.select(
+        *keys,
+        ts_col,
+        F.lit(1).alias("_side"),
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in rcols],
+    )
+    r_side = right.select(
+        *keys,
+        ts_col,
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *rcols,
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), *order_extra)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_side.unionByName(r_side).select(
+        *keys,
+        ts_col,
+        "_side",
+        *lcols,
+        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in rcols],
+        F.last(F.when(F.col("_side") == 0, F.lit(1)), ignorenulls=True)
+        .over(w)
+        .alias("_matched"),
+    )
+    out = filled.where(F.col("_side") == 1)
+    if how == "inner":
+        out = out.where(F.col("_matched").isNotNull())
+    return out.drop("_side", "_matched")
+
+
+@register(
+    "asof_join_events",
+    """
+    SELECT c.event_id AS click_id, c.user_id,
+           c.ts::TIMESTAMP AS ts,
+           v.view_id, v.view_value
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, event_id AS view_id, value AS view_value
+                    FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    doc="Backward as-of join: each click picks up the user's most recent "
+    "view (union + running last-ignorenulls window — one key shuffle, no "
+    "range-join explosion); oracle is DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_join_events(spark, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", F.col("value").alias("click_value")
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), F.col("value").alias("view_value")
+    )
+    return asof_join(clicks, views, on="user_id", ts_col="ts", how="left").select(
+        "click_id", "user_id", "ts", "view_id", "view_value"
+    )

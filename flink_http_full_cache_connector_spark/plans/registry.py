@@ -43,6 +43,7 @@ def all_queries() -> dict[str, QueryDef]:
 
     try:
         from flink_http_full_cache_connector_spark.operators import (  # noqa: F401
+            asof,
             dedup,
             multimodal,
             pipeline,

@@ -1,0 +1,80 @@
+"""Backward as-of join semantics pinned on crafted frames: boundary
+inclusivity (ts equality matches), per-key isolation, no-match NULLs,
+inner filtering, and overlap validation."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts(10), "a"),   # after r@5 -> matches 5
+            (1, _ts(20), "b"),   # equal to r@20 -> inclusive match 20
+            (1, _ts(3), "c"),    # before any right row -> NULL
+            (2, _ts(10), "d"),   # key 2 only sees key-2 right rows
+            (3, _ts(10), "e"),   # key with no right rows at all -> NULL
+        ],
+        "k int, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(5), 50.0),
+            (1, _ts(20), 200.0),
+            (1, _ts(30), 300.0),  # in the future of every left row -> never used
+            (2, _ts(9), 90.0),
+        ],
+        "k int, ts timestamp, rv double",
+    )
+    return left, right
+
+
+def test_backward_asof_left(frames):
+    left, right = frames
+    out = {
+        r.lv: r.rv
+        for r in asof_join(left, right, on="k", ts_col="ts").collect()
+    }
+    assert out == {"a": 50.0, "b": 200.0, "c": None, "d": 90.0, "e": None}
+
+
+def test_backward_asof_inner_drops_unmatched(frames):
+    left, right = frames
+    out = asof_join(left, right, on="k", ts_col="ts", how="inner")
+    assert {r.lv for r in out.collect()} == {"a", "b", "d"}
+
+
+def test_asof_rejects_overlapping_value_columns(spark):
+    df = spark.createDataFrame([(1, _ts(1), 1.0)], "k int, ts timestamp, v double")
+    with pytest.raises(ValueError, match="overlapping"):
+        asof_join(df, df, on="k", ts_col="ts")
+
+
+def test_asof_single_key_shuffle(spark, tmp_path):
+    """The plan must be union -> one hash exchange on the key -> window;
+    no nested-loop / range join anywhere."""
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") + 1_700_000_000).alias("ts"),
+        F.col("id").alias("lv"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 2 + 1_700_000_000).alias("ts"),
+        (F.col("id") * 1.5).alias("rv"),
+    )
+    plan = (
+        asof_join(left, right, on="k", ts_col="ts")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
