@@ -1,0 +1,72 @@
+"""Deterministic hash-based sampling / dataset splitting (SURVEY.md §2.D
+training-pipeline extension).
+
+A 100 TB corpus can't be split train/val/test with ``rand()`` — the
+assignment must be (a) reproducible across runs and engines, (b) stable
+under repartitioning, (c) computable map-side with zero shuffle.  The
+standard trick: bucket each record by a cryptographic hash of its key and
+carve the bucket space.  ``md5`` prefix → integer is portable across
+Spark and the DuckDB oracle (same lowercase hex, same prefix arithmetic —
+the idiom proven engine-identical in ``operators/dedup.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.operators.scale import widen
+from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+
+NUM_BUCKETS = 1000
+# bucket space carve: [0, 800) train, [800, 900) val, [900, 1000) test
+SPLITS = (("train", 0, 800), ("val", 800, 900), ("test", 900, 1000))
+
+
+def hash_bucket(key: Column, buckets: int = NUM_BUCKETS) -> Column:
+    """Stable bucket in [0, buckets): first 8 md5 hex chars of the key's
+    string form, mod buckets.  Map-side only — no shuffle, no state."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % buckets
+
+
+def split_column(key: Column) -> Column:
+    """train/val/test label from the hash bucket (80/10/10)."""
+    b = hash_bucket(key)
+    expr = F.lit(None).cast("string")
+    for name, lo, hi in reversed(SPLITS):
+        expr = F.when((b >= lo) & (b < hi), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep a stable ``fraction`` of rows by hash bucket — same rows every
+    run, every engine, any partitioning (unlike ``DataFrame.sample``)."""
+    keep = int(round(fraction * NUM_BUCKETS))
+    return df.where(hash_bucket(F.col(key_col)) < keep)
+
+
+def _duck_bucket(key_sql: str) -> str:
+    return f"(('0x' || substr(md5({key_sql}::varchar), 1, 8))::bigint % {NUM_BUCKETS})"
+
+
+@register(
+    "sample_hash_split",
+    f"""
+    WITH b AS (SELECT doc_id, {_duck_bucket('doc_id')} AS bucket FROM documents)
+    SELECT doc_id, bucket,
+           CASE {' '.join(f"WHEN bucket >= {lo} AND bucket < {hi} THEN '{name}'"
+                          for name, lo, hi in SPLITS)} END AS split
+    FROM b
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by md5 hash bucket "
+    "— map-side, shuffle-free, reproducible across engines and partitionings.",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    return docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id")).alias("bucket"),
+        split_column(F.col("doc_id")).alias("split"),
+    )

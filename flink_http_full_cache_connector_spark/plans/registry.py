@@ -47,6 +47,8 @@ def all_queries() -> dict[str, QueryDef]:
             dedup,
             multimodal,
             pipeline,
+            rangejoin,
+            sampling,
             similarity,
             text,
         )
