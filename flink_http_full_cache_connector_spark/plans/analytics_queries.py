@@ -1,0 +1,171 @@
+"""Analytic SQL surface beyond the reference's own queries (which SURVEY.md
+§2.C shows has no aggregation/window/set-op coverage at all): rollup
+aggregation, analytic window functions, set operations, and TF-IDF term
+ranking.  These are the query shapes a training-data warehouse runs daily;
+each is expressed with stock Catalyst operators (no UDFs) and pinned to a
+DuckDB oracle.
+
+Cross-engine exactness rules applied here:
+- only order-independent aggregates on floats (min/max) — no float SUM/AVG
+  in compared output (addition order differs between engines);
+- TF-IDF uses a *rational* idf (N/df, no logarithm): log() libm results
+  are not guaranteed bit-identical across JVM and C runtimes, division is;
+- timestamps compared as integer microseconds (``unix_micros`` vs
+  ``epoch_us``), never via float seconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
+from flink_http_full_cache_connector_spark.operators.scale import widen
+from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+
+TFIDF_TOP_N = 3
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id)::bigint AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(DISTINCT doc_id)::double AS nd FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+               tf.tf::double * (n.nd / dfreq.df::double) AS score
+        FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, tok, tf, df, score,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, tok) AS rank
+        FROM scored
+    )
+    SELECT doc_id, tok, tf, df, {duck_trunc6('score')} AS score, rank::int AS rank
+    FROM ranked WHERE rank <= {TFIDF_TOP_N}
+    """,
+    doc=f"TF-IDF top-{TFIDF_TOP_N} terms per document (rational idf N/df — "
+    "engine-exact, no libm log). explode → two partial-agg shuffles → "
+    "term-key join → per-doc window; every stage keyed on high-cardinality "
+    "columns, no skew.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            (F.col("tf").cast("double") * (F.col("nd") / F.col("df").cast("double"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_N)
+        .select(
+            "doc_id", "tok", "tf", "df", trunc6(F.col("score")).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+@register(
+    "rollup_events",
+    """
+    SELECT event_type, ts::DATE::VARCHAR AS day, count(*)::bigint AS cnt,
+           min(value) AS min_val, max(value) AS max_val
+    FROM events
+    GROUP BY ROLLUP (event_type, day)
+    """,
+    doc="Hierarchical rollup (type, day) -> (type) -> grand total in one "
+    "pass — Spark expands grouping sets with partial aggregation before "
+    "the single shuffle; float columns only under order-independent min/max.",
+)
+def rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        # day as ISO string: a DATE column round-trips as python date objects
+        # on the Spark side but datetime64 from DuckDB — strings compare exact
+        events.select("event_type", F.to_date("ts").cast("string").alias("day"), "value")
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+    )
+
+
+@register(
+    "window_funcs_events",
+    """
+    SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+           row_number() OVER w AS seq,
+           (epoch_us(ts::TIMESTAMP)
+              - lag(epoch_us(ts::TIMESTAMP)) OVER w) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    """,
+    doc="Analytic windows: per-user event sequence number and inter-event "
+    "gap (lag) — gaps compared as exact integer microseconds. Key space = "
+    "users (uniform), one shuffle + per-key sort.",
+)
+def window_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    us = F.unix_micros(F.col("ts"))
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.row_number().over(w).alias("seq"),
+        (us - F.lag(us).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "set_ops_users",
+    """
+    SELECT 'both' AS kind, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'click_only' AS kind, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+    doc="Set operations (INTERSECT / EXCEPT as hash semi/anti joins): users "
+    "who both clicked and purchased vs clicked only.",
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select("user_id")
+    buys = events.where(F.col("event_type") == "purchase").select("user_id")
+    both = clicks.intersect(buys).select(F.lit("both").alias("kind"), "user_id")
+    # subtract = EXCEPT (set) semantics; exceptAll would keep a user whose
+    # click count merely exceeds their purchase count
+    only = clicks.subtract(buys).select(F.lit("click_only").alias("kind"), "user_id")
+    return both.unionByName(only)

@@ -39,7 +39,10 @@ def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQue
 def all_queries() -> dict[str, QueryDef]:
     # Import registrants lazily to avoid import cycles; each module appends
     # to the registry at import time.
-    from flink_http_full_cache_connector_spark.plans import reference_queries  # noqa: F401
+    from flink_http_full_cache_connector_spark.plans import (  # noqa: F401
+        analytics_queries,
+        reference_queries,
+    )
 
     try:
         from flink_http_full_cache_connector_spark.operators import (  # noqa: F401
