@@ -169,3 +169,120 @@ def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # click count merely exceeds their purchase count
     only = clicks.subtract(buys).select(F.lit("click_only").alias("kind"), "user_id")
     return both.unionByName(only)
+
+
+PRICING_CUTOFF = "2001-09-02"
+
+
+@register(
+    "pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+           sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+           sum(l_extendedprice::DECIMAL(18,2)
+               * (1 - l_discount::DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+           sum(l_extendedprice::DECIMAL(18,2) * (1 - l_discount::DECIMAL(18,2))
+               * (1 + l_tax::DECIMAL(18,2)))::DOUBLE AS sum_charge,
+           count(*)::bigint AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-flavor pricing summary. Float SUMs are order-dependent "
+    "across engines, so the money math runs in exact DECIMAL (cast, "
+    "multiply, aggregate) and only the final value drops to DOUBLE — "
+    "bit-exact on any partitioning. Filter pushed to the parquet scan; one "
+    "6-group partial-agg shuffle.",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = widen(load_table(spark, sf_dir, "lineitem")).where(
+        F.col("l_shipdate") <= F.lit(f"{PRICING_CUTOFF} 00:00:00").cast("timestamp")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    charge = disc_price * (F.lit(1) + dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_events",
+    f"""
+    SELECT user_id,
+           {', '.join(f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)::bigint AS {t}"
+                      for t in EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot (long -> wide): per-user event counts by type. Explicit pivot "
+    "values keep it one pass + one shuffle (no distinct-values pre-query).",
+)
+def pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    out = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+    )
+    return out
+
+
+@register(
+    "semi_anti_joins",
+    """
+    SELECT 'with_orders' AS kind, c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'no_orders' AS kind, c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-semi and left-anti joins (EXISTS / NOT EXISTS): customers "
+    "with and without orders — probe side never widens, build side "
+    "broadcastable.",
+)
+def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = cust.join(orders, "c_custkey", "left_semi").select(
+        F.lit("with_orders").alias("kind"), "c_custkey"
+    )
+    anti = cust.join(orders, "c_custkey", "left_anti").select(
+        F.lit("no_orders").alias("kind"), "c_custkey"
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "percentiles_events",
+    f"""
+    SELECT event_type,
+           {duck_trunc6('quantile_cont("value", 0.5)')} AS p50,
+           {duck_trunc6('quantile_cont("value", 0.95)')} AS p95,
+           count(*)::bigint AS cnt
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact linear-interpolated percentiles per group (Spark `percentile`"
+    " vs DuckDB `quantile_cont`, both type-7) — the exact baseline for "
+    "approx_percentile at scale.",
+)
+def percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        trunc6(F.expr("percentile(value, 0.5)")).alias("p50"),
+        trunc6(F.expr("percentile(value, 0.95)")).alias("p95"),
+        F.count("*").alias("cnt"),
+    )

@@ -126,6 +126,19 @@ def test_lsh_recall_overlaps_exact_topk(spark):
     assert len(approx & exact) / len(exact) > 0.05, f"recall {len(approx & exact)}/{len(exact)}"
 
 
+def test_pricing_summary_pushes_filter_and_partial_aggs(spark):
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["pricing_summary"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_shipdate" in ln and "LessThanOrEqual" in ln for ln in pushed), plan
+    # decimal money math must aggregate partially before the single shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_comment" not in read_schema and "l_partkey" not in read_schema
+
+
 def test_lookup_df_is_local_relation(spark, http_server):
     """The HTTP cache must materialize as a JVM local relation (no Python
     workers, broadcastable without a scan stage)."""
