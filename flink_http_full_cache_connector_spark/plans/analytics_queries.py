@@ -267,6 +267,109 @@ def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "star_join_revenue",
+    """
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           sum(l.l_extendedprice::DECIMAL(18,2)
+               * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+           count(*)::bigint AS line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2
+    """,
+    doc="Star-schema revenue rollup (TPC-H Q5 flavor): fact-fact shuffle "
+    "join (lineitem x orders), then broadcast dimension chain (nation, "
+    "region pinned broadcast; customer left to AQE) — decimal-exact money.",
+)
+def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = widen(load_table(spark, sf_dir, "lineitem"))
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        joined.groupBy(
+            F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name")
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("line_count"),
+        )
+    )
+
+
+@register(
+    "scalar_subquery_spenders",
+    """
+    WITH spend AS (
+        SELECT o_custkey AS c_custkey,
+               sum(o_totalprice::DECIMAL(18,2)) AS s
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT sum(s) AS ts, count(*)::bigint AS n FROM spend)
+    SELECT spend.c_custkey, spend.s::DOUBLE AS spend
+    FROM spend, tot
+    WHERE spend.s * tot.n > tot.ts
+    """,
+    doc="Scalar-aggregate predicate (customers spending above the mean), "
+    "decorrelated as agg -> broadcast 1-row total -> filter. The mean test "
+    "is rearranged to `s * n > total` so the comparison stays in exact "
+    "DECIMAL — no cross-engine float division.",
+)
+def scalar_subquery_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("s")
+    )
+    tot = spend.agg(F.sum("s").alias("ts"), F.count("*").alias("n"))
+    return (
+        spend.crossJoin(F.broadcast(tot))
+        .where(F.col("s") * F.col("n") > F.col("ts"))
+        .select("c_custkey", F.col("s").cast("double").alias("spend"))
+    )
+
+
+@register(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           min(json_extract(props, '$.k')::int) AS min_k,
+           max(json_extract(props, '$.k')::int) AS max_k,
+           count(DISTINCT json_extract(props, '$.k')::int)::bigint AS distinct_k
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON column extraction in the query path (the reference's JSON "
+    "handling is source-internal only): per-type stats over a JSON props "
+    "field — JVM-side get_json_object, no Python.",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return events.groupBy("event_type").agg(
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k).alias("distinct_k"),
+    )
+
+
+@register(
     "percentiles_events",
     f"""
     SELECT event_type,
