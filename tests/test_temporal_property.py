@@ -1,0 +1,84 @@
+"""Property-based (hypothesis) checks for the temporal join operators:
+asof_join must agree with pandas.merge_asof, banded_interval_join with a
+brute-force range scan, for arbitrary generated event sets — not just the
+crafted fixtures."""
+
+import datetime as dt
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_http_full_cache_connector_spark.operators.asof import asof_join
+from flink_http_full_cache_connector_spark.operators.rangejoin import (
+    banded_interval_join,
+)
+
+EPOCH = dt.datetime(2024, 1, 1)
+
+
+def _ts(s):
+    return EPOCH + dt.timedelta(seconds=s)
+
+
+# unique (key, ts) pairs per side keep the expected result unambiguous
+sides = st.tuples(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 60)), min_size=1, max_size=12,
+        unique=True,
+    ),
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 60)), min_size=1, max_size=12,
+        unique=True,
+    ),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(sides)
+def test_asof_matches_pandas_merge_asof(spark, lr):
+    lrows, rrows = lr
+    left = spark.createDataFrame(
+        [(k, _ts(s), f"L{k}_{s}") for k, s in lrows], "k int, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(s), float(k * 100 + s)) for k, s in rrows],
+        "k int, ts timestamp, rv double",
+    )
+    got = {
+        (r.k, r.ts): r.rv
+        for r in asof_join(left, right, on="k", ts_col="ts").collect()
+    }
+
+    lpd = pd.DataFrame([(k, _ts(s)) for k, s in lrows], columns=["k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(
+        [(k, _ts(s), float(k * 100 + s)) for k, s in rrows], columns=["k", "ts", "rv"]
+    ).sort_values("ts")
+    exp = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="backward")
+    for row in exp.itertuples():
+        want = None if pd.isna(row.rv) else row.rv
+        assert got[(row.k, row.ts.to_pydatetime())] == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(sides, st.integers(2, 20))
+def test_banded_join_matches_bruteforce(spark, lr, lookback):
+    lrows, rrows = lr
+    left = spark.createDataFrame(
+        [(k, _ts(s)) for k, s in lrows], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(s)) for k, s in rrows], "k int, rts timestamp"
+    )
+    out = banded_interval_join(
+        left, right, on="k", left_ts="ts", right_ts="rts",
+        lookback_seconds=lookback,
+    )
+    got = {(r.k, r.ts, r.rts) for r in out.collect()}
+    want = {
+        (k, _ts(ls), _ts(rs))
+        for k, ls in lrows
+        for k2, rs in rrows
+        if k2 == k and ls - lookback <= rs < ls
+    }
+    assert got == want
