@@ -509,3 +509,89 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(sim >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", trunc6(sim).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over verified pair edges
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 25
+) -> DataFrame:
+    """Undirected connected components by min-label propagation.
+
+    Iterative DataFrame algorithm (the standard large-scale CC shape): each
+    round every vertex takes the min of its own label and its neighbors',
+    one equi-join + partial-agg shuffle per round, converging in
+    O(component diameter) rounds — near-dup clusters are shallow, so this
+    is a handful of rounds even at corpus scale.  Per-round ``persist`` +
+    a driver-side convergence count keeps the lineage flat (same driver
+    pattern as Lloyd iteration in ``operators/similarity.py``).
+
+    Returns (id, label) with label = min vertex id of the component.
+    """
+    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = sym.union(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).persist()
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym["b"] == labels["id"])
+            .select(sym["a"].alias("id"), "label")
+            .groupBy("id")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new = (
+            labels.join(neigh, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "id")
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def _components_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
+verts AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach AS (
+    SELECT id, id AS r FROM verts
+    UNION
+    SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT id AS doc_id, min(r)::bigint AS component FROM reach GROUP BY id
+"""
+
+
+@register(
+    "dedup_components",
+    _components_oracle(),
+    doc="Near-dup cluster assignment: connected components (min-label "
+    "propagation, one join+agg shuffle per round) over the MinHash-LSH "
+    "verified pair graph; oracle is a recursive-CTE transitive closure.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component")
+    )

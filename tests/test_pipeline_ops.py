@@ -203,3 +203,22 @@ def test_stateful_dedup_suppresses_across_microbatches(spark, tmp_path):
     assert len(spark.table("stateful_dedup_test").collect()) == 3
     assert set(rows) == {"A", "B", "C"}
     assert rows["B"].keep_id == 2 and rows["C"].keep_id == 4
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation must converge across a 5-hop chain (multiple
+    rounds), keep islands separate, and label by component-min id."""
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (5, 6),   # chain 1-2-3-4-5-6
+         (10, 11), (11, 12), (10, 12),             # triangle 10-11-12
+         (20, 21)],                                # pair
+        "src long, dst long",
+    )
+    labels = {r.id: r.label for r in connected_components(edges).collect()}
+    assert {labels[i] for i in (1, 2, 3, 4, 5, 6)} == {1}
+    assert {labels[i] for i in (10, 11, 12)} == {10}
+    assert {labels[i] for i in (20, 21)} == {20}
