@@ -536,7 +536,8 @@ def connected_components(
     ).distinct().persist()
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
-    ).persist()
+    )
+    cached = labels.persist()
     for _ in range(max_iters):
         neigh = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -544,6 +545,8 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("label").alias("nlabel"))
         )
+        # carry the previous label alongside the new one: convergence is a
+        # filter-count on this frame, not a second join against old labels
         new = (
             labels.join(neigh, "id", "left")
             .select(
@@ -551,16 +554,14 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("_old"),
             )
             .persist()
         )
-        changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "id")
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new
+        changed = new.where(F.col("label") != F.col("_old")).count()
+        cached.unpersist()
+        cached = new
+        labels = new.drop("_old")
         if changed == 0:
             break
     sym.unpersist()
