@@ -365,3 +365,72 @@ def http_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lookup_join(
         customer, dim, on=[("c_nationkey", "n_nationkey")], how="inner"
     ).select("c_custkey", "c_name", "n_name")
+
+
+@register(
+    "streaming_interval_join",
+    """
+    SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+           c.ts::TIMESTAMP AS click_ts, v.ts::TIMESTAMP AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON v.user_id = c.user_id
+     AND v.ts >= c.ts - INTERVAL 5 MINUTE AND v.ts < c.ts
+    """,
+    doc="Stream-stream inner join with an event-time interval condition: "
+    "clicks joined to the same user's views in the trailing 5 minutes. "
+    "Watermarks on BOTH sides let Spark expire join state (the interval "
+    "bound caps how long a view row must be retained) — state stays "
+    "O(watermark-window), not O(stream). availableNow single-batch run is "
+    "value-exact against the batch range-join oracle.",
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type: str, prefix: str) -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "10 minutes")
+        )
+
+    joined = (
+        side("click", "click")
+        .join(
+            side("view", "view"),
+            F.expr(
+                "view_user = click_user "
+                "AND view_ts >= click_ts - interval 5 minutes "
+                "AND view_ts < click_ts"
+            ),
+            "inner",
+        )
+        .select(
+            "click_id",
+            "view_id",
+            F.col("click_user").alias("user_id"),
+            "click_ts",
+            "view_ts",
+        )
+    )
+    name = f"stream_ivj_{uuid.uuid4().hex[:12]}"
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
