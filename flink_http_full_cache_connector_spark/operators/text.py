@@ -360,3 +360,98 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         md5_fingerprint(F.col("text")).alias("fp_md5"),
         rolling_hash(F.col("text")).alias("fp_rolling"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# engine-portable regexes: plain character classes + bounded quantifiers
+# parse identically under Java regex (Spark) and RE2 (DuckDB)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails then phone numbers (order matters: email local parts
+    can contain digit runs a phone pattern would otherwise claim)."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(text: Column) -> tuple[Column, Column]:
+    return (
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)),
+    )
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{EMAIL_RE}'))::int AS n_emails,
+           len(regexp_extract_all(text, '{PHONE_RE}'))::int AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PHONE_RE}', '<PHONE>', 'g')) AS scrub_fp
+    FROM documents
+    """,
+    doc="PII scrubbing: redact emails/phones with portable regexes, count "
+    "matches; scrubbed text compared via md5. Map-side only (scan-speed); "
+    "redaction semantics pinned by crafted-text unit tests.",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n_em, n_ph = pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_em.alias("n_emails"),
+        n_ph.alias("n_phones"),
+        F.md5(scrub_pii(F.col("text"))).alias("scrub_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide n-gram statistics
+# ---------------------------------------------------------------------------
+
+TOP_BIGRAMS = 20
+
+
+@register(
+    "text_top_bigrams",
+    f"""
+    WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS tk FROM documents),
+    grams AS (
+        SELECT unnest(list_transform(range(1, len(tk)),
+                      i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram, count(*)::bigint AS cnt
+    FROM grams GROUP BY bigram
+    ORDER BY cnt DESC, bigram LIMIT {TOP_BIGRAMS}
+    """,
+    doc=f"Corpus-wide top-{TOP_BIGRAMS} bigrams: explode adjacent token "
+    "pairs, partial-agg count, global exact top-k (TakeOrderedAndProject — "
+    "k rows per partition reach the driver, never the full histogram).",
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = docs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(TOP_BIGRAMS)
+    )

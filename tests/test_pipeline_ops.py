@@ -222,3 +222,31 @@ def test_connected_components_chain_and_islands(spark):
     assert {labels[i] for i in (1, 2, 3, 4, 5, 6)} == {1}
     assert {labels[i] for i in (10, 11, 12)} == {10}
     assert {labels[i] for i in (20, 21)} == {20}
+
+
+def test_pii_scrub_redacts_crafted_text(spark):
+    from flink_http_full_cache_connector_spark.operators.text import (
+        pii_counts,
+        scrub_pii,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("write to john.doe+spam@mail.example.org today", 1, 0,
+         "write to <EMAIL> today"),
+        ("call +1 (415) 555-0134 or 020 7946 0958 now", 0, 2,
+         "call <PHONE> or <PHONE> now"),
+        ("no pii here at all", 0, 0, "no pii here at all"),
+        ("mix a@b.io and 12345678901", 1, 1, "mix <EMAIL> and <PHONE>"),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t, *_ in rows], "text string"
+    )
+    n_em, n_ph = pii_counts(F.col("text"))
+    got = df.select(
+        "text", n_em.alias("e"), n_ph.alias("p"), scrub_pii(F.col("text")).alias("s")
+    ).collect()
+    expected = {t: (e, p, s) for t, e, p, s in rows}
+    for r in got:
+        e, p, s = expected[r.text]
+        assert (r.e, r.p, r.s) == (e, p, s), r.text
