@@ -70,3 +70,38 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket(F.col("doc_id")).alias("bucket"),
         split_column(F.col("doc_id")).alias("split"),
     )
+
+
+# per-stratum keep thresholds out of NUM_BUCKETS (stratified rates:
+# oversample rare-but-valuable strata, downsample bulk)
+STRATA_RATES = {"click": 500, "view": 100}
+DEFAULT_RATE = 50
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT event_type, count(*)::bigint AS sampled,
+           min(event_id) AS min_id, max(event_id) AS max_id
+    FROM events
+    WHERE {_duck_bucket('event_id')} <
+          CASE {' '.join(f"WHEN event_type = '{t}' THEN {r}"
+                         for t, r in STRATA_RATES.items())}
+               ELSE {DEFAULT_RATE} END
+    GROUP BY event_type
+    """,
+    doc="Stratified deterministic sampling: per-stratum keep rates (50% "
+    "clicks, 10% views, 5% rest) applied via hash bucket — map-side "
+    "filter, reproducible, no per-stratum passes and no rand().",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    thr = F.lit(DEFAULT_RATE)
+    for t, r in reversed(list(STRATA_RATES.items())):
+        thr = F.when(F.col("event_type") == t, F.lit(r)).otherwise(thr)
+    kept = events.where(hash_bucket(F.col("event_id")) < thr)
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("sampled"),
+        F.min("event_id").alias("min_id"),
+        F.max("event_id").alias("max_id"),
+    )
