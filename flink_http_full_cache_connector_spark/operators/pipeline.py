@@ -65,3 +65,62 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("quality").alias("quality"),
         )
     )
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    *,
+    num_shards: int = 8,
+    keep_lang: str = KEEP_LANG,
+    quality_cut: float = QUALITY_CUT,
+) -> DataFrame:
+    """End-to-end training-corpus build — the full §2.D story in one call:
+
+        score (lang-ID + quality + fingerprint, one scan)
+        → filter (language, quality)
+        → exact-dedup keep-first (min doc_id per fingerprint)
+        → deterministic train/val/test split (md5 bucket)
+        → hash-sharded parquet write (`split=*/shard=N/`)
+
+    Two data-sized shuffles total (dedup groupBy + shard repartition); the
+    split/score/filter stages are map-side.  Returns the per-split summary
+    (split, docs, min/max doc_id) after the write — reading it back from
+    the sink, so the summary doubles as a write verification.
+    """
+    from flink_http_full_cache_connector_spark.operators.sampling import split_column
+    from flink_http_full_cache_connector_spark.sinks import write_training_shards
+
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        md5_fingerprint(text).alias("fp"),
+        lang_id(text).alias("lang_pred"),
+        quality_score(text).alias("quality"),
+    )
+    clean = scored.where(
+        (F.col("lang_pred") == keep_lang) & (F.col("quality") >= quality_cut)
+    )
+    keep = clean.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    kept = clean.join(keep, ["fp", "doc_id"]).withColumn(
+        "split", split_column(F.col("doc_id"))
+    )
+    write_training_shards(
+        kept.select("doc_id", "text", "quality", "split"),
+        out_path,
+        key_col="doc_id",
+        num_shards=num_shards,
+        split_col="split",
+    )
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

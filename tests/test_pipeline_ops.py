@@ -250,3 +250,27 @@ def test_pii_scrub_redacts_crafted_text(spark):
     for r in got:
         e, p, s = expected[r.text]
         assert (r.e, r.p, r.s) == (e, p, s), r.text
+
+
+def test_build_training_corpus_end_to_end(spark, tmp_path):
+    """Capstone: scored -> filtered -> deduped -> split -> sharded write,
+    verified by reading the sink back."""
+    from pyspark.sql import functions as F
+
+    from flink_http_full_cache_connector_spark.operators.pipeline import (
+        build_training_corpus,
+        pipeline_clean_corpus,
+    )
+
+    out = str(tmp_path / "corpus")
+    summary = build_training_corpus(spark, "/root/testdata/sf0.01", out, num_shards=4)
+    rows = {r.split: r.docs for r in summary.collect()}
+    assert set(rows) <= {"train", "val", "test"} and sum(rows.values()) > 0
+
+    # doc count must equal the oracle-checked clean-corpus query's group count
+    expected = pipeline_clean_corpus(spark, "/root/testdata/sf0.01").count()
+    assert sum(rows.values()) == expected
+
+    back = spark.read.parquet(out)
+    assert back.where(F.col("quality") < 0.5).count() == 0
+    assert back.select("doc_id").distinct().count() == expected
