@@ -61,8 +61,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    # df is derived from tf (one row per (doc, tok) already), not from the
+    # raw token table: count replaces a two-phase countDistinct and the
+    # aggregation input shrinks from token occurrences to distinct terms
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     n = docs.agg(F.countDistinct("doc_id").cast("double").alias("nd"))
     scored = (
         tf.join(dfreq, "tok")
