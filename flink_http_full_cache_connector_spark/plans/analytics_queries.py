@@ -392,3 +392,52 @@ def percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.expr("percentile(value, 0.95)")).alias("p95"),
         F.count("*").alias("cnt"),
     )
+
+
+@register(
+    "funnel_users",
+    """
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END)::TIMESTAMP AS t_signup,
+               min(CASE WHEN event_type = 'click' THEN ts END)::TIMESTAMP AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)::TIMESTAMP AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, t_signup, t_click, t_purchase,
+           CASE WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                     AND t_purchase IS NOT NULL
+                     AND t_signup < t_click AND t_click < t_purchase
+                THEN 'full' 
+                WHEN t_signup IS NOT NULL AND t_click IS NOT NULL
+                     AND t_signup < t_click
+                THEN 'engaged'
+                WHEN t_signup IS NOT NULL THEN 'signed_up'
+                ELSE 'other' END AS stage
+    FROM firsts
+    """,
+    doc="Funnel analysis (signup -> click -> purchase ordering per user): "
+    "conditional-min first-touch timestamps in ONE pass + one shuffle — no "
+    "per-stage self-joins; stage classification is pure projection.",
+)
+def funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first = lambda t: F.min(  # noqa: E731
+        F.when(F.col("event_type") == t, F.col("ts"))
+    ).alias(f"t_{t}")
+    firsts = events.groupBy("user_id").agg(
+        first("signup"), first("click"), first("purchase")
+    )
+    sg, ck, pu = F.col("t_signup"), F.col("t_click"), F.col("t_purchase")
+    stage = (
+        F.when(
+            sg.isNotNull() & ck.isNotNull() & pu.isNotNull() & (sg < ck) & (ck < pu),
+            F.lit("full"),
+        )
+        .when(sg.isNotNull() & ck.isNotNull() & (sg < ck), F.lit("engaged"))
+        .when(sg.isNotNull(), F.lit("signed_up"))
+        .otherwise(F.lit("other"))
+    )
+    return firsts.select(
+        "user_id", "t_signup", "t_click", "t_purchase", stage.alias("stage")
+    )
