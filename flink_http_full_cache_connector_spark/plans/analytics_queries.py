@@ -441,3 +441,45 @@ def funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return firsts.select(
         "user_id", "t_signup", "t_click", "t_purchase", stage.alias("stage")
     )
+
+
+@register(
+    "supplier_part_revenue",
+    """
+    SELECT n.n_name AS supp_nation, p.p_type,
+           sum(l.l_extendedprice::DECIMAL(18,2)
+               * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+           count(*)::bigint AS line_count,
+           max(p.p_retailprice) AS max_retail
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="Supplier/part revenue matrix (completes table coverage: all 10 "
+    "testdata tables are exercised by the registry): two broadcastable "
+    "dimension joins on the fact scan, decimal-exact money, one final "
+    "low-cardinality agg shuffle after partial aggregation.",
+)
+def supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = widen(load_table(spark, sf_dir, "lineitem"))
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    joined = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"])
+    )
+    return (
+        joined.groupBy(F.col("n_name").alias("supp_nation"), "p_type")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("line_count"),
+            F.max("p_retailprice").alias("max_retail"),
+        )
+    )
