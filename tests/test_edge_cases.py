@@ -1,0 +1,74 @@
+"""Edge-case hardening for the newer operators: empty inputs, k larger
+than the corpus, single-row groups, and NULL-bearing columns must degrade
+gracefully (correct empty/partial results, no exceptions)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.operators.asof import asof_join
+from flink_http_full_cache_connector_spark.operators.dedup import connected_components
+from flink_http_full_cache_connector_spark.operators.rangejoin import (
+    banded_interval_join,
+)
+from flink_http_full_cache_connector_spark.operators.similarity import (
+    topk_cosine,
+    topk_per_query,
+)
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_empty_right_side(spark):
+    left = spark.createDataFrame([(1, _ts(10), "a")], "k int, ts timestamp, lv string")
+    right = spark.createDataFrame([], "k int, ts timestamp, rv double")
+    rows = asof_join(left, right, on="k", ts_col="ts").collect()
+    assert len(rows) == 1 and rows[0].rv is None
+    assert asof_join(left, right, on="k", ts_col="ts", how="inner").count() == 0
+
+
+def test_asof_empty_left_side(spark):
+    left = spark.createDataFrame([], "k int, ts timestamp, lv string")
+    right = spark.createDataFrame([(1, _ts(5), 1.0)], "k int, ts timestamp, rv double")
+    assert asof_join(left, right, on="k", ts_col="ts").count() == 0
+
+
+def test_banded_join_empty_sides(spark):
+    left = spark.createDataFrame([(1, _ts(10))], "k int, ts timestamp")
+    empty = spark.createDataFrame([], "k int, rts timestamp")
+    assert (
+        banded_interval_join(
+            left, empty, on="k", left_ts="ts", right_ts="rts", lookback_seconds=60
+        ).count()
+        == 0
+    )
+
+
+def test_topk_k_larger_than_corpus(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)], "vec_id long, embedding array<double>"
+    )
+    out = topk_cosine(emb, emb.where(F.col("vec_id") == 0), k=10)
+    # only 2 non-self neighbors exist; ranks must still be 1..n and dense
+    got = sorted((r.rank, r.neighbor_id) for r in out.collect())
+    assert [r for r, _ in got] == [1, 2]
+
+
+def test_topk_per_query_empty_scored(spark):
+    scored = spark.createDataFrame(
+        [], "query_id long, neighbor_id long, cos_sim double"
+    )
+    assert topk_per_query(scored, 5).count() == 0
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
+
+
+def test_connected_components_self_loop(spark):
+    edges = spark.createDataFrame([(7, 7)], "src long, dst long")
+    rows = connected_components(edges).collect()
+    assert [(r.id, r.label) for r in rows] == [(7, 7)]
