@@ -483,3 +483,21 @@ def supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_retailprice").alias("max_retail"),
         )
     )
+
+
+@register(
+    "sketch_stats",
+    None,  # sketch outputs are estimator-specific: no cross-engine oracle
+    doc="Sketch-based aggregates for 100 TB cardinality/quantile work: HLL++ "
+    "approx_count_distinct and approx_percentile per event type — constant "
+    "memory per group where the exact twins (pivot/percentiles, both "
+    "oracle-checked) need full sets; accuracy pinned by a tolerance test "
+    "against those twins.",
+)
+def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.count("*").alias("cnt"),
+    )

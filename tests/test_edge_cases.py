@@ -72,3 +72,31 @@ def test_connected_components_self_loop(spark):
     edges = spark.createDataFrame([(7, 7)], "src long, dst long")
     rows = connected_components(edges).collect()
     assert [(r.id, r.label) for r in rows] == [(7, 7)]
+
+
+def test_sketch_stats_within_tolerance_of_exact(spark):
+    """HLL++ (default rsd 5%) and approx_percentile(acc=10000) must land
+    near their oracle-checked exact twins."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    sketch = {
+        r.event_type: r for r in all_queries()["sketch_stats"].spark(spark, sf).collect()
+    }
+    exact = {
+        r.event_type: r
+        for r in all_queries()["percentiles_events"].spark(spark, sf).collect()
+    }
+    from flink_http_full_cache_connector_spark.plans.registry import load_table
+
+    events = load_table(spark, sf, "events")
+    users = {
+        r.event_type: r.u
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    for t, row in sketch.items():
+        assert abs(row.approx_users - users[t]) / users[t] < 0.1, t
+        assert abs(row.approx_p50 - exact[t].p50) / max(exact[t].p50, 1) < 0.1, t
+        assert row.cnt == exact[t].cnt
