@@ -35,6 +35,7 @@ def asof_join(
     ts_col: str = "ts",
     how: str = "left",
     order_extra: Sequence[str] = (),
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """Backward as-of join: latest right row with ``ts <= left.ts`` per key.
 
@@ -43,6 +44,10 @@ def asof_join(
     land under their own names).  ``how`` is ``left`` (unmatched left rows
     keep NULL right columns) or ``inner``.  ``order_extra`` adds tie-break
     columns when (key, ts) is not unique within a side.
+    ``tolerance_seconds`` caps match staleness (pandas ``merge_asof``
+    ``tolerance``): a right row older than ``left.ts - tolerance`` does not
+    match — its columns come back NULL (``left``) or the row drops
+    (``inner``).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
@@ -78,14 +83,32 @@ def asof_join(
         "_side",
         *lcols,
         *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in rcols],
-        F.last(F.when(F.col("_side") == 0, F.lit(1)), ignorenulls=True)
+        # the matched right row's own timestamp — drives both the inner
+        # filter and the staleness cap
+        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True)
         .over(w)
-        .alias("_matched"),
+        .alias("_rts"),
     )
+    matched = F.col("_rts").isNotNull()
+    if tolerance_seconds is not None:
+        tol_us = int(tolerance_seconds * 1_000_000)
+        matched = matched & (
+            F.unix_micros(F.col("_rts")) >= F.unix_micros(F.col(ts_col)) - tol_us
+        )
     out = filled.where(F.col("_side") == 1)
     if how == "inner":
-        out = out.where(F.col("_matched").isNotNull())
-    return out.drop("_side", "_matched")
+        out = out.where(matched)
+    elif tolerance_seconds is not None:
+        # too-stale match degrades to no-match: NULL the right columns
+        out = out.select(
+            *keys,
+            ts_col,
+            "_side",
+            *lcols,
+            *[F.when(matched, F.col(c)).alias(c) for c in rcols],
+            "_rts",
+        )
+    return out.drop("_side", "_rts")
 
 
 @register(

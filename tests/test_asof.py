@@ -78,3 +78,29 @@ def test_asof_single_key_shuffle(spark, tmp_path):
     )
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_asof_tolerance_caps_staleness(frames):
+    left, right = frames
+    # tolerance 5s: only rows whose match is within 5 seconds survive
+    out = {
+        r.lv: r.rv
+        for r in asof_join(
+            left, right, on="k", ts_col="ts", tolerance_seconds=5
+        ).collect()
+    }
+    # a: match r@5 is 5s old at ts=10 -> within; b: exact-ts match 0s old;
+    # d: r@9 is 1s old at ts=10 -> within; c,e: no match at all
+    assert out == {"a": 50.0, "b": 200.0, "c": None, "d": 90.0, "e": None}
+    tight = {
+        r.lv: r.rv
+        for r in asof_join(
+            left, right, on="k", ts_col="ts", tolerance_seconds=2
+        ).collect()
+    }
+    # a's only candidate (r@5) is now too stale -> NULL
+    assert tight == {"a": None, "b": 200.0, "c": None, "d": 90.0, "e": None}
+    inner = asof_join(
+        left, right, on="k", ts_col="ts", how="inner", tolerance_seconds=2
+    )
+    assert {r.lv for r in inner.collect()} == {"b", "d"}
