@@ -1,0 +1,39 @@
+"""Partitioning-invariance: SCALE.md's ground rule 3 says no result may
+depend on partition count or merge order (else a cluster run differs from
+the local run).  Execute float-bearing queries under different shuffle
+partition counts and require byte-identical results."""
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# the queries whose math is most exposed to merge order: decimal sums,
+# rational TF-IDF scores, cosine folds, percentile interpolation
+QUERIES = [
+    "pricing_summary",
+    "star_join_revenue",
+    "tfidf_top_terms",
+    "sim_topk_cosine",
+    "percentiles_events",
+    "pipeline_clean_corpus",
+]
+
+
+def _rows(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_result_invariant_under_shuffle_partitions(spark, name):
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = _rows(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "23")
+        b = _rows(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert a == b, f"{name}: result depends on partition count"
