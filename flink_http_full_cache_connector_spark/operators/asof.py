@@ -36,21 +36,28 @@ def asof_join(
     how: str = "left",
     order_extra: Sequence[str] = (),
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with ``ts <= left.ts`` per key.
+    """As-of join: per key, the latest right row with ``ts <= left.ts``
+    (``direction='backward'``, default) or the earliest right row with
+    ``ts >= left.ts`` (``'forward'``) — pandas ``merge_asof`` semantics.
 
     ``left`` and ``right`` must share ``on`` + ``ts_col``; all other column
     names must be disjoint (rename before calling — the right side's values
     land under their own names).  ``how`` is ``left`` (unmatched left rows
     keep NULL right columns) or ``inner``.  ``order_extra`` adds tie-break
     columns when (key, ts) is not unique within a side.
-    ``tolerance_seconds`` caps match staleness (pandas ``merge_asof``
-    ``tolerance``): a right row older than ``left.ts - tolerance`` does not
+    ``tolerance_seconds`` caps match distance (pandas ``merge_asof``
+    ``tolerance``): a right row further than that from ``left.ts`` does not
     match — its columns come back NULL (``left``) or the row drops
     (``inner``).
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports how='left'|'inner', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"asof_join supports direction='backward'|'forward', got {direction!r}"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     lcols = [c for c in left.columns if c not in (*keys, ts_col)]
     rcols = [c for c in right.columns if c not in (*keys, ts_col)]
@@ -72,29 +79,43 @@ def asof_join(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
         *rcols,
     )
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), *order_extra)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    if direction == "backward":
+        # right rows sort before left at equal ts (side 0 < 1): `<=` is
+        # inclusive; running last(ignorenulls) carries the latest right
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), *order_extra)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # mirror image: left rows sort before right at equal ts, the frame
+        # looks forward, first(ignorenulls) grabs the earliest right
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(ts_col).asc(), F.col("_side").desc(), *order_extra)
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     filled = l_side.unionByName(r_side).select(
         *keys,
         ts_col,
         "_side",
         *lcols,
-        *[F.last(F.col(c), ignorenulls=True).over(w).alias(c) for c in rcols],
+        *[pick(F.col(c)).alias(c) for c in rcols],
         # the matched right row's own timestamp — drives both the inner
         # filter and the staleness cap
-        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True)
-        .over(w)
-        .alias("_rts"),
+        pick(F.when(F.col("_side") == 0, F.col(ts_col))).alias("_rts"),
     )
     matched = F.col("_rts").isNotNull()
     if tolerance_seconds is not None:
         tol_us = int(tolerance_seconds * 1_000_000)
-        matched = matched & (
-            F.unix_micros(F.col("_rts")) >= F.unix_micros(F.col(ts_col)) - tol_us
+        gap = (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_rts"))
+            if direction == "backward"
+            else F.unix_micros(F.col("_rts")) - F.unix_micros(F.col(ts_col))
         )
+        matched = matched & (gap <= tol_us)
     out = filled.where(F.col("_side") == 1)
     if how == "inner":
         out = out.where(matched)

@@ -104,3 +104,37 @@ def test_asof_tolerance_caps_staleness(frames):
         left, right, on="k", ts_col="ts", how="inner", tolerance_seconds=2
     )
     assert {r.lv for r in inner.collect()} == {"b", "d"}
+
+
+def test_forward_asof(frames):
+    left, right = frames
+    out = {
+        r.lv: r.rv
+        for r in asof_join(
+            left, right, on="k", ts_col="ts", direction="forward"
+        ).collect()
+    }
+    # a(k1@10): earliest right >= 10 is r@20; b(k1@20): exact match r@20;
+    # c(k1@3): r@5; d(k2@10): no k2 right at/after 10 -> NULL; e(k3): none
+    assert out == {"a": 200.0, "b": 200.0, "c": 50.0, "d": None, "e": None}
+
+
+def test_forward_asof_with_tolerance(frames):
+    left, right = frames
+    out = {
+        r.lv: r.rv
+        for r in asof_join(
+            left, right, on="k", ts_col="ts",
+            direction="forward", tolerance_seconds=5,
+        ).collect()
+    }
+    # a's forward match r@20 is 10s away -> too far -> NULL; c's r@5 is 2s
+    assert out == {"a": None, "b": 200.0, "c": 50.0, "d": None, "e": None}
+
+
+def test_asof_rejects_bad_direction(frames):
+    left, right = frames
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on="k", ts_col="ts", direction="nearest")
