@@ -159,3 +159,32 @@ def asof_join_events(spark, sf_dir: str) -> DataFrame:
     return asof_join(clicks, views, on="user_id", ts_col="ts", how="left").select(
         "click_id", "user_id", "ts", "view_id", "view_value"
     )
+
+
+@register(
+    "asof_join_events_forward",
+    """
+    SELECT c.event_id AS click_id, c.user_id,
+           c.ts::TIMESTAMP AS ts,
+           v.view_id, v.view_value
+    FROM (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT user_id, ts, event_id AS view_id, value AS view_value
+                    FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND c.ts <= v.ts
+    """,
+    doc="Forward as-of join: each click picks up the user's NEXT view "
+    "(mirror-image window: forward frame + first-ignorenulls); oracle is "
+    "DuckDB's forward ASOF LEFT JOIN (ts <= ts).",
+)
+def asof_join_events_forward(spark, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts", F.col("value").alias("click_value")
+    )
+    views = events.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), F.col("value").alias("view_value")
+    )
+    return asof_join(
+        clicks, views, on="user_id", ts_col="ts", how="left", direction="forward"
+    ).select("click_id", "user_id", "ts", "view_id", "view_value")

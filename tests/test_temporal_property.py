@@ -82,3 +82,30 @@ def test_banded_join_matches_bruteforce(spark, lr, lookback):
         if k2 == k and ls - lookback <= rs < ls
     }
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(sides)
+def test_forward_asof_matches_pandas(spark, lr):
+    lrows, rrows = lr
+    left = spark.createDataFrame(
+        [(k, _ts(s), f"L{k}_{s}") for k, s in lrows], "k int, ts timestamp, lv string"
+    )
+    right = spark.createDataFrame(
+        [(k, _ts(s), float(k * 100 + s)) for k, s in rrows],
+        "k int, ts timestamp, rv double",
+    )
+    got = {
+        (r.k, r.ts): r.rv
+        for r in asof_join(
+            left, right, on="k", ts_col="ts", direction="forward"
+        ).collect()
+    }
+    lpd = pd.DataFrame([(k, _ts(s)) for k, s in lrows], columns=["k", "ts"]).sort_values("ts")
+    rpd = pd.DataFrame(
+        [(k, _ts(s), float(k * 100 + s)) for k, s in rrows], columns=["k", "ts", "rv"]
+    ).sort_values("ts")
+    exp = pd.merge_asof(lpd, rpd, on="ts", by="k", direction="forward")
+    for row in exp.itertuples():
+        want = None if pd.isna(row.rv) else row.rv
+        assert got[(row.k, row.ts.to_pydatetime())] == want
