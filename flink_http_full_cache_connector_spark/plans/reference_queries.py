@@ -425,12 +425,21 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_ivj_{uuid.uuid4().hex[:12]}"
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    # a stateful query's shuffle-partition count IS its state-store count,
+    # fixed at first start: size it to join-key cardinality (~150 users),
+    # not to data volume — at any scale, oversizing multiplies store
+    # setup/commit overhead per microbatch for zero parallelism gain
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
