@@ -138,3 +138,19 @@ def test_asof_rejects_bad_direction(frames):
 
     with _pytest.raises(ValueError, match="direction"):
         asof_join(left, right, on="k", ts_col="ts", direction="nearest")
+
+
+def test_asof_composite_key(spark):
+    left = spark.createDataFrame(
+        [(1, "x", _ts(10), "a"), (1, "y", _ts(10), "b")],
+        "k1 int, k2 string, ts timestamp, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, "x", _ts(5), 1.0), (1, "y", _ts(7), 2.0), (2, "x", _ts(6), 3.0)],
+        "k1 int, k2 string, ts timestamp, rv double",
+    )
+    out = {
+        r.lv: r.rv
+        for r in asof_join(left, right, on=["k1", "k2"], ts_col="ts").collect()
+    }
+    assert out == {"a": 1.0, "b": 2.0}

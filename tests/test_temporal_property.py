@@ -109,3 +109,40 @@ def test_forward_asof_matches_pandas(spark, lr):
     for row in exp.itertuples():
         want = None if pd.isna(row.rv) else row.rv
         assert got[(row.k, row.ts.to_pydatetime())] == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=1, max_size=20
+    )
+)
+def test_connected_components_matches_union_find(spark, edge_list):
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in edge_list], "src long, dst long"
+    )
+    got = {(r.id, r.label) for r in connected_components(edges).collect()}
+
+    # reference union-find with min-id labels
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_list:
+        union(a, b)
+    want = {(v, find(v)) for v in parent}
+    assert got == want
