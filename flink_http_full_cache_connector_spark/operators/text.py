@@ -455,3 +455,50 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(TOP_BIGRAMS)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus governance report
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_report",
+    f"""
+    SELECT source, lang,
+           count(*)::bigint AS docs,
+           sum(n_chars)::bigint AS total_chars,
+           sum(len({_DUCK_TOKENS}))::bigint AS total_tokens,
+           min({duck_quality_expr()}) AS min_quality,
+           max({duck_quality_expr()}) AS max_quality,
+           sum(CASE WHEN {duck_lang_expr()} = lang THEN 1 ELSE 0 END)::bigint
+               AS langid_agree
+    FROM documents
+    GROUP BY source, lang
+    """,
+    doc="Corpus governance report: per (source, declared-lang) volume, "
+    "token totals, quality envelope, and lang-ID agreement with the "
+    "declared label — one scan, one low-cardinality partial-agg shuffle; "
+    "integer sums only (exact).",
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    return (
+        docs.select(
+            "source",
+            "lang",
+            "n_chars",
+            token_count(text).alias("ntok"),
+            quality_score(text).alias("q"),
+            (lang_id(text) == F.col("lang")).cast("long").alias("agree"),
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum("ntok").alias("total_tokens"),
+            F.min("q").alias("min_quality"),
+            F.max("q").alias("max_quality"),
+            F.sum("agree").alias("langid_agree"),
+        )
+    )

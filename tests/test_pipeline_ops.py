@@ -274,3 +274,22 @@ def test_build_training_corpus_end_to_end(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.where(F.col("quality") < 0.5).count() == 0
     assert back.select("doc_id").distinct().count() == expected
+
+
+def test_lang_id_predictions_consistent_on_corpus(spark):
+    """The synthetic corpus text is English-marker word soup for every row
+    (the declared `lang` column is uncorrelated metadata), so the heuristic
+    must classify every document as en or und — any other label would mean
+    marker lists are misfiring.  Per-language detection is pinned by the
+    crafted-text tests above."""
+    from pyspark.sql import functions as F
+
+    from flink_http_full_cache_connector_spark.operators.text import lang_id
+    from flink_http_full_cache_connector_spark.plans.registry import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    preds = {
+        r.pred
+        for r in docs.select(lang_id(F.col("text")).alias("pred")).distinct().collect()
+    }
+    assert preds <= {"en", "und"}, preds
