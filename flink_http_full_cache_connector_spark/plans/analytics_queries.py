@@ -501,3 +501,60 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.count("*").alias("cnt"),
     )
+
+
+@register(
+    "scd2_intervals",
+    """
+    SELECT user_id, event_id, value,
+           ts::TIMESTAMP AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts)::TIMESTAMP
+               AS valid_to
+    FROM events WHERE event_type = 'signup'
+    """,
+    doc="SCD2 dimension build: per-key validity intervals via lead() — "
+    "[valid_from, valid_to) rows an as-of join (operators/asof.py) can "
+    "probe; NULL valid_to marks the current version. One key shuffle + "
+    "per-key sort.",
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    return events.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+@register(
+    "ntile_buckets",
+    """
+    WITH b AS (
+        SELECT event_type, value,
+               ntile(4) OVER (PARTITION BY event_type
+                   ORDER BY value, event_id) AS quartile
+        FROM events
+    )
+    SELECT event_type, quartile::int AS quartile, count(*)::bigint AS cnt,
+           min(value) AS min_val, max(value) AS max_val
+    FROM b GROUP BY event_type, quartile
+    """,
+    doc="Distribution bucketing: per-type value quartiles via ntile "
+    "(event_id tie-break keeps equal values deterministic) — the feature-"
+    "binning shape; min/max envelope per bucket, exact aggregates only.",
+)
+def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("event_type", F.col("quartile").cast("int").alias("quartile"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+    )
