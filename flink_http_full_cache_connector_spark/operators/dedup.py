@@ -596,3 +596,42 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component")
     )
+
+
+@register(
+    "streaming_dedup_watermarked",
+    """
+    SELECT DISTINCT user_id FROM events
+    """,
+    doc="dropDuplicatesWithinWatermark: streaming key dedup whose per-key "
+    "state EXPIRES once the watermark passes it — the bounded-memory "
+    "variant of streaming dedup (plain dropDuplicates state grows forever "
+    "on an unbounded stream). Output projected to the key set, which a "
+    "single availableNow pass makes value-exact against DISTINCT.",
+)
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from flink_http_full_cache_connector_spark.plans.registry import load_table
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id"])
+        .select("user_id")
+    )
+    name = f"stream_ddww_{uuid.uuid4().hex[:12]}"
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
