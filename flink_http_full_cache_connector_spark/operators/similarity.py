@@ -26,6 +26,7 @@ the DuckDB oracle twins).
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve against globals
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -477,4 +478,67 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(F.col("cos_sim")).alias("cos_sim"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+RERANK_POOL = 30  # candidate pool reranked down to TOP_K
+
+
+@register(
+    "sim_rerank_pandas",
+    f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {NUM_QUERIES}),
+scored AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           {duck_cosine('q.qv', 'c.embedding')} AS cos_sim
+    FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, {duck_trunc6('cos_sim')} AS cos_sim, rank::int AS rank
+FROM ranked WHERE rank <= {TOP_K}
+""",
+    doc=f"Two-stage retrieve-then-rerank: JVM cosine retrieves a {RERANK_POOL}-"
+    f"candidate pool, an Arrow-batched pandas UDF (the cross-encoder slot in "
+    "a real pipeline; here a left-fold cosine, bit-identical to the JVM and "
+    f"DuckDB folds) rescores, top-{TOP_K} kept. Proves the Python escape "
+    "hatch is ArrowEvalPython (plan-linted) AND value-exact.",
+)
+def sim_rerank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def py_cosine(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        import math
+
+        def fold_dot(a, b):
+            acc = 0.0
+            for x, y in zip(a, b):
+                acc = acc + float(x) * float(y)  # same left fold as F.aggregate
+            return acc
+
+        out = []
+        for a, b in zip(qv, cv):
+            out.append(fold_dot(a, b) / (math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b))))
+        return pd.Series(out)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < NUM_QUERIES)
+    # stage 1: JVM-side retrieval of a candidate pool (superset of top-k,
+    # same metric -> rerank is provably lossless)
+    pool = topk_cosine(emb, queries, RERANK_POOL).select("query_id", "neighbor_id")
+    qv = emb.select(F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv"))
+    cv = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("cv"))
+    cand = pool.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id")
+    rescored = cand.select(
+        "query_id", "neighbor_id", py_cosine(F.col("qv"), F.col("cv")).alias("cos_sim")
+    )
+    return topk_per_query(rescored, TOP_K).select(
+        "query_id",
+        "neighbor_id",
+        trunc6(F.col("cos_sim")).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
     )
