@@ -516,17 +516,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Undirected connected components by min-label propagation.
 
-    Iterative DataFrame algorithm (the standard large-scale CC shape): each
-    round every vertex takes the min of its own label and its neighbors',
-    one equi-join + partial-agg shuffle per round, converging in
-    O(component diameter) rounds — near-dup clusters are shallow, so this
-    is a handful of rounds even at corpus scale.  Per-round ``persist`` +
-    a driver-side convergence count keeps the lineage flat (same driver
-    pattern as Lloyd iteration in ``operators/similarity.py``).
+    Hybrid execution, the shape production CC uses: the *pair graph* of a
+    near-dup job is orders of magnitude smaller than the corpus that
+    produced it (edges = verified duplicates).  When it fits comfortably on
+    the driver (``<= local_threshold`` edges) a single-pass union-find
+    finishes it with zero extra cluster rounds; above the threshold the
+    distributed min-label propagation runs — one equi-join + partial-agg
+    shuffle per round, converging in O(component diameter) rounds, with
+    per-round ``persist`` + a convergence count keeping lineage flat (same
+    driver pattern as Lloyd iteration in ``operators/similarity.py``).
+    Both paths produce identical labels (pinned by the union-find property
+    test at ``local_threshold=0`` and default).
 
     Returns (id, label) with label = min vertex id of the component.
     """
@@ -534,6 +542,34 @@ def connected_components(
     sym = sym.union(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
+
+    n_edges = sym.count()
+    if n_edges <= local_threshold:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        from flink_http_full_cache_connector_spark.sources.lookup import (
+            _local_relation,
+        )
+
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in sym.collect():
+            ra, rb = find(r.a), find(r.b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = sorted((v, find(v)) for v in parent)
+        sym.unpersist()
+        schema = StructType(
+            [StructField("id", LongType()), StructField("label", LongType())]
+        )
+        return _local_relation(edges.sparkSession, rows, schema)
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )

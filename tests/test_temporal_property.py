@@ -126,6 +126,12 @@ def test_connected_components_matches_union_find(spark, edge_list):
         [(int(a), int(b)) for a, b in edge_list], "src long, dst long"
     )
     got = {(r.id, r.label) for r in connected_components(edges).collect()}
+    # distributed label-propagation path must agree with the local path
+    dist = {
+        (r.id, r.label)
+        for r in connected_components(edges, local_threshold=0).collect()
+    }
+    assert dist == got
 
     # reference union-find with min-id labels
     parent = {}
