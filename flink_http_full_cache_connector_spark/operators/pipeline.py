@@ -50,6 +50,10 @@ KEEP_LANG = "en"
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     text = F.col("text")
+    # NB: measured wall time for this query is dominated by per-plan Janino
+    # codegen compilation of the marker-ladder expressions (~2s fixed), not
+    # execution — scan-speed at scale; see tests/test_determinism.py for the
+    # partitioning-invariance pin
     scored = docs.select(
         "doc_id",
         md5_fingerprint(text).alias("fp"),
