@@ -1,0 +1,311 @@
+"""Warehouse / pipeline query shapes round two: global top-k, CDC
+latest-per-key compaction, batch sessionization, CUBE aggregation,
+cohort retention, correlated-aggregate filtering, incremental-batch
+dedup, and ordered string aggregation.
+
+The reference exercises none of these (SURVEY.md §2.C — it has no
+aggregation/window/set-op surface at all); they are the daily query
+shapes of a training-data warehouse, expressed with stock Catalyst
+operators and pinned to DuckDB oracles.
+
+Cross-engine exactness rules (same as analytics_queries.py):
+- week arithmetic in integer microseconds (``unix_micros // week_us``),
+  never calendar ``date_trunc`` (week-start conventions differ);
+- money comparisons rearranged to stay in exact DECIMAL
+  (``price * n > sum`` instead of ``price > sum / n``);
+- aggregated lists sorted before joining into a string (Spark
+  ``collect_list`` order is nondeterministic by contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+
+TOPK_N = 100
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "topk_orders",
+    f"""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT {TOPK_N}
+    """,
+    doc=f"Global top-{TOPK_N} orders by price (orderkey tie-break makes the "
+    "boundary deterministic). Spark physical plan is TakeOrderedAndProject: "
+    "per-partition k-row heaps + single driver merge of k*partitions rows — "
+    "no global sort, no full shuffle, scales to any input size.",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(TOPK_N)
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts::TIMESTAMP AS ts, event_type, value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="CDC compaction / dedup-by-recency: keep each key's most recent "
+    "record (row_number desc = 1, event_id tie-break). One key shuffle + "
+    "per-key sort; at scale this is the standard changelog->snapshot "
+    "materialization, key space = users (uniform).",
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "sessionize_events",
+    f"""
+    WITH marked AS (
+        SELECT user_id, ts, epoch_us(ts::TIMESTAMP) AS us,
+               CASE WHEN epoch_us(ts::TIMESTAMP)
+                      - lag(epoch_us(ts::TIMESTAMP)) OVER w > {SESSION_GAP_US}
+                    OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS boundary
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, us,
+               sum(boundary) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS UNBOUNDED PRECEDING) AS session_num
+        FROM marked
+    )
+    SELECT user_id, session_num::bigint AS session_num,
+           count(*)::bigint AS n_events,
+           min(us) AS start_us, max(us) AS end_us
+    FROM numbered GROUP BY user_id, session_num
+    """,
+    doc="Batch sessionization (30-min inactivity gap): lag -> boundary flag "
+    "-> running sum = session number -> per-session aggregate. The batch "
+    "twin of streaming/session.py's session windows; one user-key shuffle, "
+    "window and aggregate reuse the same partitioning (no second shuffle). "
+    "Gaps compared in exact integer microseconds.",
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    marked = events.select(
+        "user_id",
+        us.alias("us"),
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0).alias("boundary"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.select(
+        "user_id", "us", F.sum("boundary").over(wrun).alias("session_num")
+    )
+    return numbered.groupBy("user_id", "session_num").agg(
+        F.count("*").alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+@register(
+    "cube_events",
+    """
+    SELECT event_type, ts::DATE::VARCHAR AS day,
+           grouping(event_type)::int AS g_type, grouping(day)::int AS g_day,
+           count(*)::bigint AS cnt, min(value) AS min_val, max(value) AS max_val
+    FROM events
+    GROUP BY CUBE (event_type, day)
+    """,
+    doc="Full CUBE over (type, day) with grouping flags disambiguating "
+    "subtotal rows from data NULLs — completes the grouping-sets surface "
+    "next to rollup_events. Spark expands all four grouping sets before one "
+    "partial-agg shuffle; float columns only under order-independent "
+    "min/max.",
+)
+def cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type", F.to_date("ts").cast("string").alias("day"), "value"
+        )
+        .cube("event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count("*").alias("cnt"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    f"""
+    WITH weeks AS (
+        SELECT DISTINCT user_id,
+               epoch_us(ts::TIMESTAMP) // {WEEK_US} AS week
+        FROM events
+    ),
+    cohorts AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1)
+    SELECT c.cohort_week::bigint AS cohort_week,
+           (w.week - c.cohort_week)::bigint AS week_offset,
+           count(*)::bigint AS active_users
+    FROM weeks w JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users bucketed by first-seen week x weeks "
+    "since — weeks are integer epoch-microsecond buckets (calendar "
+    "date_trunc('week') start conventions differ across engines). distinct "
+    "-> per-user min -> self-join: both sides arrive partitioned by "
+    "user_id from their aggregations, so the join reuses that exchange; "
+    "final agg is tiny (weeks x offsets).",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    weeks = events.select(
+        "user_id", (F.unix_micros(F.col("ts")) / F.lit(WEEK_US)).cast("long").alias("week")
+    ).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weeks.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
+
+
+@register(
+    "orders_above_cust_avg",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               sum(o_totalprice::DECIMAL(18,2)) OVER (PARTITION BY o_custkey) AS s,
+               count(*) OVER (PARTITION BY o_custkey) AS n
+        FROM orders
+    )
+    WHERE o_totalprice::DECIMAL(18,2) * n > s
+    """,
+    doc="Correlated aggregate predicate (each order vs ITS customer's "
+    "average — the per-group twin of scalar_subquery_spenders' global "
+    "mean), decorrelated into a single window pass instead of a "
+    "self-join. The mean test is rearranged to `price * n > sum` so the "
+    "comparison stays in exact DECIMAL — no cross-engine float division.",
+)
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.sum(dec).over(w).alias("s"),
+            F.count("*").over(w).alias("n"),
+        )
+        .where(dec * F.col("n") > F.col("s"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+NEW_BATCH_MOD = 5  # doc_id % 5 == 0 -> "incoming batch", rest -> history
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH hashed AS (
+        SELECT doc_id, md5(trim(lower(text))) AS h,
+               doc_id % {NEW_BATCH_MOD} = 0 AS is_new
+        FROM documents
+    ),
+    history AS (SELECT DISTINCT h FROM hashed WHERE NOT is_new),
+    fresh AS (
+        SELECT doc_id, h,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM hashed WHERE is_new
+    )
+    SELECT f.doc_id, f.h AS content_hash
+    FROM fresh f LEFT JOIN history USING (h)
+    WHERE f.rn = 1 AND history.h IS NULL
+    """,
+    doc="Incremental-ingest dedup: an incoming batch is deduped within "
+    "itself (min doc_id per normalized-content hash) AND against the "
+    "historical corpus's hash set (left-anti join) — the shape every "
+    "continuously-fed training corpus runs per ingest. All keys are md5 "
+    "hashes (uniform, no skew); at 100 TB the history side is a "
+    "hash-partitioned anti join, never driver-collected.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        F.md5(F.trim(F.lower(F.col("text")))).alias("h"),
+        (F.col("doc_id") % NEW_BATCH_MOD == 0).alias("is_new"),
+    )
+    history = hashed.where(~F.col("is_new")).select("h").distinct()
+    w = Window.partitionBy("h").orderBy("doc_id")
+    fresh = (
+        hashed.where("is_new")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return fresh.join(history, "h", "left_anti").select(
+        "doc_id", F.col("h").alias("content_hash")
+    )
+
+
+@register(
+    "region_nations_agg",
+    """
+    SELECT r.r_name AS region_name,
+           count(*)::bigint AS nation_count,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+    doc="Ordered string aggregation (collect_list -> array_sort -> "
+    "array_join; Spark's collect order is nondeterministic by contract, so "
+    "the sort is mandatory for engine-exact output) — the array-function "
+    "surface over the dimension tables.",
+)
+def region_nations_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count("*").alias("nation_count"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+        )
+    )
