@@ -18,8 +18,9 @@ Scale design (100 TB):
 - **simhash**: map-side signature (explode tokens → 60 bit-votes →
   fingerprint); near-neighbor search then bands the fingerprint bits.
 - **embedding_cosine**: brute-force double-precision cosine over all pairs
-  (exact baseline); the bucketed/ANN scale path lives in
-  ``operators.similarity``.
+  (exact baseline for **embedding_lsh**, the linear random-hyperplane
+  bucketed path below; the query-time ANN variants live in
+  ``operators.similarity``).
 
 All hashing is md5-prefix based — portable, engine-identical (verified
 bit-for-bit against DuckDB) — never engine-private hashes.
@@ -671,3 +672,102 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup, LSH scale path (linear twin of dedup_embedding_cosine)
+# ---------------------------------------------------------------------------
+
+# dedup wants high recall at the (loose) 0.4-cosine near-dup threshold;
+# collision probability per table is (1 - θ/π)^bits ≈ 0.063 there, so the
+# dedup path runs MORE tables than the ANN path (recall 1-(1-p)^L ≈ 0.65
+# at L=16 vs 0.23 at the ANN default L=4) — the standard L-vs-cost knob.
+DEDUP_LSH_TABLES = 16
+DEDUP_LSH_BITS = 6
+
+
+def _embedding_lsh_oracle() -> str:
+    from flink_http_full_cache_connector_spark.functions.vectors import duck_dot
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        LSH_PLANE_BASE,
+    )
+
+    num_planes = DEDUP_LSH_TABLES * DEDUP_LSH_BITS
+    return f"""
+WITH pl AS (
+    SELECT (t.p // {DEDUP_LSH_BITS}) AS table_id,
+           (1 << (t.p % {DEDUP_LSH_BITS}))::bigint AS weight,
+           a.embedding AS av, b.embedding AS bv
+    FROM (SELECT unnest(range(0, {num_planes})) AS p) t
+    JOIN embeddings a ON a.vec_id = {LSH_PLANE_BASE} + 2 * t.p
+    JOIN embeddings b ON b.vec_id = {LSH_PLANE_BASE} + 2 * t.p + 1
+),
+sigs AS (
+    SELECT e.vec_id, pl.table_id,
+           sum(CASE WHEN {duck_dot('e.embedding', 'pl.av')}
+                         - {duck_dot('e.embedding', 'pl.bv')} >= 0
+                    THEN pl.weight ELSE 0 END)::bigint AS bucket
+    FROM embeddings e CROSS JOIN pl
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT s1.vec_id AS vec_a, s2.vec_id AS vec_b
+    FROM sigs s1 JOIN sigs s2 USING (table_id, bucket)
+    WHERE s1.vec_id < s2.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       {duck_trunc6(duck_cosine('a.embedding', 'b.embedding'))} AS cos_sim
+FROM cand c
+JOIN embeddings a ON a.vec_id = c.vec_a
+JOIN embeddings b ON b.vec_id = c.vec_b
+WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_embedding_lsh",
+    _embedding_lsh_oracle(),
+    doc="Embedding near-dup at scale: random-hyperplane LSH bucketing "
+    "(reuses the ANN plane/signature machinery) generates same-bucket "
+    "candidate pairs — linear in corpus size — and only candidates pay the "
+    "exact cosine verify. The O(n²) twin dedup_embedding_cosine is the "
+    "recall baseline; the signature shuffle carries one partially-"
+    "aggregated row per vector.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        lsh_planes,
+        lsh_signatures,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = lsh_planes(emb, tables=DEDUP_LSH_TABLES, bits=DEDUP_LSH_BITS)
+    vecs = widen(emb).select("vec_id", as_double(F.col("embedding")).alias("v"))
+    sigs = lsh_signatures(vecs, planes, tables=DEDUP_LSH_TABLES).withColumn(
+        "n", norm(F.col("v"))
+    )
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"), "table_id", "bucket",
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"), "table_id", "bucket",
+    )
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(
+            F.first("va").alias("va"), F.first("vb").alias("vb"),
+            F.first("na").alias("na"), F.first("nb").alias("nb"),
+        )
+    )
+    sim = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return cand.where(sim >= COSINE_DUP_THRESHOLD).select(
+        "vec_a", "vec_b", trunc6(sim).alias("cos_sim")
+    )

@@ -300,16 +300,24 @@ FROM ranked WHERE rank <= {TOP_K}
 
 
 def lsh_planes(
-    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tables: int = LSH_TABLES,
+    bits: int = LSH_BITS,
+    base: int = LSH_PLANE_BASE,
 ) -> DataFrame:
     """Derive the L*B hyperplanes from fixed corpus rows — pure DataFrame ops
     (no driver collect), tiny result (one row per plane), meant to be
     broadcast.  ``weight`` is the bit's place value ``2^(p mod B)``;
-    ``table_id`` is ``p div B``."""
-    off = F.col(id_col) - F.lit(LSH_PLANE_BASE)
+    ``table_id`` is ``p div B``.  ``tables``/``bits`` are the recall/cost
+    knobs: same-bucket probability per table is ``(1 - θ/π)^bits``, overall
+    recall ``1 - (1 - p)^tables``."""
+    num_planes = tables * bits
+    off = F.col(id_col) - F.lit(base)
     pl = emb.where(
-        (F.col(id_col) >= LSH_PLANE_BASE)
-        & (F.col(id_col) < LSH_PLANE_BASE + 2 * LSH_NUM_PLANES)
+        (F.col(id_col) >= base) & (F.col(id_col) < base + 2 * num_planes)
     ).select(
         (off / 2).cast("int").alias("p"),
         (off % 2).alias("side"),
@@ -322,15 +330,17 @@ def lsh_planes(
             F.first(F.when(F.col("side") == 1, F.col("v")), ignorenulls=True).alias("bv"),
         )
         .select(
-            (F.col("p") / LSH_BITS).cast("int").alias("table_id"),
-            F.pow(F.lit(2.0), F.col("p") % LSH_BITS).cast("long").alias("weight"),
+            (F.col("p") / bits).cast("int").alias("table_id"),
+            F.pow(F.lit(2.0), F.col("p") % bits).cast("long").alias("weight"),
             "av",
             "bv",
         )
     )
 
 
-def lsh_signatures(vecs: DataFrame, planes: DataFrame) -> DataFrame:
+def lsh_signatures(
+    vecs: DataFrame, planes: DataFrame, *, tables: int = LSH_TABLES
+) -> DataFrame:
     """(vec_id, v) → (vec_id, v, table_id, bucket), one row per table.
 
     The broadcast plane join and the bit tests are map-side; the single
@@ -345,7 +355,7 @@ def lsh_signatures(vecs: DataFrame, planes: DataFrame) -> DataFrame:
         F.sum(
             F.when(F.col("table_id") == t, F.col("c")).otherwise(F.lit(0).cast("long"))
         ).alias(f"b{t}")
-        for t in range(LSH_TABLES)
+        for t in range(tables)
     ]
     agg = (
         vecs.join(F.broadcast(planes))
@@ -356,7 +366,7 @@ def lsh_signatures(vecs: DataFrame, planes: DataFrame) -> DataFrame:
     return agg.select(
         "vec_id",
         "v",
-        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(LSH_TABLES)])).alias(
+        F.posexplode(F.array(*[F.col(f"b{t}") for t in range(tables)])).alias(
             "table_id", "bucket"
         ),
     )

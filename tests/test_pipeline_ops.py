@@ -293,3 +293,21 @@ def test_lang_id_predictions_consistent_on_corpus(spark):
         for r in docs.select(lang_id(F.col("text")).alias("pred")).distinct().collect()
     }
     assert preds <= {"en", "und"}, preds
+
+
+def test_embedding_lsh_subset_and_recall_vs_exact(spark):
+    """The LSH embedding near-dup path verifies candidates with the same
+    exact cosine as the brute-force twin, so its pairs are a subset of the
+    exact pairs; with 4 tables x 6 bits over the planted near-dup vectors,
+    recall should stay high."""
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_embedding_lsh,
+    )
+
+    exact = {(r.vec_a, r.vec_b) for r in dedup_embedding_cosine(spark, SF_DIR).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in dedup_embedding_lsh(spark, SF_DIR).collect()}
+    assert exact, "exact embedding near-dup baseline found no pairs"
+    assert lsh <= exact  # cosine verify guarantees no false positives
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.5, f"embedding-LSH recall {recall:.2f} ({len(lsh)}/{len(exact)})"
