@@ -309,3 +309,28 @@ def region_nations_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
         )
     )
+
+
+@register(
+    "salted_join_orders",
+    """
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_nationkey
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    doc="Skew-resilient salted equi-join (operators.skew.salted_join, salt="
+    "16) registered against the PLAIN join's oracle: scattering hot probe "
+    "keys across 16 sub-buckets and replicating the build side must be "
+    "semantically invisible — the driver's value-hash gate proves it. The "
+    "tool for shuffle joins whose probe side has hot keys when AQE can't "
+    "split (post-join aggregation on the same key, shuffled-hash joins).",
+)
+def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    return salted_join(orders, cust, on=[("o_custkey", "c_custkey")], how="inner").select(
+        "o_orderkey", "o_custkey", "c_name", "c_nationkey"
+    )
