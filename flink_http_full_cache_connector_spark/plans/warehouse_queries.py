@@ -334,3 +334,64 @@ def salted_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(orders, cust, on=[("o_custkey", "c_custkey")], how="inner").select(
         "o_orderkey", "o_custkey", "c_name", "c_nationkey"
     )
+
+
+@register(
+    "set_ops_all_events",
+    """
+    SELECT 'click_minus_purchase' AS kind, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    UNION ALL
+    SELECT 'common_multiset' AS kind, user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT ALL
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+    )
+    """,
+    doc="Multiset set operations (EXCEPT ALL / INTERSECT ALL — Spark "
+    "exceptAll/intersectAll): per-user click occurrences surviving "
+    "purchase-count subtraction, and the multiset intersection — "
+    "completes the set-op surface next to set_ops_users' set semantics. "
+    "Implemented as count-compare aggregates under one key shuffle.",
+)
+def set_ops_all_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select("user_id")
+    buys = events.where(F.col("event_type") == "purchase").select("user_id")
+    minus = clicks.exceptAll(buys).select(
+        F.lit("click_minus_purchase").alias("kind"), "user_id"
+    )
+    common = clicks.intersectAll(buys).select(
+        F.lit("common_multiset").alias("kind"), "user_id"
+    )
+    return minus.unionByName(common)
+
+
+@register(
+    "order_price_ranks",
+    """
+    SELECT o_custkey, o_orderkey,
+           rank() OVER w AS price_rank,
+           dense_rank() OVER w AS price_dense_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    doc="Ranking windows (rank / dense_rank; row_number and ntile live in "
+    "window_funcs_events / ntile_buckets): per-customer order ranking by "
+    "price with a deterministic key tie-break — one uniform key shuffle + "
+    "per-key sort.",
+)
+def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
