@@ -697,15 +697,15 @@ def _embedding_lsh_oracle() -> str:
 WITH pl AS (
     SELECT (t.p // {DEDUP_LSH_BITS}) AS table_id,
            (1 << (t.p % {DEDUP_LSH_BITS}))::bigint AS weight,
-           a.embedding AS av, b.embedding AS bv
+           list_transform(range(1, len(a.embedding) + 1),
+                          i -> a.embedding[i]::double - b.embedding[i]::double) AS dv
     FROM (SELECT unnest(range(0, {num_planes})) AS p) t
     JOIN embeddings a ON a.vec_id = {LSH_PLANE_BASE} + 2 * t.p
     JOIN embeddings b ON b.vec_id = {LSH_PLANE_BASE} + 2 * t.p + 1
 ),
 sigs AS (
     SELECT e.vec_id, pl.table_id,
-           sum(CASE WHEN {duck_dot('e.embedding', 'pl.av')}
-                         - {duck_dot('e.embedding', 'pl.bv')} >= 0
+           sum(CASE WHEN {duck_dot('e.embedding', 'pl.dv')} >= 0
                     THEN pl.weight ELSE 0 END)::bigint AS bucket
     FROM embeddings e CROSS JOIN pl
     GROUP BY 1, 2
@@ -747,27 +747,37 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     planes = lsh_planes(emb, tables=DEDUP_LSH_TABLES, bits=DEDUP_LSH_BITS)
     vecs = widen(emb).select("vec_id", as_double(F.col("embedding")).alias("v"))
-    sigs = lsh_signatures(vecs, planes, tables=DEDUP_LSH_TABLES).withColumn(
-        "n", norm(F.col("v"))
+    # candidate generation on IDS ONLY: carrying vectors through the L-table
+    # bucket self-join would duplicate every embedding x16 through the
+    # shuffle; id pairs are a few bytes each, and the two vec_id joins that
+    # re-attach vectors touch each embedding once (uniform key, AQE
+    # broadcasts the corpus side when it fits)
+    # persist: the bucket SELF-join consumes sigs twice, and without a
+    # materialization Spark re-executes the whole signature subtree (scan +
+    # plane join + fold dots + two aggregations) per side — measured 2x cost
+    sigs = (
+        lsh_signatures(vecs, planes, tables=DEDUP_LSH_TABLES)
+        .select("vec_id", "table_id", "bucket")
+        .persist()
     )
-    a = sigs.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("n").alias("na"), "table_id", "bucket",
-    )
-    b = sigs.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("n").alias("nb"), "table_id", "bucket",
-    )
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
     cand = (
         a.join(b, ["table_id", "bucket"])
         .where(F.col("vec_a") < F.col("vec_b"))
-        .groupBy("vec_a", "vec_b")
-        .agg(
-            F.first("va").alias("va"), F.first("vb").alias("vb"),
-            F.first("na").alias("na"), F.first("nb").alias("nb"),
-        )
+        .select("vec_a", "vec_b")
+        .distinct()
     )
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"), as_double(F.col("embedding")).alias("va")
+    ).withColumn("na", norm(F.col("va")))
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"), as_double(F.col("embedding")).alias("vb")
+    ).withColumn("nb", norm(F.col("vb")))
     sim = cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
-    return cand.where(sim >= COSINE_DUP_THRESHOLD).select(
-        "vec_a", "vec_b", trunc6(sim).alias("cos_sim")
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(sim >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", trunc6(sim).alias("cos_sim"))
     )

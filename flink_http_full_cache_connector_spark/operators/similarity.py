@@ -332,8 +332,11 @@ def lsh_planes(
         .select(
             (F.col("p") / bits).cast("int").alias("table_id"),
             F.pow(F.lit(2.0), F.col("p") % bits).cast("long").alias("weight"),
-            "av",
-            "bv",
+            # pre-differenced normal: the sign test dot(v,a)-dot(v,b) >= 0 is
+            # algebraically dot(v, a-b) >= 0; differencing once per PLANE
+            # halves the per-(vector, plane) fold work — the oracle twin
+            # computes the identical differenced form, so parity is exact
+            F.zip_with("av", "bv", lambda x, y: x - y).alias("dv"),
         )
     )
 
@@ -346,10 +349,11 @@ def lsh_signatures(
     The broadcast plane join and the bit tests are map-side; the single
     shuffle carries ONE partially-aggregated row per vector (the per-table
     bit sums combine map-side), not L*B bit rows.  The sign test
-    ``dot(v,a) - dot(v,b) >= 0`` is a difference of two identical-fold
-    dot products, bit-reproducible in the DuckDB oracle twin.
+    ``dot(v, av - bv) >= 0`` uses the pre-differenced plane normal (one
+    identical-fold dot per (vector, plane)), bit-reproducible in the DuckDB
+    oracle twin which folds the same differenced form.
     """
-    bit = dot(F.col("v"), F.col("av")) - dot(F.col("v"), F.col("bv")) >= 0
+    bit = dot(F.col("v"), F.col("dv")) >= 0
     contrib = F.when(bit, F.col("weight")).otherwise(F.lit(0).cast("long"))
     per_table = [
         F.sum(
@@ -377,15 +381,15 @@ def _lsh_oracle() -> str:
 WITH pl AS (
     SELECT (t.p // {LSH_BITS}) AS table_id,
            (1 << (t.p % {LSH_BITS}))::bigint AS weight,
-           a.embedding AS av, b.embedding AS bv
+           list_transform(range(1, len(a.embedding) + 1),
+                          i -> a.embedding[i]::double - b.embedding[i]::double) AS dv
     FROM (SELECT unnest(range(0, {LSH_NUM_PLANES})) AS p) t
     JOIN embeddings a ON a.vec_id = {LSH_PLANE_BASE} + 2 * t.p
     JOIN embeddings b ON b.vec_id = {LSH_PLANE_BASE} + 2 * t.p + 1
 ),
 sigs AS (
     SELECT e.vec_id, pl.table_id,
-           sum(CASE WHEN {duck_dot('e.embedding', 'pl.av')}
-                         - {duck_dot('e.embedding', 'pl.bv')} >= 0
+           sum(CASE WHEN {duck_dot('e.embedding', 'pl.dv')} >= 0
                     THEN pl.weight ELSE 0 END)::bigint AS bucket
     FROM embeddings e CROSS JOIN pl
     GROUP BY 1, 2
