@@ -276,9 +276,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH (the 100 TB near-dup path)
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, n [shingle count], m0..m{K-1}) via map-side min-aggregation."""
-    sh = _shingle_table(docs)
+def minhash_signatures(
+    docs: DataFrame, *, shingles: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, n [shingle count], m0..m{K-1}) via map-side min-aggregation.
+
+    Pass ``shingles`` (a ``_shingle_table`` result, typically persisted) when
+    the caller also needs the shingle relation — otherwise the explode+md5
+    fan-out, the map-side hot path, would execute once here and once there.
+    """
+    sh = _shingle_table(docs) if shingles is None else shingles
     aggs = [F.count("*").alias("n")] + [
         F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % P).alias(f"m{j}")
         for j in range(NUM_MINHASHES)
@@ -355,11 +362,14 @@ WHERE i.i / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_table(docs).select("doc_id", "s").persist()
+    # one persisted shingle relation feeds BOTH the signature aggregation and
+    # the Jaccard verify — the explode+md5 fan-out (map-side hot path) runs
+    # exactly once
+    sh = _shingle_table(docs).persist()
     # signatures feed ~10 subplans (4 band selects x 2 join sides + 2 size
     # lookups); persisting them is the 100 TB design too — K longs per doc,
     # tiny next to the corpus, and avoids re-scanning it per band
-    sig = minhash_signatures(docs).persist()
+    sig = minhash_signatures(docs, shingles=sh).persist()
     cand = lsh_candidate_pairs(sig)
     # verification: true Jaccard on candidate pairs only
     x = sh.select(F.col("doc_id").alias("doc_a"), "s")
