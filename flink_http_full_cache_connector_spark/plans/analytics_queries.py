@@ -558,3 +558,32 @@ def ntile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("value").alias("max_val"),
         )
     )
+
+
+HH_K = 5
+
+
+@register(
+    "sketch_heavy_hitters",
+    None,  # sketch output: estimator-specific, no cross-engine oracle
+    doc=f"Heavy hitters per event type (approx_top_k, k={HH_K}): the "
+    "frequent-items sketch completing the sketch family next to "
+    "sketch_stats' HLL/percentile — constant memory per group where the "
+    "exact twin needs a full (type, user) count table. In the "
+    "under-capacity regime (distinct users < maxItemsTracked) the sketch "
+    "counts are exact, pinned by test against the exact aggregation.",
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    top = events.groupBy("event_type").agg(
+        F.expr(f"approx_top_k(user_id, {HH_K})").alias("hh")
+    )
+    return top.select(
+        "event_type",
+        F.posexplode("hh").alias("rank0", "item"),
+    ).select(
+        "event_type",
+        (F.col("rank0") + 1).cast("int").alias("rank"),
+        F.col("item.item").alias("user_id"),
+        F.col("item.count").alias("approx_count"),
+    )

@@ -100,3 +100,34 @@ def test_sketch_stats_within_tolerance_of_exact(spark):
         assert abs(row.approx_users - users[t]) / users[t] < 0.1, t
         assert abs(row.approx_p50 - exact[t].p50) / max(exact[t].p50, 1) < 0.1, t
         assert row.cnt == exact[t].cnt
+
+
+def test_heavy_hitters_exact_in_under_capacity_regime(spark):
+    """With distinct users far below the sketch's tracking capacity,
+    approx_top_k counts are exact: every reported (type, user) count must
+    equal the true count, and reported counts must be >= the k-th largest
+    true count for that type (top-k property, modulo ties)."""
+    from pyspark.sql import functions as F
+
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        all_queries,
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = all_queries()["sketch_heavy_hitters"].spark(spark, sf).collect()
+    events = load_table(spark, sf, "events")
+    exact = {
+        (r.event_type, r.user_id): r.cnt
+        for r in events.groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    kth = {}
+    for (etype, _), cnt in exact.items():
+        kth.setdefault(etype, []).append(cnt)
+    kth = {t: sorted(v, reverse=True)[4] for t, v in kth.items()}
+    assert got, "no heavy hitters returned"
+    for r in got:
+        assert r.approx_count == exact[(r.event_type, r.user_id)], r
+        assert r.approx_count >= kth[r.event_type], r
