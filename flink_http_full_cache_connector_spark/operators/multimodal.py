@@ -288,3 +288,81 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = attach_media(load_table(spark, sf_dir, "documents"))
     return frame_sample(media)
+
+
+# ---------------------------------------------------------------------------
+# resize with a DETERMINISTIC FAKE decoder (gate-visible twin of
+# decode_resize_images, whose real codec is stubbed behind pillow)
+# ---------------------------------------------------------------------------
+
+MAX_SIDE = 256
+DIM_MOD = 1009  # prime; fake dims in [16, 16+DIM_MOD)
+
+
+def fake_decode_dims(header_u32: int) -> tuple[int, int]:
+    """Deterministic fake decode: derive (width, height) from the payload's
+    32-bit header — pure integer arithmetic, reproducible in any engine."""
+    return 16 + header_u32 % DIM_MOD, 16 + (header_u32 // DIM_MOD) % DIM_MOD
+
+
+def fake_thumbnail(w: int, h: int, max_side: int = MAX_SIDE) -> tuple[int, int]:
+    """Integer aspect-preserving shrink-to-fit (floor division — engine-exact;
+    no-op when the image already fits)."""
+    m = max(w, h)
+    if m <= max_side:
+        return w, h
+    return max(1, w * max_side // m), max(1, h * max_side // m)
+
+
+def resize_images_fake(media: DataFrame, *, max_side: int = MAX_SIDE) -> DataFrame:
+    """Arrow-batched resize pass over binary payloads with the fake decoder:
+    identical Spark plumbing to decode_resize_images (widen → mapInPandas →
+    typed rows), but every step is deterministic and oracle-checkable."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                u32 = int.from_bytes(bytes(payload)[:HEADER_LEN], "big")
+                w, h = fake_decode_dims(u32)
+                ow, oh = fake_thumbnail(w, h, max_side)
+                rows.append((doc_id, w, h, ow, oh))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "out_width", "out_height"]
+            )
+
+    return widen(media).select("doc_id", "payload").mapInPandas(
+        batches,
+        "doc_id long, width int, height int, out_width int, out_height int",
+    )
+
+
+@register(
+    "multimodal_resize",
+    f"""
+    WITH dims AS (
+        SELECT doc_id,
+               (16 + ('0x' || hex(encode(substring(text, 1, {HEADER_LEN}))))::bigint
+                    % {DIM_MOD}) AS w,
+               (16 + (('0x' || hex(encode(substring(text, 1, {HEADER_LEN}))))::bigint
+                    // {DIM_MOD}) % {DIM_MOD}) AS h
+        FROM documents
+    )
+    SELECT doc_id, w::int AS width, h::int AS height,
+           (CASE WHEN greatest(w, h) <= {MAX_SIDE} THEN w
+                 ELSE greatest(1, w * {MAX_SIDE} // greatest(w, h)) END)::int
+               AS out_width,
+           (CASE WHEN greatest(w, h) <= {MAX_SIDE} THEN h
+                 ELSE greatest(1, h * {MAX_SIDE} // greatest(w, h)) END)::int
+               AS out_height
+    FROM dims
+    """,
+    doc=f"Image resize plumbing with a deterministic fake decoder (header "
+    f"u32 -> dims mod {DIM_MOD}; integer shrink-to-fit {MAX_SIDE}): the "
+    "gate-visible twin of decode_resize_images (real codec stubbed behind "
+    "pillow) — same widen -> Arrow mapInPandas -> typed-struct plan, every "
+    "value oracle-checked. Embarrassingly parallel, 0 shuffles.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = attach_media(load_table(spark, sf_dir, "documents"))
+    return resize_images_fake(media)

@@ -103,3 +103,18 @@ def test_mapinpandas_is_partition_parallel(spark, media):
     # beyond the widen repartition: features are map-side only
     plan = extract_features(media)._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+def test_fake_thumbnail_semantics():
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        MAX_SIDE,
+        fake_thumbnail,
+    )
+
+    assert fake_thumbnail(100, 50) == (100, 50)  # already fits: no-op
+    assert fake_thumbnail(MAX_SIDE, MAX_SIDE) == (MAX_SIDE, MAX_SIDE)
+    w, h = fake_thumbnail(512, 256)  # 2:1 landscape halves
+    assert (w, h) == (256, 128)
+    w, h = fake_thumbnail(1000, 10)  # extreme ratio floors but never hits 0
+    assert w == MAX_SIDE and h >= 1
+    assert max(fake_thumbnail(5000, 4999)) == MAX_SIDE
