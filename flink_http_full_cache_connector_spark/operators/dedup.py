@@ -791,3 +791,31 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(sim >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", trunc6(sim).alias("cos_sim"))
     )
+
+
+SIMHASH_MAX_HAMMING = 3  # < #bands: pigeonhole guarantees banded search is complete
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+WITH sigs AS ({_simhash_oracle()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::int AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+@register(
+    "dedup_simhash_pairs",
+    _simhash_pairs_oracle(),
+    doc=f"SimHash near-pair search, banded (4 x 15-bit pigeonhole): with "
+    f"max_hamming={SIMHASH_MAX_HAMMING} < 4 bands, any qualifying pair MUST "
+    "share at least one band, so the linear banded search is provably "
+    "complete — the oracle is the brute-force all-pairs Hamming scan and "
+    "the results must match EXACTLY (not just recall-bounded). Fingerprint "
+    "relation persisted (band self-join consumes it twice).",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = simhash(load_table(spark, sf_dir, "documents")).persist()
+    return simhash_near_pairs(sigs, max_hamming=SIMHASH_MAX_HAMMING)
