@@ -105,3 +105,25 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_id"),
         F.max("event_id").alias("max_id"),
     )
+
+
+@register(
+    "sample_weighted",
+    f"""
+    SELECT doc_id, n_chars, {_duck_bucket('doc_id')} AS bucket
+    FROM documents
+    WHERE {_duck_bucket('doc_id')} < n_chars
+    """,
+    doc="Deterministic weighted Bernoulli sampling: each document kept with "
+    "probability n_chars/1000 (longer docs proportionally more likely) by "
+    "comparing its md5 hash bucket to its own weight — per-row importance "
+    "sampling with zero shuffle, zero state, and exact reproducibility "
+    "across engines, runs, and partitionings (what weighted rand() "
+    "sampling can never give a 100 TB corpus).",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    b = hash_bucket(F.col("doc_id"))
+    return docs.where(b < F.col("n_chars")).select(
+        "doc_id", "n_chars", b.alias("bucket")
+    )

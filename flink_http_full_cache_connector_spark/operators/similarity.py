@@ -556,3 +556,37 @@ def sim_rerank_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.col("cos_sim")).alias("cos_sim"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+    SELECT dim::int AS dim, count(*)::bigint AS n, min(v) AS min_v, max(v) AS max_v
+    FROM (
+        SELECT unnest(range(len(embedding))) AS dim,
+               unnest(embedding)::double AS v
+        FROM embeddings
+    )
+    GROUP BY dim
+    """,
+    doc="Per-dimension profile of the embedding column (posexplode -> "
+    "min/max/count per dim): the feature-normalization statistics every "
+    "embedding pipeline computes before whitening/quantization, and the "
+    "drift monitor for a continuously-ingested corpus. The explode fans "
+    "each vector into dim rows map-side; partial aggregation collapses "
+    "them to one (dim, stats) row per partition before the tiny "
+    "dim-keyed shuffle — dims is a constant, so the exchange carries "
+    "O(partitions x dim) rows regardless of corpus size. Floats only "
+    "under order-independent min/max (no float SUM cross-engine).",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = widen(load_table(spark, sf_dir, "embeddings"))
+    return (
+        emb.select(F.posexplode(as_double(F.col("embedding"))).alias("dim", "v"))
+        .groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+    )

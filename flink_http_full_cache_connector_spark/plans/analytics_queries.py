@@ -587,3 +587,102 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item.item").alias("user_id"),
         F.col("item.count").alias("approx_count"),
     )
+
+
+Q3_CUTOFF = "1998-06-01"
+Q3_SEGMENT = "BUILDING"
+Q3_TOP_N = 10
+
+
+@register(
+    "shipping_priority",
+    f"""
+    SELECT l.l_orderkey,
+           sum(l.l_extendedprice::DECIMAL(18,2)
+               * (1 - l.l_discount::DECIMAL(18,2)))::DOUBLE AS revenue,
+           o.o_orderdate::TIMESTAMP AS o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+      AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF} 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT {Q3_TOP_N}
+    """,
+    doc=f"Shipping-priority top-{Q3_TOP_N} (TPC-H Q3 shape): 3-table "
+    "selective star join -> revenue aggregate -> global top-k. Filters "
+    "reach both parquet scans (pushed predicates prune before the joins); "
+    "the filtered customer side is broadcast, so only the orders<->lineitem "
+    "join shuffles on the uniform orderkey; the final ordering is "
+    "TakeOrderedAndProject (per-partition heaps, O(k) driver bytes), never "
+    "a global sort. Revenue is exact DECIMAL until the final DOUBLE cast; "
+    "ties break on l_orderkey so the LIMIT boundary is deterministic.",
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit(f"{Q3_CUTOFF} 00:00:00").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == Q3_SEGMENT)
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        widen(load_table(spark, sf_dir, "lineitem"))
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(Q3_TOP_N)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "array_funcs_users",
+    """
+    WITH t AS (
+        SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           len(types)::int AS n_types,
+           array_to_string(types, ',') AS types_str,
+           array_to_string(list_filter(types, t -> starts_with(t, 'p')), ',')
+               AS p_types_str,
+           len(list_filter(types, t -> t = 'error')) > 0 AS had_error
+    FROM t
+    """,
+    doc="Higher-order array functions (the lambda surface: filter / exists "
+    "over an aggregated array): per-user sorted distinct event-type list, "
+    "prefix-filtered sublist, membership flag. collect_set is array_sort-ed "
+    "before any emission (Spark's collect order is nondeterministic by "
+    "contract); arrays leave the query joined as strings so the comparison "
+    "is value-typed. One user-key shuffle; lambdas run inside codegen.",
+)
+def array_funcs_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    t = events.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    return t.select(
+        "user_id",
+        F.size("types").cast("int").alias("n_types"),
+        F.array_join("types", ",").alias("types_str"),
+        F.array_join(
+            F.filter("types", lambda x: x.startswith("p")), ","
+        ).alias("p_types_str"),
+        F.exists("types", lambda x: x == "error").alias("had_error"),
+    )

@@ -395,3 +395,110 @@ def order_price_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("price_rank"),
         F.dense_rank().over(w).alias("price_dense_rank"),
     )
+
+
+@register(
+    "grouping_sets_events",
+    """
+    SELECT event_type, ts::DATE::VARCHAR AS day,
+           grouping(event_type)::int AS g_type, grouping(day)::int AS g_day,
+           count(*)::bigint AS cnt, min(value) AS min_val, max(value) AS max_val
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (day))
+    """,
+    doc="Explicit GROUPING SETS ((type), (day)) — two independent dimension "
+    "summaries in ONE scan + one partial-agg shuffle, the case neither "
+    "ROLLUP (hierarchical) nor CUBE (all 4 sets) expresses. Completes the "
+    "grouping-sets family next to rollup_events / cube_events; grouping "
+    "flags disambiguate subtotal NULLs from data NULLs.",
+)
+def grouping_sets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type", F.to_date("ts").cast("string").alias("day"), "value"
+        )
+        .groupingSets([["event_type"], ["day"]], "event_type", "day")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+            F.count("*").alias("cnt"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+    )
+
+
+UNPIVOT_METRICS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{m}' AS metric, count({m})::bigint AS cnt,
+               min({m}) AS min_val, max({m}) AS max_val
+        FROM lineitem
+        """
+        for m in UNPIVOT_METRICS
+    ),
+    doc="Unpivot (wide -> long, the inverse of pivot_events): lineitem's four "
+    "measure columns melted into (metric, val) rows then profiled per "
+    "metric. Spark Expand emits 4 rows per input row map-side; partial "
+    "aggregation collapses them before the single 4-key shuffle — the "
+    "data-profiling shape that feeds schema-drift monitors. Floats only "
+    "under order-independent min/max.",
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ["l_orderkey", "l_linenumber"], list(UNPIVOT_METRICS), "metric", "val"
+    )
+    return long.groupBy("metric").agg(
+        F.count("val").alias("cnt"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+HOUR_US = 3_600 * 1_000_000
+
+
+@register(
+    "rolling_1h_events",
+    f"""
+    WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us, value
+        FROM events
+    )
+    SELECT event_id, user_id, us,
+           count(*) OVER w AS cnt_1h,
+           max(value) OVER w AS max_val_1h
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN {HOUR_US} PRECEDING AND CURRENT ROW)
+    """,
+    doc="Per-user trailing-1-hour rolling window (RANGE frame over integer "
+    "microseconds — value-based frames, the family rowsBetween can't "
+    "express; calendar-free so engines agree exactly). One user-key "
+    "shuffle + per-key sort; frame state is a sliding aggregate, O(frame) "
+    "memory per key regardless of history length. RANGE + CURRENT ROW "
+    "includes ts-peers on both engines (SQL-standard peer semantics).",
+)
+def rolling_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-HOUR_US, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "us",
+        F.count("*").over(w).alias("cnt_1h"),
+        F.max("value").over(w).alias("max_val_1h"),
+    )

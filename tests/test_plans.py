@@ -167,3 +167,63 @@ def test_text_ops_are_scan_only(spark):
     # per-row select: the only exchange allowed is the widen() round-robin
     assert "Exchange hashpartitioning" not in plan, plan
     assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_shipping_priority_heap_broadcast_pushdown(spark):
+    """Q3 shape: pushed date filters, broadcast customer side, and a
+    TakeOrderedAndProject top-k (never a global range-partitioned sort)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["shipping_priority"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("o_orderdate" in ln and "LessThan" in ln for ln in pushed), plan
+    assert any("l_shipdate" in ln and "GreaterThan" in ln for ln in pushed), plan
+
+
+def test_rolling_window_single_key_shuffle(spark):
+    """The RANGE-frame rolling window costs exactly one user_id exchange."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["rolling_1h_events"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_weighted_sample_is_shuffle_free(spark):
+    """Weighted Bernoulli sampling is a map-side filter: no exchange beyond
+    the local-parallelism widen() round-robin (which is not a hash shuffle)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["sample_weighted"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_unpivot_partial_aggregates_before_shuffle(spark):
+    """Expand (4 metric rows per input row) must collapse via map-side
+    partial aggregation before the single tiny metric-key exchange."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["unpivot_lineitem_metrics"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # partial + final HashAggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_dim_stats_partial_aggregates_explode(spark):
+    """posexplode fan-out is collapsed by partial aggregation: the dim-keyed
+    exchange carries O(partitions x dims) rows, not corpus x dims."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["embedding_dim_stats"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Generate" in plan, plan  # the explode
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan
