@@ -686,3 +686,49 @@ def array_funcs_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p_types_str"),
         F.exists("types", lambda x: x == "error").alias("had_error"),
     )
+
+
+@register(
+    "map_funcs_users",
+    """
+    SELECT user_id,
+           count(DISTINCT event_type)::int AS n_types,
+           sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::bigint
+               AS click_cnt,
+           sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::bigint
+               AS purchase_cnt,
+           count(DISTINCT CASE WHEN cnt_per_type >= 3 THEN event_type END)::int
+               AS n_frequent
+    FROM (
+        SELECT user_id, event_type,
+               count(*) OVER (PARTITION BY user_id, event_type) AS cnt_per_type
+        FROM events
+    )
+    GROUP BY user_id
+    """,
+    doc="MapType surface (absent from the reference's type system, SURVEY.md "
+    "§1.5): per-user event_type -> count map built with map_from_entries "
+    "over sorted collected pairs, probed with element_at (missing key -> "
+    "0), sized with cardinality, and reduced with map_filter (types seen "
+    ">= 3x). The DuckDB oracle computes the same VALUES via conditional "
+    "aggregation — maps are engine-internal representation, the contract "
+    "is the numbers. One user-key shuffle; all map ops inside codegen.",
+)
+def map_funcs_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    zero = F.lit(0).cast("long")
+    return maps.select(
+        "user_id",
+        F.cardinality("m").cast("int").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), zero).alias("click_cnt"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), zero).alias("purchase_cnt"),
+        F.cardinality(F.map_filter("m", lambda k, v: v >= 3)).cast("int").alias(
+            "n_frequent"
+        ),
+    )

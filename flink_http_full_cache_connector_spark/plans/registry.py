@@ -48,6 +48,7 @@ def all_queries() -> dict[str, QueryDef]:
     try:
         from flink_http_full_cache_connector_spark.operators import (  # noqa: F401
             asof,
+            bloom,
             dedup,
             multimodal,
             pipeline,
