@@ -128,3 +128,68 @@ def build_training_corpus(
             F.max("doc_id").alias("max_id"),
         )
     )
+
+
+@register(
+    "observe_corpus_metrics",
+    f"""
+    WITH scored AS (
+        SELECT {duck_lang_expr()} AS lang_pred,
+               {duck_quality_expr()} AS quality
+        FROM documents
+    )
+    SELECT count(*)::bigint AS n_docs,
+           sum(CASE WHEN lang_pred = '{KEEP_LANG}' THEN 1 ELSE 0 END)::bigint
+               AS n_en,
+           sum(CASE WHEN quality >= {QUALITY_CUT} THEN 1 ELSE 0 END)::bigint
+               AS n_quality_pass,
+           sum(CASE WHEN lang_pred = '{KEEP_LANG}' AND quality >= {QUALITY_CUT}
+                    THEN 1 ELSE 0 END)::bigint AS n_kept,
+           min(quality) AS min_quality, max(quality) AS max_quality
+    FROM scored
+    """,
+    doc="Zero-extra-pass pipeline monitoring via df.observe(Observation): "
+    "the corpus-cleaning scan carries accumulator-style aggregates (doc "
+    "counts, filter pass rates, quality envelope) computed DURING the "
+    "action — at 100 TB the data-quality dashboard costs no second scan. "
+    "The observed metrics come back as a 1-row local DataFrame; the "
+    "oracle recomputes them with plain aggregation, proving the "
+    "observation path is value-exact (counts exact, floats only under "
+    "order-independent min/max).",
+)
+def observe_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    scored = docs.select(
+        lang_id(text).alias("lang_pred"), quality_score(text).alias("quality")
+    )
+    is_en = (F.col("lang_pred") == KEEP_LANG).cast("long")
+    passes = (F.col("quality") >= QUALITY_CUT).cast("long")
+    obs = Observation("corpus_metrics")
+    observed = scored.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_en).alias("n_en"),
+        F.sum(passes).alias("n_quality_pass"),
+        F.sum(is_en * passes).alias("n_kept"),
+        F.min("quality").alias("min_quality"),
+        F.max("quality").alias("max_quality"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                m["n_docs"],
+                m["n_en"],
+                m["n_quality_pass"],
+                m["n_kept"],
+                float(m["min_quality"]),
+                float(m["max_quality"]),
+            )
+        ],
+        "n_docs long, n_en long, n_quality_pass long, n_kept long, "
+        "min_quality double, max_quality double",
+    )

@@ -502,3 +502,67 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("agree").alias("langid_agree"),
         )
     )
+
+
+CHUNK_TOKENS = 16
+CHUNK_STRIDE = 12
+
+
+@register(
+    "text_chunks_udtf",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, ts,
+               unnest(range(0, greatest(len(ts), 1), {CHUNK_STRIDE})) AS start
+        FROM toks
+    )
+    SELECT doc_id, (start // {CHUNK_STRIDE})::int AS chunk_idx,
+           array_to_string(ts[start + 1 : start + {CHUNK_TOKENS}], ' ')
+               AS chunk_text,
+           least({CHUNK_TOKENS}, len(ts) - start)::int AS n_tokens
+    FROM starts WHERE len(ts) - start > 0
+    """,
+    doc=f"Python UDTF surface (Spark 4 user-defined TABLE function, "
+    "Arrow-batched via useArrow=True): "
+    f"sliding-window document chunking ({CHUNK_TOKENS} tokens, stride "
+    f"{CHUNK_STRIDE}) as a LATERAL table function — one doc fans out to "
+    "overlapping context-window rows, the shape every pretraining/RAG "
+    "pipeline runs before tokenization. The UDTF is the sanctioned escape "
+    "hatch for fan-out transforms that genuinely need Python (real BPE "
+    "tokenizers, model-based segmenters); this one is whitespace-token "
+    "windowing on purpose so the DuckDB oracle can replay it exactly and "
+    "pin the plumbing (window starts, overlap, tail handling, token "
+    "counts). Embarrassingly parallel: no shuffle, Arrow batches, "
+    "per-row independent.",
+)
+def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk_text string, n_tokens int", useArrow=True)
+    class ChunkDoc:
+        def eval(self, text: str):  # noqa: ANN001
+            toks = (text or "").split()
+            for start in range(0, max(len(toks), 1), CHUNK_STRIDE):
+                n = min(CHUNK_TOKENS, len(toks) - start)
+                if n > 0:
+                    yield (
+                        start // CHUNK_STRIDE,
+                        " ".join(toks[start : start + CHUNK_TOKENS]),
+                        n,
+                    )
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    widen(load_table(spark, sf_dir, "documents")).createOrReplaceTempView(
+        "documents_udtf_src"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.n_tokens
+        FROM documents_udtf_src d, LATERAL chunk_doc(d.text) c
+        """
+    )

@@ -502,3 +502,84 @@ def rolling_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cnt_1h"),
         F.max("value").over(w).alias("max_val_1h"),
     )
+
+
+@register(
+    "gapfill_locf_events",
+    f"""
+    WITH ev0 AS (
+        SELECT user_id, epoch_us(ts::TIMESTAMP) AS us, value,
+               row_number() OVER (
+                   PARTITION BY user_id, epoch_us(ts::TIMESTAMP)
+                   ORDER BY event_id DESC) AS rn
+        FROM events
+    ),
+    ev AS (SELECT user_id, us, value FROM ev0 WHERE rn = 1),
+    bounds AS (
+        SELECT user_id, min(us) // {HOUR_US} AS h0, max(us) // {HOUR_US} AS h1
+        FROM ev GROUP BY user_id
+    ),
+    g AS (
+        SELECT user_id, unnest(generate_series(h0, h1)) AS hour,
+               (unnest(generate_series(h0, h1)) + 1) * {HOUR_US} - 1 AS cutoff
+        FROM bounds
+    )
+    SELECT g.user_id, g.hour::bigint AS hour, ev.value AS value_locf
+    FROM g ASOF LEFT JOIN ev
+        ON g.user_id = ev.user_id AND ev.us <= g.cutoff
+    """,
+    doc="Time-series gap fill with LOCF (last observation carried forward): "
+    "per user, an hourly grid from first to last event, each grid point "
+    "carrying the most recent value at or before the hour's end — the "
+    "regularization step every feature/training pipeline runs on "
+    "irregular event streams. Implemented like the as-of join: union the "
+    "grid (null value) with the events and take running last(ignorenulls) "
+    "per user ordered by (us, kind) — ONE user-key shuffle, no grid x "
+    "events range join. Ties at one microsecond collapse to the highest "
+    "event_id first (canonicalized on both engines); the grid is integer "
+    "epoch-hours so the frame is calendar-free and engine-exact; the "
+    "carried value is never arithmetic'd, so floats stay bit-identical. "
+    "Oracle is DuckDB's native ASOF LEFT JOIN against the same grid.",
+)
+def gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    ev0 = events.select(
+        "user_id", F.unix_micros(F.col("ts")).alias("us"), "value", "event_id"
+    )
+    w_tie = Window.partitionBy("user_id", "us").orderBy(F.col("event_id").desc())
+    ev = (
+        ev0.withColumn("rn", F.row_number().over(w_tie))
+        .where(F.col("rn") == 1)
+        .select("user_id", "us", "value")
+    )
+    bounds = ev.groupBy("user_id").agg(
+        F.expr(f"min(us) div {HOUR_US}").alias("h0"),
+        F.expr(f"max(us) div {HOUR_US}").alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
+    ).select(
+        "user_id",
+        "hour",
+        ((F.col("hour") + 1) * HOUR_US - 1).alias("us"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(1).alias("kind"),
+    )
+    ev_rows = ev.select(
+        "user_id",
+        "us",
+        "value",
+        F.lit(0).alias("kind"),
+        F.lit(None).cast("long").alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = ev_rows.unionByName(grid.select("user_id", "us", "value", "kind", "hour"))
+    return (
+        unioned.withColumn("value_locf", F.last("value", ignorenulls=True).over(w))
+        .where(F.col("kind") == 1)
+        .select("user_id", "hour", "value_locf")
+    )
