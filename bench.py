@@ -55,6 +55,11 @@ def main() -> None:
             t0 = time.perf_counter()
             qd.spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            # operators that persist() intermediates (LSH signatures, shingle
+            # tables, ...) would otherwise accumulate a new cache entry per
+            # run — dozens of dead cached relations by the end of the sweep,
+            # paying GC/memory pressure in whatever query runs later
+            spark.catalog.clearCache()
         timings[name] = round(best, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 

@@ -732,3 +732,31 @@ def map_funcs_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_frequent"
         ),
     )
+
+
+@register(
+    "window_dist_events",
+    """
+    SELECT event_id, user_id,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+    doc="Distribution-ranking windows (percent_rank / cume_dist — the "
+    "remaining analytic-window family next to rank/dense_rank/ntile/"
+    "row_number): each event's value position within its user's history. "
+    "The ORDER BY carries an event_id tie-break so ranks are unique and "
+    "both ratios are exact small-integer divisions (engine-identical "
+    "doubles). Partitioned by high-cardinality user_id — one uniform key "
+    "shuffle, never a few-group serialization.",
+)
+def window_dist_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

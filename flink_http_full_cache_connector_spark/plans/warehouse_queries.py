@@ -542,44 +542,56 @@ def rolling_1h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Oracle is DuckDB's native ASOF LEFT JOIN against the same grid.",
 )
 def gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.gapfill import gapfill_locf
+
     events = load_table(spark, sf_dir, "events")
-    ev0 = events.select(
+    ev = events.select(
         "user_id", F.unix_micros(F.col("ts")).alias("us"), "value", "event_id"
     )
-    w_tie = Window.partitionBy("user_id", "us").orderBy(F.col("event_id").desc())
-    ev = (
-        ev0.withColumn("rn", F.row_number().over(w_tie))
-        .where(F.col("rn") == 1)
-        .select("user_id", "us", "value")
+    return gapfill_locf(
+        ev,
+        key_col="user_id",
+        us_col="us",
+        val_col="value",
+        tie_col="event_id",
+        step_us=HOUR_US,
+    ).withColumnRenamed("bucket", "hour")
+
+
+@register(
+    "recursive_order_chains",
+    """
+    WITH RECURSIVE chain AS (
+        SELECT o_orderkey AS root, o_orderkey AS node, 0 AS depth FROM orders
+        UNION ALL
+        SELECT root, node // 2 AS node, depth + 1 AS depth
+        FROM chain WHERE node > 0
     )
-    bounds = ev.groupBy("user_id").agg(
-        F.expr(f"min(us) div {HOUR_US}").alias("h0"),
-        F.expr(f"max(us) div {HOUR_US}").alias("h1"),
-    )
-    grid = bounds.select(
-        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour")
-    ).select(
-        "user_id",
-        "hour",
-        ((F.col("hour") + 1) * HOUR_US - 1).alias("us"),
-        F.lit(None).cast("double").alias("value"),
-        F.lit(1).alias("kind"),
-    )
-    ev_rows = ev.select(
-        "user_id",
-        "us",
-        "value",
-        F.lit(0).alias("kind"),
-        F.lit(None).cast("long").alias("hour"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "kind")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    unioned = ev_rows.unionByName(grid.select("user_id", "us", "value", "kind", "hour"))
-    return (
-        unioned.withColumn("value_locf", F.last("value", ignorenulls=True).over(w))
-        .where(F.col("kind") == 1)
-        .select("user_id", "hour", "value_locf")
+    SELECT root, max(depth)::int AS chain_len, sum(node)::bigint AS chain_sum
+    FROM chain GROUP BY root
+    """,
+    doc="Recursive CTE surface (Spark 4 WITH RECURSIVE, UNION ALL form): "
+    "per-order halving chains k -> k/2 -> ... -> 0 — an acyclic recursion "
+    "whose depth is the key's bit length, aggregated back to one row per "
+    "root. Exercises the iterative-plan machinery (bounded by "
+    "spark.sql.cteRecursionLevelLimit) on linear total rows; the DuckDB "
+    "oracle runs the same ANSI recursion. UNION-distinct recursion (cyclic "
+    "closures) is not yet in Spark — the engine's iterative operators "
+    "(connected components, Lloyd) cover that family with driver loops.",
+)
+def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte_src")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+            SELECT o_orderkey AS root, o_orderkey AS node, 0 AS depth
+            FROM orders_rcte_src
+            UNION ALL
+            SELECT root, node DIV 2 AS node, depth + 1 AS depth
+            FROM chain WHERE node > 0
+        )
+        SELECT root, CAST(max(depth) AS int) AS chain_len,
+               CAST(sum(node) AS bigint) AS chain_sum
+        FROM chain GROUP BY root
+        """
     )

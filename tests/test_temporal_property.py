@@ -152,3 +152,47 @@ def test_connected_components_matches_union_find(spark, edge_list):
         union(a, b)
     want = {(v, find(v)) for v in parent}
     assert got == want
+
+
+# gap-fill LOCF: arbitrary (key, second, value) events with possible
+# same-timestamp ties — expected model computed by brute force
+gap_events = st.lists(
+    st.tuples(st.integers(1, 3), st.integers(0, 120), st.integers(0, 99)),
+    min_size=1,
+    max_size=20,
+)
+GAP_STEP_US = 30 * 1_000_000  # 30-second buckets
+
+
+@settings(max_examples=12, deadline=None)
+@given(gap_events)
+def test_gapfill_locf_matches_brute_force(spark, rows):
+    from flink_http_full_cache_connector_spark.operators.gapfill import gapfill_locf
+
+    # tie-break id = list position; value derived from it so ties at one
+    # (key, ts) have distinct values and the canonicalization is observable
+    data = [
+        (k, s * 1_000_000, float(v * 10 + i), i) for i, (k, s, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k int, us long, value double, eid int")
+    got = {
+        (r.k, r.bucket): r.value_locf
+        for r in gapfill_locf(
+            df, key_col="k", us_col="us", val_col="value", tie_col="eid",
+            step_us=GAP_STEP_US,
+        ).collect()
+    }
+
+    by_key: dict[int, list] = {}
+    for k, us, v, eid in data:
+        by_key.setdefault(k, []).append((us, eid, v))
+    expected = {}
+    for k, evs in by_key.items():
+        lo = min(us for us, _, _ in evs) // GAP_STEP_US
+        hi = max(us for us, _, _ in evs) // GAP_STEP_US
+        for b in range(lo, hi + 1):
+            cutoff = (b + 1) * GAP_STEP_US - 1
+            prior = [(us, eid, v) for us, eid, v in evs if us <= cutoff]
+            # last observation = max (us, eid); first bucket always has one
+            expected[(k, b)] = max(prior)[2]
+    assert got == expected
