@@ -760,3 +760,71 @@ def window_dist_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    "variant_props_stats",
+    """
+    SELECT event_type,
+           min(json_extract(props, '$.k')::int) AS min_k,
+           max(json_extract(props, '$.k')::int) AS max_k,
+           sum(json_extract(props, '$.k')::bigint)::bigint AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    doc="Semi-structured VariantType surface (Spark 4): props parsed ONCE "
+    "into the binary variant encoding (parse_json), then field-extracted "
+    "with variant_get — at 100 TB this replaces per-extraction string "
+    "re-parsing (get_json_object, the json_props_stats twin) with "
+    "parse-once binary access, the engine answer to schemaless columns. "
+    "Same aggregates as the string-path twin so the oracle (DuckDB "
+    "json_extract) pins both representations to identical values.",
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "int")
+    return events.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )
+
+
+@register(
+    "window_first_last_events",
+    """
+    SELECT event_id, user_id,
+           first_value(value) OVER w AS first_val,
+           last_value(value) OVER w AS last_val,
+           nth_value(value, 3) OVER w AS third_val
+    FROM (SELECT event_id, user_id, value, epoch_us(ts::TIMESTAMP) AS us
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    doc="Value-navigation windows (first_value / last_value / nth_value — "
+    "completing the analytic family next to lag/rank/ntile/percent_rank): "
+    "each event annotated with its user's first, last, and third "
+    "chronological value. The frame is explicitly UNBOUNDED FOLLOWING "
+    "(last_value under the default frame is the running current row — a "
+    "classic cross-engine trap), ordering carries an event_id tie-break, "
+    "and values are carried not computed, so floats stay bit-identical. "
+    "One uniform user-key shuffle.",
+)
+def window_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    e = events.select(
+        "event_id", "user_id", "value", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 3).over(w).alias("third_val"),
+    )

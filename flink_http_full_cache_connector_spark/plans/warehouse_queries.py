@@ -564,22 +564,28 @@ def gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE chain AS (
         SELECT o_orderkey AS root, o_orderkey AS node, 0 AS depth FROM orders
         UNION ALL
-        SELECT root, node // 2 AS node, depth + 1 AS depth
+        SELECT root, node // 16 AS node, depth + 1 AS depth
         FROM chain WHERE node > 0
     )
     SELECT root, max(depth)::int AS chain_len, sum(node)::bigint AS chain_sum
     FROM chain GROUP BY root
     """,
     doc="Recursive CTE surface (Spark 4 WITH RECURSIVE, UNION ALL form): "
-    "per-order halving chains k -> k/2 -> ... -> 0 — an acyclic recursion "
-    "whose depth is the key's bit length, aggregated back to one row per "
-    "root. Exercises the iterative-plan machinery (bounded by "
-    "spark.sql.cteRecursionLevelLimit) on linear total rows; the DuckDB "
-    "oracle runs the same ANSI recursion. UNION-distinct recursion (cyclic "
-    "closures) is not yet in Spark — the engine's iterative operators "
-    "(connected components, Lloyd) cover that family with driver loops.",
+    "per-order base-16 digit chains k -> k/16 -> ... -> 0 — an acyclic "
+    "recursion of depth = the key's hex length, aggregated back to one "
+    "row per root. Depth choice IS the scale knob: every recursion level "
+    "is a serial barrier (one distributed job) at any cluster size, so a "
+    "higher radix buys a shorter critical path for identical semantics. "
+    "The DuckDB oracle runs the same ANSI recursion. UNION-distinct "
+    "recursion (cyclic closures) is not yet in Spark — the engine's "
+    "iterative operators (connected components, Lloyd) cover that family "
+    "with driver loops.",
 )
 def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows accumulated across ALL iterations count against this limit:
+    # ~|orders| x hex-length(orderkey) (≈1M at sf0.1) — size it to the
+    # data like shuffle partitions, the default 1M is a local safety net
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(500_000_000))
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte_src")
     return spark.sql(
         """
@@ -587,7 +593,7 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT o_orderkey AS root, o_orderkey AS node, 0 AS depth
             FROM orders_rcte_src
             UNION ALL
-            SELECT root, node DIV 2 AS node, depth + 1 AS depth
+            SELECT root, node DIV 16 AS node, depth + 1 AS depth
             FROM chain WHERE node > 0
         )
         SELECT root, CAST(max(depth) AS int) AS chain_len,

@@ -227,3 +227,23 @@ def test_dim_stats_partial_aggregates_explode(spark):
     assert "Generate" in plan, plan  # the explode
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_udtf_is_arrow_batched(spark):
+    """The chunking UDTF must compile to ArrowEvalPythonUDTF (useArrow=True)
+    — row-at-a-time BatchEvalPythonUDTF would also trip the fleet lint."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["text_chunks_udtf"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "ArrowEvalPythonUDTF" in plan, plan
+
+
+def test_variant_parse_stays_jvm_side(spark):
+    """VariantType extraction is JVM expressions — no Python eval nodes."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["variant_props_stats"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
