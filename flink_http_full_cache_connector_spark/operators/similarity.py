@@ -180,6 +180,7 @@ def ivf_train(
     cent = corpus.orderBy(id_col).limit(k).select(
         F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("cv")
     )
+    prev = None
     for _ in range(iters):
         assign = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
         means = assign.groupBy("cell_id").agg(
@@ -190,6 +191,15 @@ def ivf_train(
             cent.join(means, cent["cent_id"] == means["cell_id"], "left")
             .select("cent_id", F.coalesce(F.col("mv"), F.col("cv")).alias("cv"))
         )
+        # per-iteration persist + materialize keeps lineage flat (same driver
+        # pattern as connected_components): without it every iteration's
+        # broadcast re-executes the whole prior chain — O(iters^2) work and a
+        # recompiled deep plan per level
+        cent = cent.persist()
+        cent.count()
+        if prev is not None:
+            prev.unpersist()
+        prev = cent
     return cent
 
 
@@ -201,7 +211,7 @@ def ivf_train(
 )
 def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = ivf_train(emb).persist()
+    cent = ivf_train(emb)  # returned already persisted + materialized
     assign = ivf_assign(emb, cent)
     q = emb.where(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")

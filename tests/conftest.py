@@ -34,6 +34,21 @@ def spark():
     spark.stop()
 
 
+@pytest.fixture(autouse=True)
+def _clear_spark_cache(request):
+    """Drop cached relations after each test: operators that persist()
+    intermediates (LSH signatures, shingle tables, Lloyd centroids) would
+    otherwise accumulate across the session-scoped SparkSession — hundreds
+    of dead cache entries by the end of the suite, ending in driver OOM in
+    whichever memory-hungry test runs late."""
+    yield
+    if "spark" in request.fixturenames:
+        try:
+            request.getfixturevalue("spark").catalog.clearCache()
+        except Exception:
+            pass
+
+
 # --- golden 10-user fixture (FIXTURES.md F1; integration test :57-84) ------
 
 USERS_V1 = [
