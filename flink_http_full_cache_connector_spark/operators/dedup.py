@@ -819,3 +819,70 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = simhash(load_table(spark, sf_dir, "documents")).persist()
     return simhash_near_pairs(sigs, max_hamming=SIMHASH_MAX_HAMMING)
+
+
+CONTAINMENT_THRESHOLD = 0.6
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, s FROM (
+            SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
+        )
+    ),
+    sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {duck_trunc6('i / sa.n')} AS cont_a_in_b,
+           {duck_trunc6('i / sb.n')} AS cont_b_in_a
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i / sa.n >= {CONTAINMENT_THRESHOLD}
+       OR i / sb.n >= {CONTAINMENT_THRESHOLD}
+    """,
+    doc="Asymmetric shingle containment |A∩B|/|A| — the near-dup measure "
+    "symmetric Jaccard structurally misses: a short document quoted inside "
+    "a long one has high containment but low Jaccard (and minhash-LSH, "
+    "which estimates Jaccard, cannot recall it). Candidate generation is "
+    "the shingle-hash equi-join itself: one shuffle keyed on the (uniform, "
+    "high-cardinality) shingle value, pair aggregation collapses "
+    "co-occurrences map-side — the boilerplate/quote-detection pass of a "
+    "corpus cleanup. Both directions emitted when either crosses the "
+    "threshold.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_table(docs).select("doc_id", "s").persist()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, on=["s"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont_ab = F.col("i") / F.col("na")
+    cont_ba = F.col("i") / F.col("nb")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            (cont_ab >= CONTAINMENT_THRESHOLD) | (cont_ba >= CONTAINMENT_THRESHOLD)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            trunc6(cont_ab).alias("cont_a_in_b"),
+            trunc6(cont_ba).alias("cont_b_in_a"),
+        )
+    )

@@ -27,7 +27,11 @@ def spark():
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        # the session-scoped driver JVM survives ~3000 actions across the
+        # suite; generated classes + pending broadcast cleanups need headroom
+        # and an eager ContextCleaner or the longest-running session OOMs
+        .config("spark.driver.memory", "8g")
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .getOrCreate()
     )
     yield spark
