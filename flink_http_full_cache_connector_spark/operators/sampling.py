@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_http_full_cache_connector_spark.operators import dedup as _dedup
 from flink_http_full_cache_connector_spark.operators.scale import widen
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
 
@@ -126,4 +127,66 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hash_bucket(F.col("doc_id"))
     return docs.where(b < F.col("n_chars")).select(
         "doc_id", "n_chars", b.alias("bucket")
+    )
+
+
+@register(
+    "split_leakage_report",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_dedup._DUCK_SHINGLES}) AS s FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i / (sa.n + sb.n - i) >= {_dedup.JACCARD_THRESHOLD}
+    ),
+    split AS (
+        SELECT doc_id,
+               CASE {' '.join(f"WHEN {_duck_bucket('doc_id')} >= {lo} AND {_duck_bucket('doc_id')} < {hi} THEN '{name}'" for name, lo, hi in SPLITS)}
+               END AS sp
+        FROM documents
+    )
+    SELECT least(x.sp, y.sp) AS split_lo, greatest(x.sp, y.sp) AS split_hi,
+           (x.sp <> y.sp) AS leaks, count(*)::bigint AS pairs
+    FROM pairs JOIN split x ON x.doc_id = doc_a JOIN split y ON y.doc_id = doc_b
+    GROUP BY 1, 2, 3
+    """,
+    doc="Train/test leakage audit over the NEAR-dup pair graph: every "
+    "Jaccard>=0.5 document pair bucketed by the split pair its members "
+    "landed in — the eval-contamination check every corpus build must "
+    "run (near-identical texts carry different doc_ids, so an id-hash "
+    "split happily strands copies across train and test; rows with "
+    "leaks=true are exactly that). Reuses the shingle-join pair "
+    "machinery (one uniform shingle-key shuffle) + the map-side split "
+    "assignment; output is a <=6-row split-pair matrix. The fix this "
+    "report motivates: dedup or cluster BEFORE splitting "
+    "(pipeline.build_training_corpus splits after dedup-keep-first).",
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        dedup_ngram_jaccard,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    split = docs.select("doc_id", split_column(F.col("doc_id")).alias("sp"))
+    sx = split.select(F.col("doc_id").alias("doc_a"), F.col("sp").alias("sp_a"))
+    sy = split.select(F.col("doc_id").alias("doc_b"), F.col("sp").alias("sp_b"))
+    return (
+        pairs.join(sx, "doc_a")
+        .join(sy, "doc_b")
+        .groupBy(
+            F.least("sp_a", "sp_b").alias("split_lo"),
+            F.greatest("sp_a", "sp_b").alias("split_hi"),
+            (F.col("sp_a") != F.col("sp_b")).alias("leaks"),
+        )
+        .agg(F.count("*").alias("pairs"))
     )

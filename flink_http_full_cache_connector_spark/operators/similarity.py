@@ -600,3 +600,63 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v").alias("max_v"),
         )
     )
+
+
+NEG_K = 4
+NEG_MULT = 2654435761  # Knuth multiplicative hash constant
+NEG_STEP = 40503
+
+
+@register(
+    "contrastive_negatives",
+    f"""
+    WITH n AS (SELECT count(*) AS n FROM embeddings),
+    ks AS (SELECT unnest(range(1, {NEG_K + 1})) AS k),
+    negs AS (
+        SELECT e.vec_id AS anchor_id, ks.k,
+               (e.vec_id * {NEG_MULT} + ks.k * {NEG_STEP}) % n.n AS negative_id
+        FROM embeddings e CROSS JOIN n CROSS JOIN ks
+    )
+    SELECT anchor_id, k::int AS k, negative_id,
+           (a.label = b.label) AS same_label
+    FROM negs
+    JOIN embeddings a ON a.vec_id = anchor_id
+    JOIN embeddings b ON b.vec_id = negative_id
+    WHERE negative_id <> anchor_id
+    """,
+    doc=f"Deterministic contrastive negative mining: {NEG_K} pseudo-random "
+    "negatives per anchor via a Knuth multiplicative hash over the dense "
+    "id space — the negative-pair generator contrastive/embedding training "
+    "needs at corpus scale, with zero rand() (same pairs every run, every "
+    "engine, any partitioning, resumable mid-job). Assignment is pure "
+    "map-side arithmetic (the corpus count broadcasts as one row); the "
+    "only data-sized shuffle is the uniform vec_id join that re-attaches "
+    "the negative's label (same_label marks collisions a loss would mask "
+    "or drop).",
+)
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = widen(load_table(spark, sf_dir, "embeddings")).select("vec_id", "label")
+    n = emb.agg(F.count("*").alias("n"))
+    anchors = (
+        emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("la"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "anchor_id",
+            "la",
+            F.explode(F.sequence(F.lit(1), F.lit(NEG_K))).alias("k"),
+            "n",
+        )
+        .select(
+            "anchor_id",
+            "la",
+            F.col("k").cast("int").alias("k"),
+            ((F.col("anchor_id") * NEG_MULT + F.col("k") * NEG_STEP) % F.col("n")).alias(
+                "negative_id"
+            ),
+        )
+        .where(F.col("negative_id") != F.col("anchor_id"))
+    )
+    negl = emb.select(F.col("vec_id").alias("negative_id"), F.col("label").alias("lb"))
+    return anchors.join(negl, "negative_id").select(
+        "anchor_id", "k", "negative_id", (F.col("la") == F.col("lb")).alias("same_label")
+    )
