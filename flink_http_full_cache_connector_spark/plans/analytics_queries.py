@@ -828,3 +828,54 @@ def window_first_last_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value").over(w).alias("last_val"),
         F.nth_value("value", 3).over(w).alias("third_val"),
     )
+
+
+@register(
+    "outliers_iqr_events",
+    f"""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS q1,
+               quantile_cont(value, 0.75) AS q3
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           {duck_trunc6('b.q1 - 1.5 * (b.q3 - b.q1)')} AS lo,
+           {duck_trunc6('b.q3 + 1.5 * (b.q3 - b.q1)')} AS hi
+    FROM events e JOIN bounds b USING (event_type)
+    WHERE e.value < b.q1 - 1.5 * (b.q3 - b.q1)
+       OR e.value > b.q3 + 1.5 * (b.q3 - b.q1)
+    """,
+    doc="Robust outlier detection (Tukey fences: outside q1/q3 ± 1.5·IQR "
+    "per group) — the data-quality filter every metrics/training pipeline "
+    "runs before aggregation, immune to the outliers it hunts (unlike "
+    "mean/stddev z-scores). Two passes by necessity (exact quantiles, "
+    "then filter) but the bounds relation is one tiny row per group and "
+    "broadcasts — the second pass is a map-side filter on the scan. Both "
+    "engines compute type-7 linear-interpolated quantiles; emitted "
+    "bounds are trunc6'd, the comparison itself uses the full-precision "
+    "double on both sides.",
+)
+def outliers_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bounds = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    b = bounds.select(
+        "event_type",
+        (F.col("q1") - 1.5 * iqr).alias("lo_f"),
+        (F.col("q3") + 1.5 * iqr).alias("hi_f"),
+    )
+    return (
+        events.join(F.broadcast(b), "event_type")
+        .where((F.col("value") < F.col("lo_f")) | (F.col("value") > F.col("hi_f")))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            trunc6(F.col("lo_f")).alias("lo"),
+            trunc6(F.col("hi_f")).alias("hi"),
+        )
+    )
