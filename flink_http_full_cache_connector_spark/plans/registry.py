@@ -59,6 +59,8 @@ def all_queries() -> dict[str, QueryDef]:
         )
     except ImportError:
         pass
+    from flink_http_full_cache_connector_spark.streaming import upsert  # noqa: F401
+
     return dict(_REGISTRY)
 
 

@@ -1,0 +1,119 @@
+"""Streaming CDC upsert sink: merge each microbatch into a parquet
+snapshot keeping the latest record per key — the *materialization* half of
+the changelog→snapshot story (``latest_event_per_user`` is the batch
+compaction twin, and serves as this operator's value-exact oracle).
+
+``foreachBatch`` is the sanctioned Spark escape for sinks with merge
+semantics the built-in file sink can't express (it is append-only).  Each
+batch unions the incoming rows with the previous snapshot, re-ranks per
+key, and writes a NEW versioned directory — never overwriting the
+directory it just read (lazy reads + overwrite of the same path is the
+classic self-clobber).  At 100 TB the same shape runs against a real
+table format's MERGE with file-level pruning; the per-batch cost here is
+snapshot + batch, i.e. O(keys + delta), and the key shuffle is uniform.
+
+Merging latest-by-(order-cols) is associative and commutative, so the
+final snapshot is independent of how the input happens to be sliced into
+microbatches — pinned by the oracle equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+
+UPSERT_SLICES = 3
+
+
+def run_upsert_stream(
+    stream_df: DataFrame,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    out_dir: str,
+) -> DataFrame:
+    """Consume ``stream_df`` with availableNow, foreachBatch-merging into a
+    versioned parquet snapshot; returns the final snapshot DataFrame."""
+    spark = stream_df.sparkSession
+    state: dict[str, str | None] = {"current": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        merged = batch_df
+        if state["current"] is not None:
+            merged = spark.read.parquet(state["current"]).unionByName(batch_df)
+        w = Window.partitionBy(*key_cols).orderBy(
+            *[F.col(c).desc() for c in order_cols]
+        )
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        new_dir = f"{out_dir}/v{batch_id}"
+        latest.write.mode("overwrite").parquet(new_dir)
+        state["current"] = new_dir
+
+    query = (
+        stream_df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    assert state["current"] is not None, "stream produced no batches"
+    return spark.read.parquet(state["current"])
+
+
+@register(
+    "streaming_upsert_snapshot",
+    """
+    SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us, event_type, value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="Streaming CDC upsert materialization: the events table is sliced "
+    f"into {UPSERT_SLICES} files consumed as separate microbatches "
+    "(maxFilesPerTrigger=1); foreachBatch merges each into a versioned "
+    "parquet snapshot keeping the latest record per user (ts, event_id "
+    "tie-break). Latest-per-key merge is associative + commutative, so "
+    "the final snapshot is slice-order independent and must equal the "
+    "one-shot batch compaction — the latest_event_per_user oracle IS the "
+    "gate. The append-only file sink can't express merges; foreachBatch "
+    "with alternating version dirs (never overwrite what you just read) "
+    "is the idiomatic Spark shape for it.",
+)
+def streaming_upsert_snapshot(spark, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us"),
+        "event_type", "value",
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_upsert_")
+    in_dir = f"{work}/in"
+    for i in range(UPSERT_SLICES):
+        (
+            ev.where(F.col("event_id") % UPSERT_SLICES == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{in_dir}/slice{i}")
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(in_dir)
+    )
+    return run_upsert_stream(
+        stream,
+        key_cols=["user_id"],
+        order_cols=["us", "event_id"],
+        out_dir=f"{work}/snap",
+    )

@@ -149,3 +149,35 @@ def test_watermark_declaration(spark):
     df = datagen_stream(spark, {"user_id": RandomInt(1, 10)}, rows_per_second=1)
     wm = with_watermark(df.withColumn("event_time", F.col("proc_time")), "event_time")
     assert wm.isStreaming  # declaration survives; feeds no windowed op (B6 parity)
+
+
+def test_upsert_stream_later_batch_wins(spark, tmp_path):
+    """foreachBatch upsert: a key re-delivered in a later microbatch must
+    replace the earlier record; untouched keys survive each merge."""
+    from pyspark.sql import functions as F
+
+    from flink_http_full_cache_connector_spark.streaming.upsert import (
+        run_upsert_stream,
+    )
+
+    in_dir = str(tmp_path / "in")
+    rows1 = [(1, 100, 10.0), (2, 100, 20.0)]
+    rows2 = [(1, 200, 11.0), (3, 150, 30.0)]  # key 1 updated, key 3 new
+    schema = "k long, us long, v double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{in_dir}/a")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{in_dir}/b")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(in_dir)
+    )
+    snap = run_upsert_stream(
+        stream, key_cols=["k"], order_cols=["us"], out_dir=str(tmp_path / "snap")
+    )
+    got = {r.k: (r.us, r.v) for r in snap.collect()}
+    assert got == {1: (200, 11.0), 2: (100, 20.0), 3: (150, 30.0)}
+    # the merge ran incrementally: one versioned snapshot per microbatch
+    versions = [p.name for p in (tmp_path / "snap").iterdir() if p.name.startswith("v")]
+    assert len(versions) == 2, versions
