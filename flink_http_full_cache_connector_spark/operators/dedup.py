@@ -157,6 +157,13 @@ def stateful_dedup_stream(hashed: DataFrame) -> DataFrame:
 
     State is one small tuple per distinct hash — at 100 TB the state store
     scales with distinct documents, partitioned by the uniform hash key.
+
+    Spark 4's successor API (``transformWithStateInPandas`` +
+    ``StatefulProcessor``, RocksDB-backed with timers/TTL) expresses the
+    same operator, but its driver worker requires the python ``protobuf``
+    package (``pyspark/sql/streaming/proto/StateMessage_pb2``), absent in
+    this environment — verified to crash at runner init without it, so the
+    operator stays on ``applyInPandasWithState``.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

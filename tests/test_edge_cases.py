@@ -131,3 +131,86 @@ def test_heavy_hitters_exact_in_under_capacity_regime(spark):
     for r in got:
         assert r.approx_count == exact[(r.event_type, r.user_id)], r
         assert r.approx_count >= kth[r.event_type], r
+
+
+def test_bloom_empty_dimension(spark):
+    """A Bloom filter over zero keys must reject every probe (empty bitmap,
+    not a crash): the prefiltered join then returns no rows."""
+    from pyspark.sql import functions as F
+
+    from flink_http_full_cache_connector_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    dim = spark.range(0).select(F.col("id").alias("k"))
+    bloom = bloom_build(dim, "k")
+    probe = spark.range(100).crossJoin(F.broadcast(bloom))
+    kept = probe.where(bloom_might_contain(F.col("bloom_bits"), F.col("id")))
+    assert kept.count() == 0
+
+
+def test_gapfill_single_event_per_key(spark):
+    """One event -> exactly one grid bucket carrying that value."""
+    from flink_http_full_cache_connector_spark.operators.gapfill import gapfill_locf
+
+    df = spark.createDataFrame(
+        [(1, 5_000_000, 42.0, 1)], "k int, us long, value double, eid int"
+    )
+    rows = gapfill_locf(
+        df, key_col="k", us_col="us", val_col="value", tie_col="eid",
+        step_us=3_600_000_000,
+    ).collect()
+    assert len(rows) == 1
+    assert (rows[0].k, rows[0].bucket, rows[0].value_locf) == (1, 0, 42.0)
+
+
+def test_gapfill_tie_at_same_microsecond(spark):
+    """Two events at one (key, us): the higher tie-break id's value wins."""
+    from flink_http_full_cache_connector_spark.operators.gapfill import gapfill_locf
+
+    df = spark.createDataFrame(
+        [(1, 10, 1.0, 1), (1, 10, 2.0, 2)], "k int, us long, value double, eid int"
+    )
+    rows = gapfill_locf(
+        df, key_col="k", us_col="us", val_col="value", tie_col="eid", step_us=100
+    ).collect()
+    assert len(rows) == 1 and rows[0].value_locf == 2.0
+
+
+def test_upsert_single_batch_equals_compaction(spark, tmp_path):
+    """A one-batch stream degenerates to plain latest-per-key compaction."""
+    from pyspark.sql import functions as F
+
+    from flink_http_full_cache_connector_spark.streaming.upsert import (
+        run_upsert_stream,
+    )
+
+    schema = "k long, us long, v double"
+    spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0), (2, 5, 5.0)], schema
+    ).coalesce(1).write.parquet(str(tmp_path / "in" / "only"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(tmp_path / "in"))
+    )
+    snap = run_upsert_stream(
+        stream, key_cols=["k"], order_cols=["us"], out_dir=str(tmp_path / "snap")
+    )
+    got = {r.k: r.v for r in snap.collect()}
+    assert got == {1: 2.0, 2: 5.0}
+
+
+def test_contrastive_negatives_no_self_pairs_and_dense_range(spark):
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    rows = all_queries()["contrastive_negatives"].spark(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "no negatives generated"
+    n = max(r.anchor_id for r in rows) + 1
+    for r in rows:
+        assert r.negative_id != r.anchor_id
+        assert 0 <= r.negative_id < n
