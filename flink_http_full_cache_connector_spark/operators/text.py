@@ -566,3 +566,94 @@ def text_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_udtf_src d, LATERAL chunk_doc(d.text) c
         """
     )
+
+
+BOILERPLATE_MIN_DF = 3
+
+
+@register(
+    "boilerplate_shingles",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({{shingles}}) AS s FROM documents
+    )
+    SELECT s AS shingle, count(*)::bigint AS df,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM sh GROUP BY s HAVING count(*) >= {BOILERPLATE_MIN_DF}
+    """.format(shingles="list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\\s+'))-1), i -> string_split_regex(trim(text), '\\s+')[i] || ' ' || string_split_regex(trim(text), '\\s+')[i+1] || ' ' || string_split_regex(trim(text), '\\s+')[i+2]))"),
+    doc=f"Boilerplate detection: 3-gram shingles appearing in >= "
+    f"{BOILERPLATE_MIN_DF} distinct documents — navigation chrome, "
+    "licenses, and templates that inflate near-dup candidate volume and "
+    "poison containment scores. The output IS the stop-shingle list the "
+    "containment/minhash passes cap df with at real scale. One "
+    "uniform-key shuffle; per-doc shingles are pre-distincted so df "
+    "counts documents, not occurrences.",
+)
+def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        word_shingles,
+    )
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+    return (
+        sh.groupBy(F.col("s").alias("shingle"))
+        .agg(
+            F.count("*").alias("df"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .where(F.col("df") >= BOILERPLATE_MIN_DF)
+    )
+
+
+@register(
+    "text_token_gini",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS t
+        FROM documents
+    ),
+    cnts AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+    agg AS (
+        SELECT doc_id, sum(c)::bigint AS total, sum(c * c)::bigint AS sum_sq,
+               count(*)::bigint AS distinct_toks
+        FROM cnts GROUP BY doc_id
+    )
+    SELECT doc_id, total AS n_tokens, distinct_toks,
+           round(1.0 - sum_sq::double / (total * total)::double, 6)
+               AS token_gini
+    FROM agg
+    """,
+    doc="Repetitiveness scoring without libm: per-document token Gini "
+    "impurity 1 - Σc²/N² (≈0 for a document repeating one token, →1 for "
+    "all-distinct) — the log-free stand-in for token entropy, used by "
+    "cleaning pipelines to drop degenerate/spammy text. Both Σc² and N "
+    "are INTEGERS, so the only float op is one final division — "
+    "engine-exact by construction, no float-summation order anywhere. "
+    "Two partial-agg shuffles on uniform (doc, token) / doc keys.",
+)
+def text_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).alias("t"),
+    )
+    cnts = toks.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    agg = cnts.groupBy("doc_id").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_sq"),
+        F.count("*").alias("distinct_toks"),
+    )
+    gini = F.lit(1.0) - F.col("sum_sq").cast("double") / (
+        (F.col("total") * F.col("total")).cast("double")
+    )
+    return agg.select(
+        "doc_id",
+        F.col("total").alias("n_tokens"),
+        "distinct_toks",
+        F.round(gini, 6).alias("token_gini"),
+    )
