@@ -193,3 +193,48 @@ def observe_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs long, n_en long, n_quality_pass long, n_kept long, "
         "min_quality double, max_quality double",
     )
+
+
+@register(
+    "training_corpus_build",
+    f"""
+    WITH scored AS (
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+               {duck_lang_expr()} AS lang_pred,
+               {duck_quality_expr()} AS quality
+        FROM documents
+    ),
+    clean AS (
+        SELECT doc_id, fp FROM scored
+        WHERE lang_pred = '{KEEP_LANG}' AND quality >= {QUALITY_CUT}
+    ),
+    keep AS (SELECT fp, min(doc_id) AS doc_id FROM clean GROUP BY fp),
+    labeled AS (
+        SELECT k.doc_id,
+               CASE WHEN (('0x' || substr(md5(k.doc_id::varchar), 1, 8))::bigint
+                          % 1000) < 800 THEN 'train'
+                    WHEN (('0x' || substr(md5(k.doc_id::varchar), 1, 8))::bigint
+                          % 1000) < 900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM keep k
+    )
+    SELECT split, count(*)::bigint AS docs,
+           min(doc_id) AS min_id, max(doc_id) AS max_id
+    FROM labeled GROUP BY split
+    """,
+    doc="End-to-end training-corpus capstone, value-pinned: score (lang-ID + "
+    "quality + fingerprint, one scan) -> filter -> exact-dedup keep-first "
+    "-> deterministic 80/10/10 split -> hash-sharded parquet WRITE "
+    "(split=*/shard=N/ layout) -> read the sink back and summarize per "
+    "split. The oracle recomputes the whole declarative spec in SQL, so "
+    "the gate proves the bytes that landed in the sink are exactly the "
+    "corpus the pipeline promised — write path, shard routing, and "
+    "read-back partition pruning included. Two data-sized shuffles total "
+    "(dedup groupBy + shard repartition).",
+)
+def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="spark_graft_corpus_")
+    return build_training_corpus(spark, sf_dir, f"{out}/corpus")
