@@ -9,6 +9,7 @@ sides — the driver's compare hashes values after sorting columns by name.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -30,7 +31,23 @@ _REGISTRY: dict[str, QueryDef] = {}
 
 def register(name: str, oracle: str | None, doc: str = "") -> Callable[[SparkQuery], SparkQuery]:
     def deco(fn: SparkQuery) -> SparkQuery:
-        _REGISTRY[name] = QueryDef(name=name, spark=fn, oracle=oracle, doc=doc)
+        @functools.wraps(fn)
+        def gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # drop cached relations left by PREVIOUS queries: a harness that
+            # sweeps all 100 registered queries through one session (the
+            # driver's correctness gate, bench.py, the oracle-parity tests)
+            # would otherwise accumulate every persist() any query ever made
+            # — measured to end in driver OOM near the end of long sweeps
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = QueryDef(name=name, spark=gated, oracle=oracle, doc=doc)
+        # return the UNwrapped function: intra-module composition (e.g.
+        # dedup_components building on dedup_minhash_lsh) must not clear the
+        # caller's own cache mid-build
         return fn
 
     return deco
