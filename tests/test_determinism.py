@@ -18,6 +18,13 @@ QUERIES = [
     "sim_topk_cosine",
     "percentiles_events",
     "pipeline_clean_corpus",
+    # session additions: carried-float gap fill, trunc6 containment scores,
+    # rational token-Gini, Q3 decimal revenue ranking, IQR fence comparisons
+    "gapfill_locf_events",
+    "dedup_containment",
+    "text_token_gini",
+    "shipping_priority",
+    "outliers_iqr_events",
 ]
 
 
