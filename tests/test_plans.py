@@ -247,3 +247,17 @@ def test_variant_parse_stays_jvm_side(spark):
     plan = plan_of(df)
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_gapfill_two_key_exchanges_no_tie_shuffle(spark):
+    """Gap-fill canonicalizes same-us ties inside the running window's
+    ORDER BY — no (key, us) tie-dedup shuffle may appear; total cost is
+    the bounds aggregation + the running window, both keyed on user_id."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["gapfill_locf_events"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 2, plan
+    # "us#<id>" would be the tie-dedup's (user_id, us) composite key
+    assert not any("us#" in ln for ln in exchanges), plan
