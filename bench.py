@@ -60,22 +60,71 @@ def main() -> None:
             # run — dozens of dead cached relations by the end of the sweep,
             # paying GC/memory pressure in whatever query runs later
             spark.catalog.clearCache()
-        timings[name] = round(best, 4)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    total = round(sum(timings.values()), 3)
+
+    # The driver keeps only the LAST 2000 bytes of stdout (BENCH_r01.json:
+    # len(tail) == 2000, parsed: null — the full-name line was ~4 KB and lost
+    # its head).  So the one machine-read line uses deterministic short query
+    # keys (registry.short_keys) and compact separators to stay well under
+    # the window; the full-name timings + the key mapping go to repo files
+    # (BENCH_FULL.json, BENCH_KEYS.json) and to stderr above.
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        all_queries as _aq,
+        short_keys,
+    )
+
+    baseline_names = {n for n, qd in _aq().items() if qd.baseline}
+    skey = short_keys(list(timings))
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo_dir, "BENCH_KEYS.json"), "w") as f:
+        json.dump({v: k for k, v in skey.items()}, f, indent=1, sort_keys=True)
+    with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as f:
+        json.dump(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "baseline_queries": sorted(baseline_names),
+                "total_excl_baselines": round(
+                    sum(t for n, t in timings.items() if n not in baseline_names), 3
+                ),
                 "sf": sf,
                 "cpus": cpus,
-            }
+            },
+            f,
+            indent=1,
         )
+
+    line = json.dumps(
+        {
+            "metric": "total_query_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {skey[n]: round(t, 3) for n, t in timings.items()},
+            "sf": sf,
+            "cpus": cpus,
+            "keymap": "BENCH_KEYS.json",
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1900:  # never hand the driver a head-truncatable line
+        line = json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": {skey[n]: round(t, 2) for n, t in timings.items()},
+                "sf": sf,
+                "cpus": cpus,
+                "keymap": "BENCH_KEYS.json",
+            },
+            separators=(",", ":"),
+        )
+    print(line)
     spark.stop()
 
 

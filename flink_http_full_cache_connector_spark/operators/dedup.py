@@ -38,7 +38,11 @@ from flink_http_full_cache_connector_spark.functions.vectors import (
 )
 from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
 from flink_http_full_cache_connector_spark.operators.scale import widen
-from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+from flink_http_full_cache_connector_spark.plans.registry import (
+    load_table,
+    normalize_events_ts,
+    register,
+)
 
 # ---------------------------------------------------------------------------
 # shared constants (identical in Spark exprs and DuckDB SQL twins)
@@ -78,17 +82,35 @@ def md5_mod_p(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % P
 
 
-def _shingle_table(docs: DataFrame) -> DataFrame:
+def _shingle_table(docs: DataFrame, *, max_df: int | None = None) -> DataFrame:
     """(doc_id, shingle, h) — exploded distinct shingles with portable hash.
 
     Input is widened to cluster parallelism first: the explode + md5 fan-out
     is the map-side hot path, and a single-file input would otherwise run it
     on one core (no-op on already-wide scans).
+
+    ``max_df`` drops shingles appearing in more than that many documents
+    (boilerplate chrome/licenses/templates — what ``boilerplate_shingles``
+    mines).  This is THE knob that keeps shingle-join dedup affordable: the
+    equi-join costs Σ df², so uncapped boilerplate shingles dominate the
+    join at corpus scale.  Shape: one partially-aggregated shuffle counts
+    df per shingle; the stop list (df > cap) is small by construction, so
+    the removal is a broadcast anti-join — map-side, no second data
+    shuffle.
     """
     docs = widen(docs)
-    return docs.select(
+    sh = docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
     ).withColumn("h", md5_mod_p(F.col("s")))
+    if max_df is not None:
+        stop = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_df)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(stop), "s", "left_anti")
+    return sh
 
 
 # ---------------------------------------------------------------------------
@@ -230,10 +252,28 @@ def streaming_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard (exact pairwise near-dup baseline)
 # ---------------------------------------------------------------------------
 
-_NGRAM_ORACLE = f"""
-WITH sh AS (
-    SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
-),
+#: df cap used by the registered *_capped twins.  Sized to bite on the test
+#: corpus (max shingle df is 7 at sf0.01); production corpora pass a value
+#: derived from boilerplate_shingles' df distribution instead.
+MAX_SHINGLE_DF = 4
+
+
+def _shingle_cte(max_df: int | None) -> str:
+    """DuckDB CTE producing the (doc_id, s) shingle relation, optionally
+    df-capped exactly like :func:`_shingle_table`."""
+    base = f"SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents"
+    if max_df is None:
+        return f"sh AS ({base})"
+    return (
+        f"sh0 AS ({base}),\n"
+        f"stop AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > {max_df}),\n"
+        f"sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM stop))"
+    )
+
+
+def _ngram_oracle(max_df: int | None) -> str:
+    return f"""
+WITH {_shingle_cte(max_df)},
 sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -249,16 +289,13 @@ WHERE i / (sa.n + sb.n - i) >= {JACCARD_THRESHOLD}
 """
 
 
-@register(
-    "dedup_ngram_jaccard",
-    _NGRAM_ORACLE,
-    doc="Exact 3-gram-shingle Jaccard near-dup pairs (>= 0.5); correctness baseline for LSH.",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ngram_jaccard(
+    spark: SparkSession, sf_dir: str, *, max_df: int | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the shingle table feeds three subplans (sizes + both join sides);
     # persist so explode+md5 runs once (MEMORY_AND_DISK: spills, never OOMs)
-    sh = _shingle_table(docs).select("doc_id", "s").persist()
+    sh = _shingle_table(docs, max_df=max_df).select("doc_id", "s").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -277,6 +314,29 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", trunc6(jac).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    _ngram_oracle(None),
+    doc="Exact 3-gram-shingle Jaccard near-dup pairs (>= 0.5); correctness baseline for LSH.",
+    baseline=True,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ngram_jaccard(spark, sf_dir)
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    _ngram_oracle(MAX_SHINGLE_DF),
+    doc=f"df-capped exact shingle Jaccard (max_df={MAX_SHINGLE_DF}): "
+    "boilerplate shingles (df above the cap) are anti-joined out before "
+    "pairing, so the equi-join cost Σdf² is bounded by cap·|corpus| — the "
+    "production form of the shingle-join family (SCALE.md); the oracle "
+    "applies the identical cap.",
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ngram_jaccard(spark, sf_dir, max_df=MAX_SHINGLE_DF)
 
 
 # ---------------------------------------------------------------------------
@@ -504,6 +564,7 @@ WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
     _COSINE_ORACLE,
     doc="Embedding near-dup: exact all-pairs double cosine (>= 0.4); "
     "brute-force baseline for the LSH/IVF ANN path.",
+    baseline=True,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_http_full_cache_connector_spark.functions.vectors import (
@@ -674,7 +735,7 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_events_ts)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id"])
         .select("user_id")
@@ -831,14 +892,9 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAINMENT_THRESHOLD = 0.6
 
 
-@register(
-    "dedup_containment",
-    f"""
-    WITH sh AS (
-        SELECT DISTINCT doc_id, s FROM (
-            SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents
-        )
-    ),
+def _containment_oracle(max_df: int | None) -> str:
+    return f"""
+    WITH {_shingle_cte(max_df)},
     sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -853,20 +909,14 @@ CONTAINMENT_THRESHOLD = 0.6
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE i / sa.n >= {CONTAINMENT_THRESHOLD}
        OR i / sb.n >= {CONTAINMENT_THRESHOLD}
-    """,
-    doc="Asymmetric shingle containment |A∩B|/|A| — the near-dup measure "
-    "symmetric Jaccard structurally misses: a short document quoted inside "
-    "a long one has high containment but low Jaccard (and minhash-LSH, "
-    "which estimates Jaccard, cannot recall it). Candidate generation is "
-    "the shingle-hash equi-join itself: one shuffle keyed on the (uniform, "
-    "high-cardinality) shingle value, pair aggregation collapses "
-    "co-occurrences map-side — the boilerplate/quote-detection pass of a "
-    "corpus cleanup. Both directions emitted when either crosses the "
-    "threshold.",
-)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _containment(
+    spark: SparkSession, sf_dir: str, *, max_df: int | None = None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sh = _shingle_table(docs).select("doc_id", "s").persist()
+    sh = _shingle_table(docs, max_df=max_df).select("doc_id", "s").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -893,3 +943,35 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(cont_ba).alias("cont_b_in_a"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    _containment_oracle(None),
+    doc="Asymmetric shingle containment |A∩B|/|A| — the near-dup measure "
+    "symmetric Jaccard structurally misses: a short document quoted inside "
+    "a long one has high containment but low Jaccard (and minhash-LSH, "
+    "which estimates Jaccard, cannot recall it). Candidate generation is "
+    "the shingle-hash equi-join itself: one shuffle keyed on the (uniform, "
+    "high-cardinality) shingle value, pair aggregation collapses "
+    "co-occurrences map-side — the boilerplate/quote-detection pass of a "
+    "corpus cleanup. Both directions emitted when either crosses the "
+    "threshold.",
+    baseline=True,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _containment(spark, sf_dir)
+
+
+@register(
+    "dedup_containment_capped",
+    _containment_oracle(MAX_SHINGLE_DF),
+    doc=f"df-capped containment (max_df={MAX_SHINGLE_DF}): the stop-shingle "
+    "anti-join bounds the Σdf² pair explosion the uncapped baseline pays — "
+    "containment scores are computed over the non-boilerplate shingle sets "
+    "(which is also the semantically better measure: chrome/license "
+    "shingles no longer fake containment). Oracle applies the identical "
+    "cap. This is the production shape for 100 TB corpora.",
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _containment(spark, sf_dir, max_df=MAX_SHINGLE_DF)

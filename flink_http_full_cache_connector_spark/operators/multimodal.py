@@ -323,7 +323,13 @@ def resize_images_fake(media: DataFrame, *, max_side: int = MAX_SIDE) -> DataFra
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                u32 = int.from_bytes(bytes(payload)[:HEADER_LEN], "big")
+                # header = first HEADER_LEN CHARACTERS re-encoded, exactly
+                # like extract_features and the DuckDB oracle's
+                # substring(text, 1, n) — slicing raw bytes would split
+                # multi-byte codepoints and diverge on non-ASCII payloads
+                # (ADVICE r1)
+                head = bytes(payload).decode("utf-8")[:HEADER_LEN].encode("utf-8")
+                u32 = int.from_bytes(head, "big")
                 w, h = fake_decode_dims(u32)
                 ow, oh = fake_thumbnail(w, h, max_side)
                 rows.append((doc_id, w, h, ow, oh))

@@ -260,6 +260,7 @@ FROM ranked WHERE rank <= {TOP_K}
 """,
     doc=f"Brute-force exact cosine top-{TOP_K} for {NUM_QUERIES} query vectors "
     "(broadcast queries, one linear corpus scan).",
+    baseline=True,
 )
 def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

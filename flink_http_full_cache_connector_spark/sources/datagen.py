@@ -56,14 +56,21 @@ FieldSpec = RandomInt | RandomDouble | RandomString | Sequence
 
 
 def _field_col(name: str, spec: FieldSpec, value: Column) -> Column:
-    # Salt the hash with the field name so fields draw independently.
-    salted = F.hash(value, F.lit(name))
+    # Salt the draw with the field name so fields draw independently.
+    # md5 (not Spark's murmur3 hash()) on purpose: md5 is bit-identical in
+    # every engine, so the whole generator is re-expressible as ANSI SQL and
+    # a DuckDB oracle can replay the exact draws — hash() would pin the
+    # stream to Spark's private murmur3 seeding.  First 8 hex chars → a
+    # uniform u32, plenty of entropy for test datagen.
+    salted = F.conv(
+        F.substring(F.md5(F.concat(value.cast("string"), F.lit(name))), 1, 8), 16, 10
+    ).cast("long")
     if isinstance(spec, RandomInt):
         span = spec.max - spec.min + 1
         return (F.pmod(salted, F.lit(span)) + F.lit(spec.min)).cast("int")
     if isinstance(spec, RandomDouble):
-        # uniform in [min, max): map hash to [0,1) then scale
-        unit = (F.pmod(salted.cast("long"), F.lit(1_000_000)) / F.lit(1_000_000.0))
+        # uniform in [min, max): map the u32 to [0,1) then scale
+        unit = (F.pmod(salted, F.lit(1_000_000)) / F.lit(1_000_000.0))
         return (F.lit(spec.min) + unit * F.lit(spec.max - spec.min)).cast("double")
     if isinstance(spec, RandomString):
         full = F.md5(F.concat(value.cast("string"), F.lit(name)))
@@ -76,12 +83,17 @@ def _field_col(name: str, spec: FieldSpec, value: Column) -> Column:
 
 
 def _apply_fields(
-    df: DataFrame, fields: dict[str, FieldSpec], with_proc_time: bool
+    df: DataFrame,
+    fields: dict[str, FieldSpec],
+    with_proc_time: bool,
+    clock: Column | None = None,
 ) -> DataFrame:
     value = F.col("value")
     cols = [_field_col(name, spec, value).alias(name) for name, spec in fields.items()]
     if with_proc_time:
-        cols.append(F.current_timestamp().alias("proc_time"))
+        # proc_time is wall-clock PROCTIME() by default; tests/oracles can
+        # inject a fixed clock column to make the stream hash-checkable
+        cols.append((clock if clock is not None else F.current_timestamp()).alias("proc_time"))
     out = df.select(*cols)
     # A sequence field bounds the generated rows (Flink's sequence generator
     # emits exactly end-start+1 rows, then the source is exhausted).
@@ -97,6 +109,7 @@ def datagen_stream(
     *,
     rows_per_second: int = 1,
     with_proc_time: bool = True,
+    clock: Column | None = None,
 ) -> DataFrame:
     """Unbounded datagen table (streaming DataFrame on the rate source)."""
     rate = (
@@ -104,7 +117,7 @@ def datagen_stream(
         .option("rowsPerSecond", str(rows_per_second))
         .load()
     )
-    return _apply_fields(rate, fields, with_proc_time)
+    return _apply_fields(rate, fields, with_proc_time, clock)
 
 
 def datagen_batch(
@@ -113,7 +126,29 @@ def datagen_batch(
     *,
     num_rows: int = 100,
     num_partitions: int | None = None,
+    clock: Column | None = None,
 ) -> DataFrame:
     """Bounded datagen with the same field derivations (test harness form)."""
     rng = spark.range(0, num_rows, numPartitions=num_partitions)
-    return _apply_fields(rng.select(F.col("id").alias("value")), fields, True)
+    return _apply_fields(rng.select(F.col("id").alias("value")), fields, True, clock)
+
+
+def oracle_field_sql(name: str, spec: FieldSpec, value: str = "value") -> str:
+    """ANSI-SQL (DuckDB) twin of :func:`_field_col` — replays the exact
+    draws, so datagen-fed queries are hash-checkable cross-engine."""
+    salted = f"('0x' || substr(md5({value}::VARCHAR || '{name}'), 1, 8))::BIGINT"
+    if isinstance(spec, RandomInt):
+        span = spec.max - spec.min + 1
+        return f"(({salted} % {span}) + {spec.min})::INT"
+    if isinstance(spec, RandomDouble):
+        return (
+            f"({spec.min} + (({salted} % 1000000) / 1000000.0)"
+            f" * {spec.max - spec.min})::DOUBLE"
+        )
+    if isinstance(spec, RandomString):
+        repeats = spec.length // 32 + 1
+        full = f"md5({value}::VARCHAR || '{name}')"
+        return f"substr(repeat({full}, {repeats}), 1, {spec.length})"
+    if isinstance(spec, Sequence):
+        return f"({value} + {spec.start})::INT"
+    raise ValueError(f"unsupported field spec: {spec!r}")

@@ -34,6 +34,10 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # oracle parity: DuckDB timestamps are tz-naive; pinning the session
+        # tz to UTC makes Spark's TIMESTAMP (LTZ) wall-clock values match
+        # regardless of host tz
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

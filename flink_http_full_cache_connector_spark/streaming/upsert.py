@@ -73,7 +73,7 @@ def run_upsert_stream(
     FROM (
         SELECT user_id, event_id, ts, event_type, value,
                row_number() OVER (PARTITION BY user_id
-                   ORDER BY ts DESC, event_id DESC) AS rn
+                   ORDER BY epoch_us(ts::TIMESTAMP) DESC, event_id DESC) AS rn
         FROM events
     ) WHERE rn = 1
     """,

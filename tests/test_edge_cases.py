@@ -90,6 +90,17 @@ def test_sketch_stats_within_tolerance_of_exact(spark):
     from flink_http_full_cache_connector_spark.plans.registry import load_table
 
     events = load_table(spark, sf, "events")
+    # independent estimator run (the registered query only exposes the
+    # within-tolerance booleans; recompute the raw estimates here)
+    raw = {
+        r.event_type: r
+        for r in events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.expr("percentile_approx(value, 0.5, 10000)").alias("approx_p50"),
+        )
+        .collect()
+    }
     users = {
         r.event_type: r.u
         for r in events.groupBy("event_type")
@@ -97,9 +108,11 @@ def test_sketch_stats_within_tolerance_of_exact(spark):
         .collect()
     }
     for t, row in sketch.items():
-        assert abs(row.approx_users - users[t]) / users[t] < 0.1, t
-        assert abs(row.approx_p50 - exact[t].p50) / max(exact[t].p50, 1) < 0.1, t
+        assert row.approx_users_ok and row.approx_p50_ok, t
+        assert row.exact_users == users[t], t
         assert row.cnt == exact[t].cnt
+        assert abs(raw[t].approx_users - users[t]) / users[t] < 0.1, t
+        assert abs(raw[t].approx_p50 - exact[t].p50) / max(exact[t].p50, 1) < 0.1, t
 
 
 def test_heavy_hitters_exact_in_under_capacity_regime(spark):
@@ -114,6 +127,8 @@ def test_heavy_hitters_exact_in_under_capacity_regime(spark):
         load_table,
     )
 
+    from flink_http_full_cache_connector_spark.plans.analytics_queries import HH_K
+
     sf = "/root/testdata/sf0.01"
     got = all_queries()["sketch_heavy_hitters"].spark(spark, sf).collect()
     events = load_table(spark, sf, "events")
@@ -123,14 +138,21 @@ def test_heavy_hitters_exact_in_under_capacity_regime(spark):
         .agg(F.count("*").alias("cnt"))
         .collect()
     }
-    kth = {}
+    # tie-robust exact top-k count multiset per type: (count -> n_users,
+    # min_rank) over the first HH_K rows of any count-desc ordering
+    expected = {}
+    by_type: dict[str, list[int]] = {}
     for (etype, _), cnt in exact.items():
-        kth.setdefault(etype, []).append(cnt)
-    kth = {t: sorted(v, reverse=True)[4] for t, v in kth.items()}
+        by_type.setdefault(etype, []).append(cnt)
+    for etype, counts in by_type.items():
+        top = sorted(counts, reverse=True)[:HH_K]
+        for rank, cnt in enumerate(top, start=1):
+            key = (etype, cnt)
+            n, mn = expected.get(key, (0, rank))
+            expected[key] = (n + 1, min(mn, rank))
     assert got, "no heavy hitters returned"
-    for r in got:
-        assert r.approx_count == exact[(r.event_type, r.user_id)], r
-        assert r.approx_count >= kth[r.event_type], r
+    got_map = {(r.event_type, r.approx_count): (r.n_users, r.min_rank) for r in got}
+    assert got_map == expected
 
 
 def test_bloom_empty_dimension(spark):

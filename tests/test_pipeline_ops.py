@@ -311,3 +311,45 @@ def test_embedding_lsh_subset_and_recall_vs_exact(spark):
     assert lsh <= exact  # cosine verify guarantees no false positives
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.5, f"embedding-LSH recall {recall:.2f} ({len(lsh)}/{len(exact)})"
+
+
+def test_shingle_df_cap_drops_boilerplate(spark, tmp_path):
+    """max_df anti-joins out shingles above the document-frequency cap:
+    a boilerplate footer shared by every doc must vanish from the capped
+    shingle table (and with it the pairs it would fake), while genuinely
+    duplicated content still pairs up."""
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        _ngram_jaccard,
+        _shingle_table,
+    )
+
+    footer = "all rights reserved by example corp"
+    bodies = [
+        "alpha beta gamma delta epsilon zeta",
+        "alpha beta gamma delta epsilon zeta",  # true dup of doc 0
+        "one two three four five six seven",
+        "red orange yellow green blue indigo",
+        "north south east west up down around",
+    ]
+    rows = [
+        Row(doc_id=i, text=f"{body} {footer}", lang="en", source="web", n_chars=0)
+        for i, body in enumerate(bodies)
+    ]
+    d = str(tmp_path / "capdocs")
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    uncapped = {r.s for r in _shingle_table(docs).select("s").distinct().collect()}
+    capped = {
+        r.s
+        for r in _shingle_table(docs, max_df=3).select("s").distinct().collect()
+    }
+    footer_shingle = "rights reserved by"
+    assert footer_shingle in uncapped
+    assert footer_shingle not in capped  # df=5 > cap
+    assert capped < uncapped
+
+    pairs_capped = _pairs(_ngram_jaccard(spark, d, max_df=3))
+    assert (0, 1) in pairs_capped  # true dup survives the cap
+    # footer-only overlap must not fake pairs among unrelated docs
+    assert all(a == 0 and b == 1 for a, b in pairs_capped)

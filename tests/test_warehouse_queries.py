@@ -48,7 +48,7 @@ def test_sessionize_gap_boundary(spark, tmp_path):
         # user 1: two events 29m59s apart (one session), third 30m01s later
         (1, 1, _ts(0), "click", 0.0),
         (1, 2, _ts(29, 59), "click", 0.0),
-        (1, 3, datetime.datetime(2024, 1, 1, 13, 0, 0), "click", 0.0),
+        (1, 3, datetime.datetime(2024, 1, 1, 13, 0, 0, tzinfo=datetime.timezone.utc), "click", 0.0),
         # user 2: single event
         (2, 4, _ts(5), "view", 0.0),
     ]
