@@ -165,6 +165,7 @@ def ivf_train(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means for IVF centroids, DataFrame-native.
 
@@ -173,16 +174,31 @@ def ivf_train(
     per-dimension means are ``k*dim`` avg aggregates, so the shuffle carries
     partial sums, never vectors.  Iterative → no SQL oracle; quality is
     pinned by the recall-improvement test instead.
+
+    ``sample_mod=N`` trains on the deterministic 1/N md5-bucket subsample of
+    the corpus (same bucketing family as sample_hash_split) instead of
+    assigning the FULL corpus every Lloyd iteration — at 100 TB the
+    centroids converge on a few million sampled vectors just as well, and
+    each iteration's scan+shuffle shrinks by N×.  Final cell assignment
+    (done by the caller) always covers the full corpus.
     """
     dim = len(
         corpus.select(F.col(vec_col)).where(F.col(vec_col).isNotNull()).first()[0]
     )
+    training = corpus
+    if sample_mod is not None:
+        bucket = (
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % sample_mod
+        )
+        training = corpus.where(bucket == 0)
     cent = corpus.orderBy(id_col).limit(k).select(
         F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("cv")
     )
     prev = None
     for _ in range(iters):
-        assign = ivf_assign(corpus, cent, id_col=id_col, vec_col=vec_col)
+        assign = ivf_assign(training, cent, id_col=id_col, vec_col=vec_col)
         means = assign.groupBy("cell_id").agg(
             F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("mv")
         )
@@ -207,11 +223,14 @@ def ivf_train(
     "sim_ann_ivf_trained",
     None,  # iterative float means: no bit-stable SQL oracle (rows-only)
     doc=f"IVF ANN with Lloyd-trained centroids ({NUM_CENTROIDS} cells, 3 iters, "
-    f"nprobe={NPROBE}) — same probe path as sim_ann_ivf, better cell geometry.",
+    f"nprobe={NPROBE}) — same probe path as sim_ann_ivf, better cell geometry. "
+    "Training runs on the deterministic 1/2 md5-bucket sample (the scale "
+    "posture: Lloyd iterations cost a fraction of a corpus scan each; at real corpus sizes the divisor grows with n); the final "
+    "assignment covers the full corpus.",
 )
 def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = ivf_train(emb)  # returned already persisted + materialized
+    cent = ivf_train(emb, sample_mod=2)  # returned already persisted + materialized
     assign = ivf_assign(emb, cent)
     q = emb.where(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")

@@ -353,3 +353,45 @@ def test_shingle_df_cap_drops_boilerplate(spark, tmp_path):
     assert (0, 1) in pairs_capped  # true dup survives the cap
     # footer-only overlap must not fake pairs among unrelated docs
     assert all(a == 0 and b == 1 for a, b in pairs_capped)
+
+
+def test_lang_id_trigram_separates_real_languages(spark):
+    """The trigram-cosine upgrade must (a) match the marker ladder on
+    marker-bearing text, (b) classify marker-FREE prose the ladder drops to
+    'und', and (c) detect CJK text by codepoint — the concrete separation
+    wins over the r1 heuristic."""
+    from flink_http_full_cache_connector_spark.operators.text import (
+        TRIGRAM_WEIGHTS,
+        lang_id,
+        lang_id_trigram,
+    )
+
+    snips = [
+        (1, "en", "the quick brown fox jumps over the lazy dog and runs into the forest"),
+        (2, "en", "computers process information quickly during every single operation"),
+        (3, "es", "el perro corre por la calle y los que juegan en la casa de la ciudad"),
+        (4, "fr", "le chien court dans la rue et les enfants jouent dans la maison de la ville"),
+        (5, "de", "der hund läuft durch die straße und die kinder spielen in einem haus der stadt"),
+        (6, "zh", "这是一个中文句子的测试文本"),
+        (7, "und", "zzz qqq kkk vvv"),
+    ]
+    df = spark.createDataFrame(snips, "doc_id int, expect string, text string")
+    out = {
+        r.doc_id: (r.tri, r.marker)
+        for r in df.select(
+            "doc_id",
+            lang_id_trigram(F.col("text")).alias("tri"),
+            lang_id(F.col("text")).alias("marker"),
+        ).collect()
+    }
+    expect = dict((i, e) for i, e, _ in snips)
+    for i, (tri, _) in out.items():
+        assert tri == expect[i], (i, tri, expect[i])
+    # the ladder misses exactly the cases the upgrade exists for
+    assert out[2][1] == "und" and out[6][1] == "und"
+
+    # profile invariant: no self-overlapping trigram, so the replace-trick
+    # column helper counts identically to the registered enumeration form
+    for lang, prof in TRIGRAM_WEIGHTS.items():
+        for t in prof:
+            assert t[0] != t[2], (lang, t)
