@@ -158,6 +158,54 @@ def frame_sample(
 
 
 # ---------------------------------------------------------------------------
+# container-format sniffing (real magic numbers — the first step of any
+# media pipeline, and fully testable without codec libraries)
+# ---------------------------------------------------------------------------
+
+#: canonical magic numbers (public file-format specifications)
+MAGIC_PNG = b"\x89PNG\r\n\x1a\n"
+MAGIC_JPEG = b"\xff\xd8\xff\xe0"
+MAGIC_GIF = b"GIF89a"
+#: RIFF container with a zeroed chunk size + WAVE form type — enough for
+#: format identification (real writers fill the size in)
+MAGIC_WAV = b"RIFF\x00\x00\x00\x00WAVE"
+
+
+def sniff_format_bytes(payload: bytes) -> str:
+    """Magic-number format sniff (Python twin for mapInPandas batches)."""
+    if payload.startswith(MAGIC_PNG):
+        return "png"
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def sniff_format_col(payload: Column) -> Column:
+    """JVM-side magic-number sniff: hex the first 12 bytes once, then a
+    prefix ladder — scan-speed, no Python, no regex."""
+    h = F.hex(F.substring(payload, 1, 12))
+    return (
+        F.when(h.startswith(MAGIC_PNG.hex().upper()), F.lit("png"))
+        .when(h.startswith(b"\xff\xd8\xff".hex().upper()), F.lit("jpeg"))
+        .when(
+            h.startswith(b"GIF87a".hex().upper())
+            | h.startswith(b"GIF89a".hex().upper()),
+            F.lit("gif"),
+        )
+        .when(
+            h.startswith(b"RIFF".hex().upper())
+            & (F.substring(h, 17, 8) == F.lit(b"WAVE".hex().upper())),
+            F.lit("wav"),
+        )
+        .otherwise(F.lit("unknown"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # real codec decode — stubbed (no image/audio libs in this container)
 # ---------------------------------------------------------------------------
 
@@ -249,6 +297,43 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.kind").alias("kind"),
         F.col("meta.byte_len").alias("byte_len"),
         F.col("meta.checksum").alias("checksum"),
+    )
+
+
+@register(
+    "multimodal_sniff",
+    f"""
+    SELECT doc_id,
+           CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                           WHEN 2 THEN 'wav' ELSE 'unknown' END AS fmt,
+           (octet_length(encode(text))
+            + CASE doc_id % 4 WHEN 0 THEN {len(MAGIC_PNG)}
+                              WHEN 1 THEN {len(MAGIC_JPEG)}
+                              WHEN 2 THEN {len(MAGIC_WAV)} ELSE 0 END)::bigint
+               AS byte_len
+    FROM documents
+    """,
+    doc="Container-format sniffing at scan speed: REAL magic numbers "
+    "(PNG/JPEG/RIFF-WAVE file signatures) are prepended to the synthesized "
+    "payloads by doc_id class, then detected back by the JVM-side "
+    "hex-prefix ladder (sniff_format_col) — no Python, no regex, one scan. "
+    "The oracle recomputes the expected class and the magic-extended byte "
+    "length independently.",
+)
+def multimodal_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    cls = F.col("doc_id") % 4
+    magic = (
+        F.when(cls == 0, F.lit(MAGIC_PNG))
+        .when(cls == 1, F.lit(MAGIC_JPEG))
+        .when(cls == 2, F.lit(MAGIC_WAV))
+        .otherwise(F.lit(b""))
+    )
+    payload = F.concat(magic, F.encode(F.col("text"), "UTF-8"))
+    return docs.select(
+        "doc_id",
+        sniff_format_col(payload).alias("fmt"),
+        F.octet_length(payload).cast("long").alias("byte_len"),
     )
 
 

@@ -118,3 +118,82 @@ def test_fake_thumbnail_semantics():
     w, h = fake_thumbnail(1000, 10)  # extreme ratio floors but never hits 0
     assert w == MAX_SIDE and h >= 1
     assert max(fake_thumbnail(5000, 4999)) == MAX_SIDE
+
+
+def _real_png_1x1() -> bytes:
+    """Construct a REAL, spec-valid 1x1 grayscale PNG from first principles
+    (signature + IHDR + IDAT with zlib-compressed scanline + IEND, CRCs
+    computed) — any conformant decoder opens it."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)  # 1x1, 8-bit gray
+    idat = zlib.compress(b"\x00\x80")  # filter byte + one pixel
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_sniff_golden_bytes_python_and_jvm(spark):
+    """Magic-number sniffing against REAL format signatures: a constructed
+    spec-valid PNG, canonical JPEG/JFIF and GIF89a prefixes, a RIFF/WAVE
+    header — both the Python batch twin and the JVM hex-ladder column."""
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        sniff_format_bytes,
+        sniff_format_col,
+    )
+
+    png = _real_png_1x1()
+    samples = [
+        (1, png, "png"),
+        (2, b"\xff\xd8\xff\xe0\x00\x10JFIF\x00rest", "jpeg"),
+        (3, b"GIF89a\x01\x00\x01\x00...", "gif"),
+        (4, b"RIFF\x24\x08\x00\x00WAVEfmt ", "wav"),
+        (5, b"RIFF\x24\x08\x00\x00AVI LIST", "unknown"),  # RIFF but not WAVE
+        (6, b"plain text payload", "unknown"),
+        (7, b"\x89PNx truncated", "unknown"),
+    ]
+    for _, payload, want in samples:
+        assert sniff_format_bytes(payload) == want, (payload[:8], want)
+    df = spark.createDataFrame(
+        [Row(doc_id=i, payload=bytearray(p)) for i, p, _ in samples]
+    )
+    got = {
+        r.doc_id: r.fmt
+        for r in df.select(
+            "doc_id", sniff_format_col(F.col("payload")).alias("fmt")
+        ).collect()
+    }
+    assert got == {i: want for i, _, want in samples}
+
+
+def test_decode_real_png_env_blocked_contract(media):
+    """Feeding a REAL 1x1 PNG through the decode path: with pillow
+    installed this must decode to a 1x1 grayscale image; in this container
+    (pillow absent — like transformWithStateInPandas' protobuf dependency)
+    the operator must fail loudly with NotImplementedError, never decode
+    garbage silently."""
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    png = _real_png_1x1()
+    try:
+        import PIL  # noqa: F401
+
+        img = decode_image(png)
+        assert (img.width, img.height) == (1, 1)
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="pillow"):
+            decode_image(png)

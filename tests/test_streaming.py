@@ -181,3 +181,81 @@ def test_upsert_stream_later_batch_wins(spark, tmp_path):
     # the merge ran incrementally: one versioned snapshot per microbatch
     versions = [p.name for p in (tmp_path / "snap").iterdir() if p.name.startswith("v")]
     assert len(versions) == 2, versions
+
+
+# --- Kafka-shaped probe stream (B11) ----------------------------------------
+
+def test_kafka_shaped_stream_parse_and_lookup_join(spark, http_server, tmp_path):
+    """End-to-end drive of the Kafka probe path WITHOUT the kafka jar
+    (absent in this environment): a file stream carrying Kafka's exact wire
+    schema (key/value binary, topic, partition, offset, timestamp,
+    timestampType) stands in for the broker; parse_json_value turns the
+    binary JSON values into typed columns inside a real microbatch, which
+    are then enriched against the HTTP-cached dimension — the reference
+    README's Kafka → lookup-join shape (README.md:109-120)."""
+    import datetime
+    import json
+
+    from pyspark.sql.types import (
+        BinaryType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from flink_http_full_cache_connector_spark.operators.lookup_join import lookup_join
+    from flink_http_full_cache_connector_spark.sources.kafka import parse_json_value
+    from flink_http_full_cache_connector_spark.sources.lookup import create_lookup_df
+
+    kafka_wire = StructType(
+        [
+            StructField("key", BinaryType()),
+            StructField("value", BinaryType()),
+            StructField("topic", StringType()),
+            StructField("partition", IntegerType()),
+            StructField("offset", LongType()),
+            StructField("timestamp", TimestampType()),
+            StructField("timestampType", IntegerType()),
+        ]
+    )
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    records = [
+        (
+            str(i).encode(),
+            json.dumps({"order_id": 100 + i, "user_id": i % 10 + 1}).encode(),
+            "orders",
+            i % 2,
+            i,
+            ts,
+            0,
+        )
+        for i in range(6)
+    ] + [(b"6", b'{"order_id": 106}', "orders", 0, 6, ts, 0)]  # missing field
+    src = str(tmp_path / "kafka_files")
+    spark.createDataFrame(records, kafka_wire).write.parquet(src)
+
+    probe_schema = StructType(
+        [StructField("order_id", IntegerType()), StructField("user_id", IntegerType())]
+    )
+    stream = spark.readStream.schema(kafka_wire).parquet(src)
+    assert stream.isStreaming
+    parsed = parse_json_value(stream, probe_schema)
+    dim = create_lookup_df(spark, {"url": http_server.url}, USERS_SCHEMA)
+    enriched = lookup_join(parsed, dim, on=[("user_id", "id")], how="left")
+
+    name = "kafka_shaped_sink"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.order_id: r for r in spark.table(name).collect()}
+    assert len(rows) == 7
+    assert all(rows[100 + i].name == f"Mock User {i % 10 + 1}" for i in range(6))
+    assert rows[106].user_id is None and rows[106].name is None  # missing -> NULL
