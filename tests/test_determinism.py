@@ -25,6 +25,20 @@ QUERIES = [
     "text_token_gini",
     "shipping_priority",
     "outliers_iqr_events",
+    # r2 additions — every remaining registered-query family is now swept:
+    # mapInPandas Arrow batching (multimodal), the UDTF chunker, the
+    # trigram-lang argmax (integer-sum contract), the df-capped shingle
+    # join, the md5-seeded datagen, the tie-robust sketch summary, and the
+    # iterative Lloyd trainer (float means folded per iteration)
+    "multimodal_resize",
+    "multimodal_sniff",
+    "multimodal_decode_features",
+    "text_chunks_udtf",
+    "text_lang_id",
+    "dedup_ngram_jaccard_capped",
+    "datagen_probe",
+    "sketch_heavy_hitters",
+    "sim_ann_ivf_trained",
 ]
 
 
