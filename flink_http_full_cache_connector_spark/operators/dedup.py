@@ -68,9 +68,17 @@ _DUCK_SHINGLES = (
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (document → set of shingles)."""
+    """Distinct word n-gram shingles (document → set of shingles).
+
+    Documents shorter than ``n`` tokens yield an empty set — guarded
+    explicitly because Spark's ``sequence(0, negative)`` DESCENDS instead
+    of returning empty (DuckDB's ``range`` never descends, so an unguarded
+    short doc would diverge from every shingle oracle).
+    """
     toks = F.split(F.trim(text), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
     )
@@ -263,11 +271,11 @@ def _shingle_cte(max_df: int | None) -> str:
     df-capped exactly like :func:`_shingle_table`."""
     base = f"SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents"
     if max_df is None:
-        return f"sh AS ({base})"
+        return f"sh AS MATERIALIZED ({base})"
     return (
-        f"sh0 AS ({base}),\n"
+        f"sh0 AS MATERIALIZED ({base}),\n"
         f"stop AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > {max_df}),\n"
-        f"sh AS (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM stop))"
+        f"sh AS MATERIALIZED (SELECT doc_id, s FROM sh0 WHERE s NOT IN (SELECT s FROM stop))"
     )
 
 
@@ -395,11 +403,11 @@ def _minhash_oracle() -> str:
         for band in range(BANDS)
     )
     return f"""
-WITH sh AS (
+WITH sh AS MATERIALIZED (
     SELECT doc_id, s, ('0x' || substr(md5(s), 1, 8))::bigint % {P} AS h
     FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents)
 ),
-sig AS (SELECT doc_id, count(*) AS n, {mh} FROM sh GROUP BY doc_id),
+sig AS MATERIALIZED (SELECT doc_id, count(*) AS n, {mh} FROM sh GROUP BY doc_id),
 bands AS ({band_rows}),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -685,7 +693,7 @@ def connected_components(
 
 def _components_oracle() -> str:
     return f"""
-WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
+WITH RECURSIVE pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
 verts AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
 edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
           UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
@@ -781,7 +789,7 @@ WITH pl AS (
     JOIN embeddings a ON a.vec_id = {LSH_PLANE_BASE} + 2 * t.p
     JOIN embeddings b ON b.vec_id = {LSH_PLANE_BASE} + 2 * t.p + 1
 ),
-sigs AS (
+sigs AS MATERIALIZED (
     SELECT e.vec_id, pl.table_id,
            sum(CASE WHEN {duck_dot('e.embedding', 'pl.dv')} >= 0
                     THEN pl.weight ELSE 0 END)::bigint AS bucket
@@ -866,7 +874,7 @@ SIMHASH_MAX_HAMMING = 3  # < #bands: pigeonhole guarantees banded search is comp
 
 def _simhash_pairs_oracle() -> str:
     return f"""
-WITH sigs AS ({_simhash_oracle()})
+WITH sigs AS MATERIALIZED ({_simhash_oracle()})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash))::int AS hamming
 FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id

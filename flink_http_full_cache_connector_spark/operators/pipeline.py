@@ -238,3 +238,142 @@ def training_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = tempfile.mkdtemp(prefix="spark_graft_corpus_")
     return build_training_corpus(spark, sf_dir, f"{out}/corpus")
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — fill fixed-size training context windows
+# ---------------------------------------------------------------------------
+
+PACK_WINDOW = 512  # tokens per training sequence
+PACK_BUCKETS = 32  # packing parallelism: packs are built independently per
+#                    bucket, so the window cumsum never becomes one global
+#                    serial scan; size this to cluster parallelism at scale
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint
+                   % {PACK_BUCKETS}) AS bucket,
+               len(string_split_regex(trim(text), '\\s+'))::bigint AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, bucket, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix_tokens
+        FROM toks
+    )
+    SELECT doc_id, bucket::int AS bucket, n_tokens,
+           (prefix_tokens // {PACK_WINDOW})::bigint AS pack_id,
+           (prefix_tokens % {PACK_WINDOW})::bigint AS pack_offset
+    FROM packed
+    """,
+    doc=f"Sequence packing for training batches: greedy contiguous fill of "
+    f"{PACK_WINDOW}-token context windows. Docs are hash-bucketed "
+    f"({PACK_BUCKETS} buckets = the parallelism knob) and packed "
+    "independently per bucket with a running token prefix-sum window — "
+    "the global-order cumsum a naive packer needs would serialize the "
+    "whole corpus through one partition. One bucket-key shuffle; "
+    "(pack_id, pack_offset) are exact integer arithmetic, so assignment "
+    "is repartition-invariant and oracle-identical.",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_http_full_cache_connector_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from flink_http_full_cache_connector_spark.operators.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        hash_bucket(F.col("doc_id"), PACK_BUCKETS).alias("bucket"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("prefix_tokens")
+    packed = toks.select("doc_id", "bucket", "n_tokens", prefix)
+    return packed.select(
+        "doc_id",
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_tokens",
+        (F.col("prefix_tokens") / PACK_WINDOW).cast("long").alias("pack_id"),
+        (F.col("prefix_tokens") % PACK_WINDOW).alias("pack_offset"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination — n-gram overlap against an eval set
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 8  # word n-gram length (long enough that collisions mean copying)
+DECON_EVAL_MOD = 97  # doc_id % MOD == 0 stands in for the benchmark set
+
+
+def _duck_ngrams(n: int) -> str:
+    toks = r"string_split_regex(trim(text), '\s+')"
+    gram = " || ' ' || ".join(f"{toks}[i+{k}]" for k in range(n))
+    return (
+        f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), "
+        f"i -> {gram}))"
+    )
+
+
+@register(
+    "decontaminate",
+    f"""
+    WITH eval_sh AS MATERIALIZED (
+        SELECT DISTINCT unnest({_duck_ngrams(DECON_NGRAM)}) AS s
+        FROM documents WHERE doc_id % {DECON_EVAL_MOD} = 0
+    ),
+    train_sh AS MATERIALIZED (
+        SELECT doc_id, unnest({_duck_ngrams(DECON_NGRAM)}) AS s
+        FROM documents WHERE doc_id % {DECON_EVAL_MOD} <> 0
+    ),
+    hits AS (
+        SELECT t.doc_id, count(*) AS n_hits
+        FROM train_sh t JOIN eval_sh e ON t.s = e.s
+        GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(h.n_hits, 0)::bigint AS n_hits,
+           (coalesce(h.n_hits, 0) > 0) AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {DECON_EVAL_MOD} <> 0
+    """,
+    doc=f"Benchmark decontamination: flag training docs sharing any "
+    f"{DECON_NGRAM}-gram with the eval set (doc_id % {DECON_EVAL_MOD} = 0 "
+    "stands in for the benchmark corpus). The eval shingle set is small by "
+    "construction, so the overlap test is a broadcast join against it — "
+    "the train side streams map-side, one doc_id shuffle for the hit "
+    "counts; at 100 TB this is the standard eval-leakage sweep before "
+    "training (the n-gram length makes collisions evidence of copying, "
+    "not chance).",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.dedup import word_shingles
+
+    docs = _docs(spark, sf_dir)
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    grams = F.explode(word_shingles(F.col("text"), DECON_NGRAM)).alias("s")
+    eval_sh = docs.where(is_eval).select(grams).distinct()
+    train = docs.where(~is_eval)
+    hits = (
+        train.select("doc_id", grams)
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+    )

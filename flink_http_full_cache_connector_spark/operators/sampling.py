@@ -190,3 +190,94 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus mixture — downsample sources to a target blend
+# ---------------------------------------------------------------------------
+
+#: target mixture over document sources (shares must sum to <= 1; sources
+#: not listed are excluded).  src0..src3 here; a production pipeline feeds
+#: its own weighting (web/code/wiki/books/...).
+MIXTURE_TARGET: dict[str, float] = {
+    "src0": 0.4,
+    "src1": 0.3,
+    "src2": 0.2,
+    "src3": 0.1,
+}
+
+
+@register(
+    "corpus_mixture",
+    f"""
+    WITH target(source, share) AS (VALUES {", ".join(
+        f"('{s}', {w})" for s, w in MIXTURE_TARGET.items()
+    )}),
+    counts AS (
+        SELECT d.source, t.share, count(*)::bigint AS n_total
+        FROM documents d JOIN target t ON d.source = t.source
+        GROUP BY d.source, t.share
+    ),
+    scaled AS (
+        SELECT source, share, n_total,
+               (SELECT min(n_total / share) FROM counts) AS corpus_scale
+        FROM counts
+    ),
+    rates AS (
+        SELECT source, n_total,
+               floor(share * corpus_scale)::bigint AS n_target,
+               floor((share * corpus_scale / n_total) * 1000)::bigint AS keep_buckets
+        FROM scaled
+    )
+    SELECT r.source, r.n_total, r.n_target,
+           (SELECT count(*) FROM documents d
+            WHERE d.source = r.source
+              AND (('0x' || substr(md5(d.doc_id::varchar), 1, 8))::bigint % 1000)
+                  < r.keep_buckets)::bigint AS n_kept
+    FROM rates r
+    """,
+    doc="Corpus mixture sampling: downsample each source to hit a target "
+    "blend (40/30/20/10 over src0..src3 here) while keeping as much data "
+    "as possible — corpus_scale = min(n_s/share_s) makes the scarcest "
+    "source the binding constraint, every other source is hash-downsampled "
+    "to its share. Two tiny aggregations (per-source counts, global min) "
+    "broadcast back onto the scan; row selection is the md5-bucket filter "
+    "— map-side, shuffle-free, reproducible. The standard data-mixing "
+    "step before training (fixed blend across corpus growth).",
+)
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    target = docs.sparkSession.createDataFrame(
+        list(MIXTURE_TARGET.items()), "source string, share double"
+    )
+    counts = (
+        docs.join(F.broadcast(target), "source")
+        .groupBy("source", "share")
+        .agg(F.count("*").alias("n_total"))
+    )
+    scale = counts.agg(
+        F.min(F.col("n_total") / F.col("share")).alias("corpus_scale")
+    )
+    rates = counts.crossJoin(F.broadcast(scale)).select(
+        "source",
+        "n_total",
+        F.floor(F.col("share") * F.col("corpus_scale")).alias("n_target"),
+        F.floor(
+            (F.col("share") * F.col("corpus_scale") / F.col("n_total")) * NUM_BUCKETS
+        ).alias("keep_buckets"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .where(hash_bucket(F.col("doc_id")) < F.col("keep_buckets"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_total",
+            "n_target",
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )

@@ -395,3 +395,74 @@ def test_lang_id_trigram_separates_real_languages(spark):
     for lang, prof in TRIGRAM_WEIGHTS.items():
         for t in prof:
             assert t[0] != t[2], (lang, t)
+
+
+def test_decontaminate_flags_planted_eval_overlap(spark, tmp_path):
+    """A training doc that copies an 8-gram run from an eval doc must be
+    flagged; unrelated docs must not. Eval docs (id % 97 == 0) never appear
+    in the output."""
+    from flink_http_full_cache_connector_spark.operators.pipeline import (
+        decontaminate,
+    )
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        Row(doc_id=0, text=eval_text, lang="en", source="eval", n_chars=0),
+        # copies 8 consecutive eval words inside unrelated prose
+        Row(doc_id=1, text=f"intro words {eval_text} trailing words",
+            lang="en", source="web", n_chars=0),
+        Row(doc_id=2, text="one two three four five six seven eight nine ten",
+            lang="en", source="web", n_chars=0),
+    ]
+    d = str(tmp_path / "decon")
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in decontaminate(spark, d).collect()}
+    assert set(out) == {1, 2}  # eval doc excluded
+    assert out[1].contaminated and out[1].n_hits >= 1
+    assert not out[2].contaminated and out[2].n_hits == 0
+
+
+def test_pack_sequences_window_semantics(spark):
+    """Within every bucket, packs are contiguous prefix-sum fills: offsets
+    stay below the window, pack ids are non-decreasing in doc order, and
+    each doc's slot follows the previous doc's end."""
+    from flink_http_full_cache_connector_spark.operators.pipeline import (
+        PACK_WINDOW,
+        pack_sequences,
+    )
+
+    rows = pack_sequences(spark, SF_DIR).collect()
+    assert rows
+    by_bucket: dict[int, list] = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, docs in by_bucket.items():
+        docs.sort(key=lambda r: r.doc_id)
+        prefix = 0
+        for r in docs:
+            assert 0 <= r.pack_offset < PACK_WINDOW, r
+            assert r.pack_id == prefix // PACK_WINDOW, r
+            assert r.pack_offset == prefix % PACK_WINDOW, r
+            prefix += r.n_tokens
+
+
+def test_corpus_mixture_scarcest_source_binds(spark):
+    """corpus_scale = min(n_s/share_s): the binding source keeps ~all rows,
+    every source's target is its share of the total, and kept counts are
+    the deterministic hash-bucket approximation of the target."""
+    from flink_http_full_cache_connector_spark.operators.sampling import (
+        MIXTURE_TARGET,
+        corpus_mixture,
+    )
+
+    out = {r.source: r for r in corpus_mixture(spark, SF_DIR).collect()}
+    assert set(out) == set(MIXTURE_TARGET)
+    scale = min(out[s].n_total / w for s, w in MIXTURE_TARGET.items())
+    binding = [s for s, w in MIXTURE_TARGET.items()
+               if out[s].n_total / w == scale]
+    for s, w in MIXTURE_TARGET.items():
+        assert out[s].n_target == int(w * scale)
+        assert out[s].n_kept <= out[s].n_total
+    # the binding source is kept in full (its keep rate is 1)
+    for s in binding:
+        assert out[s].n_kept == out[s].n_total
