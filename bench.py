@@ -49,7 +49,22 @@ def main() -> None:
     # one-off GC/container noise (observed ~2x swings on single runs)
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name, qd in all_queries().items():
+    # registry enumeration puts driver-unverified queries FIRST (that order
+    # feeds the budget-capped correctness sweep); for TIMING that order is
+    # wrong — it pushes the heavy dedup/sketch family into the JVM's
+    # C2-JIT warm-up window (measured 3-5x inflation on the first ~20
+    # queries of a fresh session). Bench therefore runs the cheap
+    # scan/join/window queries first and the heavy families after the JVM
+    # is warm, regardless of sweep order.
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        _R1_DRIVER_GREEN,
+    )
+
+    q_all = all_queries()
+    ordered = [
+        (n, q_all[n]) for n in q_all if n in _R1_DRIVER_GREEN
+    ] + [(n, q_all[n]) for n in q_all if n not in _R1_DRIVER_GREEN]
+    for name, qd in ordered:
         best = float("inf")
         for _ in range(runs):
             t0 = time.perf_counter()

@@ -680,3 +680,77 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchors.join(negl, "negative_id").select(
         "anchor_id", "k", "negative_id", (F.col("la") == F.col("lb")).alias("same_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization — the 4x storage/IO cut before ANN at scale
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 255  # uint8 code space
+
+
+@register(
+    "embedding_quantize_int8",
+    f"""
+    WITH flat AS MATERIALIZED (
+        SELECT vec_id, unnest(range(len(embedding))) AS dim,
+               unnest(embedding)::double AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT dim, min(v) AS mn, max(v) AS mx FROM flat GROUP BY dim
+    ),
+    q AS (
+        SELECT f.vec_id, f.dim,
+               CASE WHEN d.mx > d.mn
+                    THEN least({QUANT_LEVELS}, greatest(0,
+                         floor((f.v - d.mn) / (d.mx - d.mn)
+                               * {QUANT_LEVELS}.0 + 0.5)))::int
+                    ELSE 0 END AS qv
+        FROM flat f JOIN dims d ON f.dim = d.dim
+    )
+    SELECT vec_id, list(qv ORDER BY dim) AS quant
+    FROM q GROUP BY vec_id
+    """,
+    doc=f"Per-dimension affine int8 quantization of the embedding column "
+    f"(uniform {QUANT_LEVELS + 1}-level codes between each dimension's "
+    "min/max): the standard 4x storage/scan-IO reduction applied before "
+    "ANN indexing at corpus scale. Dataflow: posexplode -> per-dim "
+    "min/max (partial-agg, O(dims) rows) -> broadcast the tiny stats "
+    "table back onto the flattened scan -> re-assemble codes in dimension "
+    "order. Order-independent min/max plus single-expression rounding "
+    "keep it bit-identical cross-engine (no float sums).",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = widen(load_table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("dim", "v")
+    )
+    dims = flat.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(QUANT_LEVELS),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * F.lit(float(QUANT_LEVELS))
+                    + F.lit(0.5)
+                ),
+            ),
+        ).cast("int"),
+    ).otherwise(F.lit(0))
+    q = flat.join(F.broadcast(dims), "dim").select(
+        "vec_id", "dim", code.alias("qv")
+    )
+    return (
+        q.groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "qv"))),
+                lambda s: s["qv"],
+            ).alias("quant")
+        )
+    )

@@ -861,3 +861,122 @@ def text_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_toks",
         F.round(gini, 6).alias("token_gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-filter rules (Gopher-style) + batch-scheduling length buckets
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_WORD = 2.0
+GOPHER_MAX_MEAN_WORD = 12.0
+GOPHER_MAX_TOP_SHARE = 0.2  # most frequent token may claim at most 20%
+
+
+@register(
+    "text_quality_gopher",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+               x -> x <> '')) AS t
+        FROM documents
+    ),
+    cnts AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+    agg AS (
+        SELECT doc_id, sum(c)::bigint AS n_tokens, max(c)::bigint AS top_count
+        FROM cnts GROUP BY doc_id
+    ),
+    chars AS (
+        SELECT doc_id,
+               length(replace(trim(text), ' ', ''))::bigint AS nonspace
+        FROM documents
+    )
+    SELECT a.doc_id, a.n_tokens,
+           {duck_trunc6('a.top_count / a.n_tokens')} AS top_token_share,
+           {duck_trunc6('c.nonspace / a.n_tokens')} AS mean_word_len,
+           (a.n_tokens >= {GOPHER_MIN_TOKENS} AND a.n_tokens <= {GOPHER_MAX_TOKENS}
+            AND c.nonspace / a.n_tokens >= {GOPHER_MIN_MEAN_WORD}
+            AND c.nonspace / a.n_tokens <= {GOPHER_MAX_MEAN_WORD}
+            AND a.top_count / a.n_tokens <= {GOPHER_MAX_TOP_SHARE}) AS passes
+    FROM agg a JOIN chars c ON a.doc_id = c.doc_id
+    """,
+    doc="Gopher-style corpus filter rules: token-count bounds, mean word "
+    "length bounds, and max single-token share (the repetition rule — the "
+    "one with real signal on any corpus). Two uniform-key shuffles "
+    "((doc,token) counts then per-doc aggregate), partial-agg combined "
+    "map-side; the rule thresholds are the standard public corpus-filter "
+    "recipe shape, each term recomputed exactly by the oracle.",
+)
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+        ).alias("t"),
+    )
+    cnts = toks.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
+    agg = cnts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"), F.max("c").alias("top_count")
+    )
+    chars = docs.select(
+        "doc_id",
+        F.length(F.replace(F.trim(F.col("text")), F.lit(" "), F.lit(""))).cast(
+            "long"
+        ).alias("nonspace"),
+    )
+    j = agg.join(chars, "doc_id")
+    top_share = F.col("top_count") / F.col("n_tokens")
+    mean_word = F.col("nonspace") / F.col("n_tokens")
+    passes = (
+        (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+        & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)
+        & (mean_word >= GOPHER_MIN_MEAN_WORD)
+        & (mean_word <= GOPHER_MAX_MEAN_WORD)
+        & (top_share <= GOPHER_MAX_TOP_SHARE)
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        trunc6(top_share).alias("top_token_share"),
+        trunc6(mean_word).alias("mean_word_len"),
+        passes.alias("passes"),
+    )
+
+
+@register(
+    "text_length_buckets",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+'))::bigint AS n_tokens
+        FROM documents
+    )
+    SELECT (length(bin(n_tokens)) - 1)::int AS bucket,
+           count(*)::bigint AS docs,
+           sum(n_tokens)::bigint AS total_tokens,
+           min(n_tokens)::bigint AS min_tokens,
+           max(n_tokens)::bigint AS max_tokens
+    FROM toks GROUP BY bucket
+    """,
+    doc="Token-length histogram in power-of-two buckets (bucket = "
+    "floor(log2 n) via binary-representation length — integer-exact, no "
+    "libm): the batch-scheduling profile that decides padding waste vs "
+    "packing for fixed-context training. One low-cardinality shuffle "
+    "after map-side partial agg.",
+)
+def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    n = token_count(F.col("text")).cast("long")
+    bucket = (F.length(F.bin(n)) - 1).cast("int")
+    return (
+        docs.select(bucket.alias("bucket"), n.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )

@@ -466,3 +466,81 @@ def test_corpus_mixture_scarcest_source_binds(spark):
     # the binding source is kept in full (its keep rate is 1)
     for s in binding:
         assert out[s].n_kept == out[s].n_total
+
+
+def test_gopher_rules_fire_on_crafted_docs(spark, tmp_path):
+    """Each rule must reject its own violation class: too short, repetition
+    (top-token share), and absurd mean word length; ordinary prose passes."""
+    from flink_http_full_cache_connector_spark.operators.text import (
+        text_quality_gopher,
+    )
+
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog and then "
+                           "walks back home across the wide green field tonight "
+                           "with a very calm and happy mood overall",
+            lang="en", source="web", n_chars=0),
+        Row(doc_id=2, text="too short", lang="en", source="web", n_chars=0),
+        Row(doc_id=3, text="spam " * 40, lang="en", source="web", n_chars=0),
+        Row(doc_id=4, text="a b c d e f g h i j k l m n o p q r s t u v w x y z",
+            lang="en", source="web", n_chars=0),  # mean word len 1
+    ]
+    d = str(tmp_path / "gopher")
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in text_quality_gopher(spark, d).collect()}
+    assert out[1].passes
+    assert not out[2].passes  # n_tokens < minimum
+    assert not out[3].passes and out[3].top_token_share == 1.0  # repetition
+    assert not out[4].passes  # mean word length below bound
+
+
+def test_length_buckets_partition_and_cover(spark):
+    """Power-of-two buckets: every doc lands in exactly one bucket, bucket
+    bounds hold (2^b <= tokens < 2^(b+1)), totals reconcile."""
+    from flink_http_full_cache_connector_spark.operators.text import (
+        text_length_buckets,
+        token_count,
+    )
+    from flink_http_full_cache_connector_spark.plans.registry import load_table
+
+    out = text_length_buckets(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(token_count(F.col("text")).cast("long")).alias("s")
+    ).collect()[0].s
+    assert sum(r.docs for r in out) == n_docs
+    assert sum(r.total_tokens for r in out) == total_tokens
+    for r in out:
+        assert 2 ** r.bucket <= r.min_tokens <= r.max_tokens < 2 ** (r.bucket + 1)
+
+
+def test_quantize_int8_reconstruction(spark):
+    """Codes must be within [0,255], dequantization must land within half a
+    quantization step of the original value in every dimension."""
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        QUANT_LEVELS,
+        embedding_quantize_int8,
+    )
+    from flink_http_full_cache_connector_spark.plans.registry import load_table
+
+    quant = {
+        r.vec_id: r.quant
+        for r in embedding_quantize_int8(spark, SF_DIR).collect()
+    }
+    emb = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    assert set(quant) == set(emb)
+    dims = len(next(iter(emb.values())))
+    mins = [min(v[i] for v in emb.values()) for i in range(dims)]
+    maxs = [max(v[i] for v in emb.values()) for i in range(dims)]
+    for vid, codes in quant.items():
+        assert len(codes) == dims
+        for i, c in enumerate(codes):
+            assert 0 <= c <= QUANT_LEVELS
+            if maxs[i] > mins[i]:
+                step = (maxs[i] - mins[i]) / QUANT_LEVELS
+                deq = mins[i] + c * step
+                assert abs(deq - emb[vid][i]) <= step / 2 + 1e-9, (vid, i)
