@@ -500,8 +500,9 @@ def supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "memory per group where the exact twins (pivot/percentiles, both "
     "oracle-checked) need full sets. Estimator outputs are engine-specific, "
     "so the DRIVER-CHECKED columns are the declared error contracts: "
-    "approx_users within 5% of the exact distinct count (HLL++ rsd default "
-    "0.05), approx_p50 within the exact p45..p55 band (accuracy 10000 ⇒ "
+    "approx_users within 4 sigma of exact (HLL++ pinned to rsd 0.01 — the "
+    "default rsd 0.05 lands outside 1 sigma routinely, observed at "
+    "sf0.1), approx_p50 within the exact p45..p55 band (accuracy 10000 ⇒ "
     "rank error ≤ 1/10000 ≪ 5%). The oracle recomputes the exact counts "
     "and expects TRUE — a hash-checkable tolerance gate, with the "
     "estimator-vs-exact tolerance test kept in tests/.",
@@ -509,7 +510,7 @@ def supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     agg = events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.count("*").alias("cnt"),
         F.count_distinct("user_id").alias("exact_users"),
@@ -522,7 +523,7 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
+            <= 0.04 * F.col("exact_users")
         ).alias("approx_users_ok"),
         F.col("approx_p50").between(F.col("_p45"), F.col("_p55")).alias(
             "approx_p50_ok"

@@ -261,3 +261,54 @@ def test_gapfill_two_key_exchanges_no_tie_shuffle(spark):
     assert len(exchanges) == 2, plan
     # "us#<id>" would be the tie-dedup's (user_id, us) composite key
     assert not any("us#" in ln for ln in exchanges), plan
+
+
+def test_pack_sequences_window_is_bucket_partitioned(spark):
+    """The packing prefix-sum must run per hash bucket — a global-order
+    window (SinglePartition exchange) would serialize the whole corpus
+    through one task."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["pack_sequences"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 1 and "bucket" in exchanges[0], plan
+
+
+def test_quantize_broadcasts_dim_stats(spark):
+    """Per-dim min/max stats (O(dims) rows) must come back as a broadcast
+    join onto the flattened scan, never a sort-merge shuffle of the data."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["embedding_quantize_int8"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The eval shingle set is tiny by construction; the overlap test must
+    be a broadcast join, with the train side streaming map-side."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["decontaminate"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_trigram_lang_profile_is_broadcast(spark):
+    """The 80-row trigram profile table must broadcast onto the exploded
+    trigram stream (a shuffle keyed on 3-char trigrams would be the
+    scale-killer); the scores-to-docs LEFT join on doc_id may sort-merge —
+    both of its sides are corpus-sized at scale (AQE downgrades it to
+    broadcast at runtime on small inputs)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["text_lang_id"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    tri_joins = [ln for ln in joins if "BroadcastHashJoin [t#" in ln.strip()]
+    assert tri_joins, plan
+    assert not any("SortMergeJoin [t#" in ln for ln in joins), plan
