@@ -135,31 +135,26 @@ def main() -> None:
             indent=1,
         )
 
-    line = json.dumps(
-        {
-            "metric": "total_query_wall_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": {skey[n]: round(t, 3) for n, t in timings.items()},
-            "sf": sf,
-            "cpus": cpus,
-            "keymap": "BENCH_KEYS.json",
-        },
-        separators=(",", ":"),
-    )
-    if len(line) > 1900:  # never hand the driver a head-truncatable line
-        line = json.dumps(
+    def machine_line(decimals: int) -> str:
+        q = {skey[n]: round(t, decimals) for n, t in timings.items()}
+        # value recomputed FROM the emitted per-query values so the line is
+        # internally consistent at any rounding (value == sum(queries))
+        return json.dumps(
             {
                 "metric": "total_query_wall_seconds",
-                "value": total,
+                "value": round(sum(q.values()), decimals),
                 "unit": "sec",
-                "queries": {skey[n]: round(t, 2) for n, t in timings.items()},
+                "queries": q,
                 "sf": sf,
                 "cpus": cpus,
                 "keymap": "BENCH_KEYS.json",
             },
             separators=(",", ":"),
         )
+
+    line = machine_line(3)
+    if len(line) > 1900:  # never hand the driver a head-truncatable line
+        line = machine_line(2)
     print(line)
     spark.stop()
 

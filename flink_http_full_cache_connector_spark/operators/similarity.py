@@ -754,3 +754,104 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("quant")
         )
     )
+
+
+DRIFT_CODE_THRESHOLD = 8  # mean-code shift (of 255) that flags a dimension
+
+
+@register(
+    "embedding_drift_int8",
+    f"""
+    WITH flat AS MATERIALIZED (
+        SELECT vec_id, (vec_id % 2 = 0) AS is_ref,
+               unnest(range(len(embedding))) AS dim,
+               unnest(embedding)::double AS v
+        FROM embeddings
+    ),
+    dims AS (
+        SELECT dim, min(v) AS mn, max(v) AS mx FROM flat WHERE is_ref GROUP BY dim
+    ),
+    coded AS (
+        SELECT f.vec_id, f.is_ref, f.dim,
+               CASE WHEN d.mx > d.mn
+                    THEN least({QUANT_LEVELS}, greatest(0,
+                         floor((f.v - d.mn) / (d.mx - d.mn)
+                               * {QUANT_LEVELS}.0 + 0.5)))::bigint
+                    ELSE 0 END AS qv
+        FROM flat f JOIN dims d ON f.dim = d.dim
+    )
+    SELECT dim::int AS dim,
+           count(*) FILTER (WHERE is_ref)::bigint AS n_ref,
+           count(*) FILTER (WHERE NOT is_ref)::bigint AS n_new,
+           sum(qv) FILTER (WHERE is_ref)::bigint AS code_sum_ref,
+           sum(qv) FILTER (WHERE NOT is_ref)::bigint AS code_sum_new,
+           (abs(sum(qv) FILTER (WHERE is_ref) * (count(*) FILTER (WHERE NOT is_ref))
+                - sum(qv) FILTER (WHERE NOT is_ref) * (count(*) FILTER (WHERE is_ref)))
+            > {DRIFT_CODE_THRESHOLD}
+              * (count(*) FILTER (WHERE is_ref))
+              * (count(*) FILTER (WHERE NOT is_ref))) AS drifted
+    FROM coded GROUP BY dim
+    """,
+    doc=f"Embedding drift monitor: the corpus is split into a reference "
+    "cohort (even vec_id — standing in for last week's snapshot) and a new "
+    "cohort; each dimension is quantized with the REFERENCE cohort's "
+    "codebook and the two cohorts' mean codes are compared. The comparison "
+    f"|mean_ref - mean_new| > {DRIFT_CODE_THRESHOLD}/255 is evaluated as "
+    "exact integer cross-multiplication (|sum_r·n_n - sum_n·n_r| > "
+    "T·n_r·n_n) — associative long sums, no float means, so the flag is "
+    "repartition-invariant and engine-exact (int64-safe to ~1e8 rows per "
+    "cohort; cast to DECIMAL beyond). One explode scan + one dim-keyed "
+    "partial-agg shuffle — the continuous-ingest guardrail that catches an "
+    "upstream encoder change before it poisons ANN search.",
+)
+def embedding_drift_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = widen(load_table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        "vec_id",
+        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "v"),
+    )
+    dims = (
+        flat.where("is_ref")
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    code = F.when(
+        F.col("mx") > F.col("mn"),
+        F.least(
+            F.lit(QUANT_LEVELS),
+            F.greatest(
+                F.lit(0),
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * F.lit(float(QUANT_LEVELS))
+                    + F.lit(0.5)
+                ),
+            ),
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    coded = flat.join(F.broadcast(dims), "dim").select(
+        "dim", "is_ref", code.alias("qv")
+    )
+    agg = coded.groupBy("dim").agg(
+        F.count(F.when(F.col("is_ref"), 1)).alias("n_ref"),
+        F.count(F.when(~F.col("is_ref"), 1)).alias("n_new"),
+        F.sum(F.when(F.col("is_ref"), F.col("qv")).otherwise(0)).alias("code_sum_ref"),
+        F.sum(F.when(~F.col("is_ref"), F.col("qv")).otherwise(0)).alias("code_sum_new"),
+    )
+    drift = (
+        F.abs(
+            F.col("code_sum_ref") * F.col("n_new")
+            - F.col("code_sum_new") * F.col("n_ref")
+        )
+        > F.lit(DRIFT_CODE_THRESHOLD) * F.col("n_ref") * F.col("n_new")
+    )
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_ref",
+        "n_new",
+        "code_sum_ref",
+        "code_sum_new",
+        drift.alias("drifted"),
+    )

@@ -619,3 +619,98 @@ def recursive_order_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.unset("spark.sql.cteRecursionRowLimit")
         else:
             spark.conf.set("spark.sql.cteRecursionRowLimit", prior)
+
+
+# ---------------------------------------------------------------------------
+# ingest QA: column profiling + referential-integrity audit
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props"]
+
+
+@register(
+    "profile_events_columns",
+    f"""
+    WITH base AS (
+        SELECT {', '.join(
+            f"count({c})::bigint AS nn_{c}, count(DISTINCT {c})::bigint AS nd_{c}"
+            for c in _PROFILE_COLS
+        )}, count(*)::bigint AS n
+        FROM events
+    )
+    {' UNION ALL '.join(
+        f"SELECT '{c}' AS col, n, (n - nn_{c})::bigint AS nulls,"
+        f" nd_{c} AS n_distinct FROM base"
+        for c in _PROFILE_COLS
+    )}
+    """,
+    doc="Ingest data-quality profile of the events table: per column row "
+    "count, null count, exact distinct count — the landing-zone audit "
+    "every continuously-fed table needs. ONE pass computes every "
+    "column's counts simultaneously (multi-distinct aggregate: Spark "
+    "expands it to grouping-set form internally), then a constant-size "
+    "unpivot to one row per column — never one scan per column.",
+)
+def profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n")]
+    for c in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(c).alias(f"nd_{c}"))
+    base = events.agg(*aggs)
+    per_col = [
+        base.select(
+            F.lit(c).alias("col"),
+            F.col("n"),
+            (F.col("n") - F.col(f"nn_{c}")).alias("nulls"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = per_col[0]
+    for p in per_col[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+_FK_EDGES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "fk_integrity",
+    " UNION ALL ".join(
+        f"""
+    SELECT '{ct}.{ck}->{pt}.{pk}' AS fk,
+           count(*)::bigint AS n_child,
+           count(*) FILTER (WHERE p.{pk} IS NULL)::bigint AS n_orphans
+    FROM {ct} c LEFT JOIN {pt} p ON c.{ck} = p.{pk}
+    """
+        for ct, ck, pt, pk in _FK_EDGES
+    ),
+    doc="Referential-integrity audit across every FK edge of the star "
+    "schema: orphan counts via LEFT-join-null probes. Each parent side is "
+    "a broadcastable dimension (or lands broadcast via AQE); the child "
+    "side streams map-side, so the whole audit costs one scan per child "
+    "table — the standard post-ingest FK gate before a warehouse "
+    "publishes a snapshot.",
+)
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for ct, ck, pt, pk in _FK_EDGES:
+        child = load_table(spark, sf_dir, ct)
+        parent = load_table(spark, sf_dir, pt).select(F.col(pk))
+        j = child.join(F.broadcast(parent), child[ck] == parent[pk], "left")
+        row = j.agg(
+            F.lit(f"{ct}.{ck}->{pt}.{pk}").alias("fk"),
+            F.count("*").alias("n_child"),
+            F.count(F.when(F.col(pk).isNull(), 1)).alias("n_orphans"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

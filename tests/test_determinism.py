@@ -39,6 +39,11 @@ QUERIES = [
     "datagen_probe",
     "sketch_heavy_hitters",
     "sim_ann_ivf_trained",
+    # integer cross-multiplied drift flags sit exactly on float->code
+    # boundaries — the query family most exposed to a nondeterministic
+    # quantization step
+    "embedding_quantize_int8",
+    "embedding_drift_int8",
 ]
 
 
