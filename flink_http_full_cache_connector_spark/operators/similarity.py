@@ -777,7 +777,8 @@ DRIFT_CODE_THRESHOLD = 8  # mean-code shift (of 255) that flags a dimension
                     THEN least({QUANT_LEVELS}, greatest(0,
                          floor((f.v - d.mn) / (d.mx - d.mn)
                                * {QUANT_LEVELS}.0 + 0.5)))::bigint
-                    ELSE 0 END AS qv
+                    WHEN f.v = d.mn THEN 0
+                    ELSE {QUANT_LEVELS} END AS qv
         FROM flat f JOIN dims d ON f.dim = d.dim
     )
     SELECT dim::int AS dim,
@@ -816,21 +817,28 @@ def embedding_drift_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dim")
         .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
     )
-    code = F.when(
-        F.col("mx") > F.col("mn"),
-        F.least(
-            F.lit(QUANT_LEVELS),
-            F.greatest(
-                F.lit(0),
-                F.floor(
-                    (F.col("v") - F.col("mn"))
-                    / (F.col("mx") - F.col("mn"))
-                    * F.lit(float(QUANT_LEVELS))
-                    + F.lit(0.5)
+    # degenerate reference dims (mn == mx) saturate on ANY deviation: the
+    # codebook says "this dimension is constant", so a new-cohort value off
+    # the constant is maximal drift, not code 0 (which would hide it)
+    code = (
+        F.when(
+            F.col("mx") > F.col("mn"),
+            F.least(
+                F.lit(QUANT_LEVELS),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("v") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn"))
+                        * F.lit(float(QUANT_LEVELS))
+                        + F.lit(0.5)
+                    ),
                 ),
-            ),
-        ).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
+            ).cast("long"),
+        )
+        .when(F.col("v") == F.col("mn"), F.lit(0).cast("long"))
+        .otherwise(F.lit(QUANT_LEVELS).cast("long"))
+    )
     coded = flat.join(F.broadcast(dims), "dim").select(
         "dim", "is_ref", code.alias("qv")
     )

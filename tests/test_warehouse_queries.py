@@ -131,3 +131,104 @@ def test_retention_single_aggregation_exchange_reused(spark):
     df = all_queries()["retention_cohorts"].spark(spark, SF_DIR)
     plan = plan_of(df)
     assert plan.count("Exchange hashpartitioning(user_id") <= 2, plan
+
+
+def test_fk_integrity_counts_planted_orphans(spark, tmp_path):
+    """Orphan child keys must be counted per FK edge; intact edges report
+    zero. Crafted mini-warehouse with two dangling o_custkey rows."""
+    from flink_http_full_cache_connector_spark.plans.warehouse_queries import (
+        fk_integrity,
+    )
+
+    d = str(tmp_path / "wh")
+    spark.createDataFrame(
+        [(1, "c1", 1, 0.0, "SEG")],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, c_mktsegment string",
+    ).write.parquet(f"{d}/customer.parquet")
+    spark.createDataFrame(
+        [(10, 1, "O", 5.0, None, "1-URGENT"), (11, 99, "O", 5.0, None, "1-URGENT"),
+         (12, 98, "O", 5.0, None, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double,"
+        " o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [(10, 1, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", None)],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double, l_tax double,"
+        " l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    ).write.parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "p", "b", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, p_size int,"
+        " p_retailprice double",
+    ).write.parquet(f"{d}/part.parquet")
+    spark.createDataFrame(
+        [(1, "s", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).write.parquet(f"{d}/supplier.parquet")
+    spark.createDataFrame(
+        [(1, "n", 1)], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.parquet(f"{d}/nation.parquet")
+    spark.createDataFrame(
+        [(1, "r")], "r_regionkey int, r_name string"
+    ).write.parquet(f"{d}/region.parquet")
+
+    out = {r.fk: r for r in fk_integrity(spark, d).collect()}
+    assert out["orders.o_custkey->customer.c_custkey"].n_orphans == 2
+    assert out["orders.o_custkey->customer.c_custkey"].n_child == 3
+    assert all(
+        r.n_orphans == 0
+        for k, r in out.items()
+        if k != "orders.o_custkey->customer.c_custkey"
+    )
+
+
+def test_profile_counts_planted_nulls(spark, tmp_path):
+    """Null and distinct counts per column must be exact on crafted data."""
+    import datetime
+
+    from flink_http_full_cache_connector_spark.plans.warehouse_queries import (
+        profile_events_columns,
+    )
+
+    ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (1, ts, 1, "click", 1.0, None),
+        (2, ts, 1, "click", None, '{"a":1}'),
+        (3, ts, 2, None, 2.0, '{"a":1}'),
+    ]
+    d = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    out = {r.col: r for r in profile_events_columns(spark, d).collect()}
+    assert out["event_type"].nulls == 1 and out["event_type"].n_distinct == 1
+    assert out["value"].nulls == 1 and out["value"].n_distinct == 2
+    assert out["props"].nulls == 1 and out["props"].n_distinct == 1
+    assert out["event_id"].nulls == 0 and out["event_id"].n_distinct == 3
+    assert all(r.n == 3 for r in out.values())
+
+
+def test_embedding_drift_flags_planted_shift(spark, tmp_path):
+    """A new cohort shifted hard in one dimension must flag exactly that
+    dimension; identically-distributed dims stay quiet."""
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        embedding_drift_int8,
+    )
+
+    rows = []
+    for i in range(40):
+        base = [float(i % 7), 1.0 + (i % 5), 2.0]
+        if i % 2 == 1:  # "new" cohort: dim 2 shifted far outside ref range
+            base[2] = 50.0 + (i % 3)
+        rows.append((i, [float(x) for x in base], 0))
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    out = {r.dim: r for r in embedding_drift_int8(spark, d).collect()}
+    assert out[2].drifted
+    assert not out[0].drifted and not out[1].drifted
+    assert out[2].n_ref == 20 and out[2].n_new == 20
