@@ -60,3 +60,27 @@ def test_short_keys_unique_and_stable():
     assert short_keys(sorted(names)) == {n: skey[n] for n in sorted(names)}
     rev = short_keys(list(reversed(names)))
     assert {n: rev[n] for n in names} == skey
+
+
+def test_sweep_order_puts_driver_unverified_queries_first():
+    """The driver's budget-capped correctness sweep walks queries() in
+    enumeration order (round 1 covered exactly the first 50 and stopped);
+    the registry must keep not-yet-driver-verified queries ahead of the
+    r1-green tail so a capped sweep always lands on the queries without a
+    driver record."""
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        _R1_DRIVER_GREEN,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    seen_green = False
+    for n in names:
+        if n in _R1_DRIVER_GREEN:
+            seen_green = True
+        else:
+            assert not seen_green, (
+                f"{n} (driver-unverified) enumerated after an r1-green query"
+            )
+    # both groups are non-empty and every r1-green query is still registered
+    assert seen_green and _R1_DRIVER_GREEN <= set(names)

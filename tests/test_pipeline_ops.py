@@ -544,3 +544,33 @@ def test_quantize_int8_reconstruction(spark):
                 step = (maxs[i] - mins[i]) / QUANT_LEVELS
                 deq = mins[i] + c * step
                 assert abs(deq - emb[vid][i]) <= step / 2 + 1e-9, (vid, i)
+
+
+def test_pack_sequences_long_doc_overflows_into_next_window(spark, tmp_path):
+    """A document longer than the pack window must advance pack_id past the
+    windows it spans (greedy contiguous fill never splits a doc); the next
+    doc starts at the overflowing prefix."""
+    from flink_http_full_cache_connector_spark.operators.pipeline import (
+        PACK_WINDOW,
+        pack_sequences,
+    )
+
+    rows = [
+        Row(doc_id=i, text=" ".join(f"w{j}" for j in range(n)),
+            lang="en", source="web", n_chars=0)
+        for i, n in [(1, 100), (2, PACK_WINDOW + 88), (3, 40)]
+    ]
+    d = str(tmp_path / "longdoc")
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in pack_sequences(spark, d).collect()}
+    by_bucket: dict[int, list] = {}
+    for r in out.values():
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for docs in by_bucket.values():
+        docs.sort(key=lambda r: r.doc_id)
+        prefix = 0
+        for r in docs:
+            assert r.pack_id == prefix // PACK_WINDOW
+            assert r.pack_offset == prefix % PACK_WINDOW
+            prefix += r.n_tokens
+    assert out[2].n_tokens == PACK_WINDOW + 88
