@@ -63,12 +63,17 @@ def register(
 
 
 # Queries with a green (hash_match) row in the round-1 driver sweep
-# (CORRECTNESS_r01.json).  The r1 sweep covered exactly the first 50 entries
-# of enumeration order and stopped, so enumeration order decides which
-# queries get a driver correctness record when the sweep is budget-capped.
-# all_queries() therefore yields not-yet-driver-verified queries FIRST; the
-# already-green ones follow.  Repo-local parity (tests/test_oracle_parity.py)
+# (CORRECTNESS_r01.json).  Driver sweeps are budget-capped (r1 and r2 each
+# covered exactly the first 50 entries of enumeration order and stopped), so
+# enumeration order decides which queries ever get a driver correctness
+# record.  all_queries() therefore yields queries with NO green row in ANY
+# past round FIRST (pending = not in _DRIVER_GREEN below); the cumulative
+# green tail follows.  Repo-local parity (tests/test_oracle_parity.py)
 # covers every query every round regardless of this ordering.
+#
+# The r1 set is also kept separately: bench.py uses it as the cheap
+# scan/join/window JVM warm-up prefix (the r2 green set contains the heavy
+# dedup/sketch families, which must run AFTER warm-up for honest timings).
 _R1_DRIVER_GREEN = frozenset(
     {
         "tfidf_top_terms", "rollup_events", "window_funcs_events",
@@ -89,6 +94,38 @@ _R1_DRIVER_GREEN = frozenset(
         "unpivot_lineitem_metrics",
     }
 )
+
+# Green (hash_match) rows from the round-2 driver sweep (CORRECTNESS_r02.json).
+# NOT green in r2 and so still pending: sim_ann_ivf_trained (no_oracle) and
+# embedding_quantize_int8 (driver canonicalizer error on array schema).
+_R2_DRIVER_GREEN = frozenset(
+    {
+        "sketch_stats", "sketch_heavy_hitters", "datagen_probe",
+        "proctime_lookup_join", "rolling_1h_events", "gapfill_locf_events",
+        "recursive_order_chains", "profile_events_columns", "fk_integrity",
+        "asof_join_events", "asof_join_events_forward", "bloom_join_lineitem",
+        "dedup_exact", "streaming_dedup_exact", "streaming_dedup_stateful",
+        "dedup_ngram_jaccard", "dedup_ngram_jaccard_capped",
+        "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+        "dedup_components", "streaming_dedup_watermarked", "sim_topk_cosine",
+        "sim_ann_lsh", "sim_ann_ivf", "sim_rerank_pandas",
+        "embedding_dim_stats", "contrastive_negatives", "embedding_drift_int8",
+        "dedup_embedding_lsh", "dedup_simhash_pairs", "dedup_containment",
+        "dedup_containment_capped", "multimodal_metadata", "multimodal_sniff",
+        "multimodal_decode_features", "multimodal_frame_sample",
+        "multimodal_resize", "text_token_count", "text_lang_id",
+        "text_quality_score", "text_normalize", "text_vocabulary",
+        "text_fingerprint", "text_pii_scrub", "text_top_bigrams",
+        "corpus_report", "text_chunks_udtf",
+    }
+)
+
+# Cumulative: a query is "driver-green" if ANY past round recorded a green
+# hash_match row for it.  This is the set all_queries()'s pending-first
+# ordering keys off — pending must mean "never driver-verified", or a
+# budget-capped sweep re-walks already-green queries forever and the tail
+# never gets a record (round-2 verdict, What's wrong #3).
+_DRIVER_GREEN = _R1_DRIVER_GREEN | _R2_DRIVER_GREEN
 
 
 def all_queries() -> dict[str, QueryDef]:
@@ -116,8 +153,8 @@ def all_queries() -> dict[str, QueryDef]:
         pass
     from flink_http_full_cache_connector_spark.streaming import upsert  # noqa: F401
 
-    pending = {n: q for n, q in _REGISTRY.items() if n not in _R1_DRIVER_GREEN}
-    green = {n: q for n, q in _REGISTRY.items() if n in _R1_DRIVER_GREEN}
+    pending = {n: q for n, q in _REGISTRY.items() if n not in _DRIVER_GREEN}
+    green = {n: q for n, q in _REGISTRY.items() if n in _DRIVER_GREEN}
     return {**pending, **green}
 
 

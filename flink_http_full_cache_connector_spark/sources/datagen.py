@@ -133,6 +133,14 @@ def datagen_batch(
     return _apply_fields(rng.select(F.col("id").alias("value")), fields, True, clock)
 
 
+def _double_lit(x: float) -> str:
+    """Render a Python float as DuckDB SQL that parses to the bit-identical
+    DOUBLE.  ``repr`` is round-trippable and the VARCHAR→DOUBLE cast uses a
+    correct strtod; a bare numeric literal would go through DECIMAL and
+    double-round."""
+    return f"('{x!r}'::DOUBLE)"
+
+
 def oracle_field_sql(name: str, spec: FieldSpec, value: str = "value") -> str:
     """ANSI-SQL (DuckDB) twin of :func:`_field_col` — replays the exact
     draws, so datagen-fed queries are hash-checkable cross-engine."""
@@ -141,9 +149,18 @@ def oracle_field_sql(name: str, spec: FieldSpec, value: str = "value") -> str:
         span = spec.max - spec.min + 1
         return f"(({salted} % {span}) + {spec.min})::INT"
     if isinstance(spec, RandomDouble):
+        # Float constants go in as '<repr>'::DOUBLE, never bare literals:
+        # DuckDB types a bare float literal DECIMAL and the parse
+        # double-rounds (1.9999999998835847 lands 1 ulp high), diverging
+        # from Spark's IEEE-double path — caught by
+        # tests/test_datagen_property.py.  The VARCHAR→DOUBLE cast is a
+        # correct round-trip (verified bit-exact over 20k random floats),
+        # so with all-double operands both engines run the identical
+        # double-op sequence: min + (u/1e6)*(max-min).
+        lo, span = _double_lit(spec.min), _double_lit(spec.max - spec.min)
         return (
-            f"({spec.min} + (({salted} % 1000000) / 1000000.0)"
-            f" * {spec.max - spec.min})::DOUBLE"
+            f"({lo} + ((({salted} % 1000000))::DOUBLE / (1000000)::DOUBLE)"
+            f" * {span})"
         )
     if isinstance(spec, RandomString):
         repeats = spec.length // 32 + 1

@@ -64,23 +64,33 @@ def test_short_keys_unique_and_stable():
 
 def test_sweep_order_puts_driver_unverified_queries_first():
     """The driver's budget-capped correctness sweep walks queries() in
-    enumeration order (round 1 covered exactly the first 50 and stopped);
-    the registry must keep not-yet-driver-verified queries ahead of the
-    r1-green tail so a capped sweep always lands on the queries without a
-    driver record."""
+    enumeration order (rounds 1 and 2 each covered exactly the first 50 and
+    stopped); the registry must keep queries with no green driver row in ANY
+    round ahead of the cumulative-green tail, or a capped sweep re-verifies
+    the same green queries forever and the tail never gets a record."""
     from flink_http_full_cache_connector_spark.plans.registry import (
+        _DRIVER_GREEN,
         _R1_DRIVER_GREEN,
+        _R2_DRIVER_GREEN,
         all_queries,
     )
 
     names = list(all_queries())
     seen_green = False
     for n in names:
-        if n in _R1_DRIVER_GREEN:
+        if n in _DRIVER_GREEN:
             seen_green = True
         else:
             assert not seen_green, (
-                f"{n} (driver-unverified) enumerated after an r1-green query"
+                f"{n} (driver-unverified) enumerated after a driver-green query"
             )
-    # both groups are non-empty and every r1-green query is still registered
-    assert seen_green and _R1_DRIVER_GREEN <= set(names)
+    # both groups are non-empty and every driver-green query is registered
+    assert seen_green and _DRIVER_GREEN <= set(names)
+    # the cumulative set really is cumulative (r3 regression guard: the r2
+    # sweep's 48 green queries must not fall back into pending)
+    assert _DRIVER_GREEN == _R1_DRIVER_GREEN | _R2_DRIVER_GREEN
+    assert len(_R2_DRIVER_GREEN) == 48
+    # the two r2 non-green rows stay pending until a green round records them
+    for still_pending in ("sim_ann_ivf_trained", "embedding_quantize_int8"):
+        assert still_pending not in _DRIVER_GREEN
+        assert still_pending in names

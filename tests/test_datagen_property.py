@@ -38,7 +38,7 @@ specs = st.one_of(
 
 
 @pytest.mark.usefixtures("spark")
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=50, deadline=None)
 @given(
     fields=st.dictionaries(
         st.text(alphabet="abcdefgh", min_size=1, max_size=6),
