@@ -699,27 +699,27 @@ QUANT_LEVELS = 255  # uint8 code space
     ),
     dims AS (
         SELECT dim, min(v) AS mn, max(v) AS mx FROM flat GROUP BY dim
-    ),
-    q AS (
-        SELECT f.vec_id, f.dim,
-               CASE WHEN d.mx > d.mn
-                    THEN least({QUANT_LEVELS}, greatest(0,
-                         floor((f.v - d.mn) / (d.mx - d.mn)
-                               * {QUANT_LEVELS}.0 + 0.5)))::int
-                    ELSE 0 END AS qv
-        FROM flat f JOIN dims d ON f.dim = d.dim
     )
-    SELECT vec_id, list(qv ORDER BY dim) AS quant
-    FROM q GROUP BY vec_id
+    SELECT f.vec_id, f.dim::int AS dim,
+           CASE WHEN d.mx > d.mn
+                THEN least({QUANT_LEVELS}, greatest(0,
+                     floor((f.v - d.mn) / (d.mx - d.mn)
+                           * {QUANT_LEVELS}.0 + 0.5)))::int
+                ELSE 0 END AS qv
+    FROM flat f JOIN dims d ON f.dim = d.dim
     """,
     doc=f"Per-dimension affine int8 quantization of the embedding column "
     f"(uniform {QUANT_LEVELS + 1}-level codes between each dimension's "
     "min/max): the standard 4x storage/scan-IO reduction applied before "
     "ANN indexing at corpus scale. Dataflow: posexplode -> per-dim "
     "min/max (partial-agg, O(dims) rows) -> broadcast the tiny stats "
-    "table back onto the flattened scan -> re-assemble codes in dimension "
-    "order. Order-independent min/max plus single-expression rounding "
-    "keep it bit-identical cross-engine (no float sums).",
+    "table back onto the flattened scan. Emits the exploded scalar form "
+    "(vec_id, dim, qv): driver canonicalization hashes scalar cells "
+    "(an array-typed column is unhashable by its pandas sort — round-2 "
+    "driver error), and the scalar form is also what a parquet sink "
+    "would store column-pruned. Order-independent min/max plus "
+    "single-expression rounding keep it bit-identical cross-engine "
+    "(no float sums).",
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = widen(load_table(spark, sf_dir, "embeddings"))
@@ -742,17 +742,8 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).cast("int"),
     ).otherwise(F.lit(0))
-    q = flat.join(F.broadcast(dims), "dim").select(
-        "vec_id", "dim", code.alias("qv")
-    )
-    return (
-        q.groupBy("vec_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "qv"))),
-                lambda s: s["qv"],
-            ).alias("quant")
-        )
+    return flat.join(F.broadcast(dims), "dim").select(
+        "vec_id", F.col("dim").cast("int").alias("dim"), code.alias("qv")
     )
 
 

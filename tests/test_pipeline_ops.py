@@ -524,9 +524,11 @@ def test_quantize_int8_reconstruction(spark):
     )
     from flink_http_full_cache_connector_spark.plans.registry import load_table
 
+    quant: dict = {}
+    for r in embedding_quantize_int8(spark, SF_DIR).collect():
+        quant.setdefault(r.vec_id, {})[r.dim] = r.qv
     quant = {
-        r.vec_id: r.quant
-        for r in embedding_quantize_int8(spark, SF_DIR).collect()
+        vid: [codes[i] for i in range(len(codes))] for vid, codes in quant.items()
     }
     emb = {
         r.vec_id: r.embedding
