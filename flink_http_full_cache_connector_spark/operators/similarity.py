@@ -219,19 +219,27 @@ def ivf_train(
     return cent
 
 
-@register(
-    "sim_ann_ivf_trained",
-    None,  # iterative float means: no bit-stable SQL oracle (rows-only)
-    doc=f"IVF ANN with Lloyd-trained centroids ({NUM_CENTROIDS} cells, 3 iters, "
-    f"nprobe={NPROBE}) — same probe path as sim_ann_ivf, better cell geometry. "
-    "Training runs on the deterministic 1/2 md5-bucket sample (the scale "
-    "posture: Lloyd iterations cost a fraction of a corpus scan each; at real corpus sizes the divisor grows with n); the final "
-    "assignment covers the full corpus.",
-)
-def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_trained_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     emb = load_table(spark, sf_dir, "embeddings")
     cent = ivf_train(emb, sample_mod=2)  # returned already persisted + materialized
     assign = ivf_assign(emb, cent)
+    return emb, cent, assign
+
+
+def sim_ann_ivf_trained_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd-trained IVF ANN neighbor lists themselves (the library
+    surface; the registered ``sim_ann_ivf_trained`` wraps this in the
+    hash-checkable contract form).  Same probe path as ``sim_ann_ivf``
+    with trained cell geometry."""
+    emb, cent, assign = _ivf_trained_parts(spark, sf_dir)
+    return _ivf_probe_topk(emb, cent, assign)
+
+
+def _ivf_probe_topk(
+    emb: DataFrame, cent: DataFrame, assign: DataFrame
+) -> DataFrame:
     q = emb.where(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
     )
@@ -257,6 +265,108 @@ def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         trunc6(F.col("cos_sim")).alias("cos_sim"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@register(
+    "sim_ann_ivf_trained",
+    f"""
+SELECT e.vec_id AS query_id,
+       TRUE AS n_neighbors_ok, TRUE AS ranks_ok, TRUE AS sims_sorted,
+       TRUE AS no_self, TRUE AS sims_in_range,
+       TRUE AS assign_nearest_ok,
+       (SELECT count(*) FROM embeddings) AS assign_total,
+       {NUM_CENTROIDS} AS centroid_count,
+       TRUE AS centroids_finite_ok
+FROM embeddings e WHERE e.vec_id < {NUM_QUERIES}
+""",
+    doc=f"IVF ANN with Lloyd-trained centroids ({NUM_CENTROIDS} cells, 3 iters, "
+    f"nprobe={NPROBE}) in hash-checkable CONTRACT form (the sketch_stats "
+    "pattern): Lloyd's float means have no bit-stable SQL replay, so the "
+    "query emits per-query and corpus-global self-consistency booleans the "
+    "oracle pins to TRUE plus data-derived counts the oracle recomputes — "
+    f"exactly top-{TOP_K} neighbors per query with contiguous ranks and "
+    "non-increasing similarities, no self-matches, sims in [-1,1]; every "
+    "corpus vector's max_by cell assignment agrees with an independent "
+    "row_number-window re-derivation (pins the tie-break semantics); "
+    "assignment covers count(embeddings) rows; all centroid components "
+    "finite. The neighbor lists themselves are the library surface "
+    "(sim_ann_ivf_trained_neighbors; recall pinned vs exact top-k in "
+    "tests/test_pipeline_ops.py). Training runs on the deterministic 1/2 "
+    "md5-bucket sample (the scale posture: Lloyd iterations cost a "
+    "fraction of a corpus scan each; at real corpus sizes the divisor "
+    "grows with n); the final assignment covers the full corpus.",
+)
+def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, cent, assign = _ivf_trained_parts(spark, sf_dir)
+    nb = _ivf_probe_topk(emb, cent, assign)
+
+    # independent re-derivation of nearest-centroid assignment via a
+    # row_number window (vs ivf_assign's map-side max_by) — same sim
+    # expression and tie-break, different physical operator
+    wv = Window.partitionBy("vec_id").orderBy(F.col("s").desc(), F.col("cent_id"))
+    assign_w = (
+        widen(emb)
+        .select("vec_id", as_double(F.col("embedding")).alias("v2"))
+        .join(F.broadcast(cent))
+        .select("vec_id", "cent_id", cosine(F.col("v2"), F.col("cv")).alias("s"))
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cent_id").alias("cell_w"))
+    )
+    glob = (
+        assign.join(assign_w, "vec_id")
+        .agg(
+            F.bool_and(F.col("cell_id") == F.col("cell_w")).alias(
+                "assign_nearest_ok"
+            ),
+            F.count("*").alias("assign_total"),
+        )
+        .crossJoin(
+            cent.agg(
+                F.count("*").cast("int").alias("centroid_count"),
+                F.bool_and(
+                    F.expr("forall(cv, x -> x IS NOT NULL AND NOT isnan(x))")
+                ).alias("centroids_finite_ok"),
+            )
+        )
+    )
+
+    per_q = nb.groupBy("query_id").agg(
+        F.count("*").alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rank"), F.col("cos_sim")))
+        ).alias("rs"),
+        F.bool_and(F.col("neighbor_id") != F.col("query_id")).alias("no_self"),
+        F.bool_and(
+            (F.col("cos_sim") >= -1.0 - 1e-9) & (F.col("cos_sim") <= 1.0 + 1e-9)
+        ).alias("sims_in_range"),
+    )
+    qids = emb.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n") == TOP_K, F.lit(False)).alias("n_neighbors_ok"),
+            F.coalesce(
+                F.expr(f"transform(rs, s -> s.rank) = sequence(1, {TOP_K})"),
+                F.lit(False),
+            ).alias("ranks_ok"),
+            F.coalesce(
+                F.expr(
+                    "forall(zip_with("
+                    " slice(transform(rs, s -> s.cos_sim), 1, size(rs) - 1),"
+                    " slice(transform(rs, s -> s.cos_sim), 2, size(rs) - 1),"
+                    " (x, y) -> x >= y), b -> b)"
+                ),
+                F.lit(False),
+            ).alias("sims_sorted"),
+            F.coalesce(F.col("no_self"), F.lit(False)).alias("no_self"),
+            F.coalesce(F.col("sims_in_range"), F.lit(False)).alias("sims_in_range"),
+        )
+        .crossJoin(F.broadcast(glob))
     )
 
 

@@ -153,11 +153,11 @@ def test_ivf_trained_centroids_recall(spark):
     the id-seeded naive centroids are already near-optimal, so the trained
     variant demonstrates the iterative path, not a recall win)."""
     from flink_http_full_cache_connector_spark.operators.similarity import (
-        sim_ann_ivf_trained,
+        sim_ann_ivf_trained_neighbors,
     )
 
     exact = sim_topk_cosine(spark, SF_DIR).collect()
-    ann = sim_ann_ivf_trained(spark, SF_DIR).collect()
+    ann = sim_ann_ivf_trained_neighbors(spark, SF_DIR).collect()
     exact_sets, ann_sets = {}, {}
     for r in exact:
         exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
