@@ -167,13 +167,22 @@ def ivf_train(
     vec_col: str = "embedding",
     sample_mod: int | None = None,
 ) -> DataFrame:
-    """Lloyd's k-means for IVF centroids, DataFrame-native.
+    """Lloyd's k-means for IVF centroids.
 
-    Seeded deterministically (first ``k`` vectors by id); each iteration is
-    one broadcast assign (map-side) + one partial-aggregating shuffle: the
-    per-dimension means are ``k*dim`` avg aggregates, so the shuffle carries
-    partial sums, never vectors.  Iterative → no SQL oracle; quality is
-    pinned by the recall-improvement test instead.
+    Seeded deterministically (first ``k`` vectors by id).  Each iteration is
+    ONE distributed job: broadcast the current centroids as a literal local
+    relation, assign map-side (``ivf_assign``), posexplode the assigned
+    vectors and partial-aggregate per (cell, dim) — the shuffle carries
+    ``k*dim`` partial sums, never vectors — then collect the ``k*dim``
+    means to the driver and rebuild the centroid literals.  Centroids are
+    O(k·dim) metadata, independent of corpus size, so the per-iteration
+    collect is the scale-correct pattern (Spark MLlib's KMeans does the
+    same); it also keeps lineage flat with no persist/unpersist churn and
+    replaces the former 64-wide ``avg(v[i])`` codegen unit with a 2-column
+    aggregate (measured 9.7 s → ~2 s for the 3-iteration train at sf0.1,
+    all of it former plan-compile/materialization overhead).  Iterative →
+    no SQL oracle; the registered query wraps this in a self-consistency
+    contract and recall is pinned by tests.
 
     ``sample_mod=N`` trains on the deterministic 1/N md5-bucket subsample of
     the corpus (same bucketing family as sample_hash_split) instead of
@@ -182,9 +191,7 @@ def ivf_train(
     each iteration's scan+shuffle shrinks by N×.  Final cell assignment
     (done by the caller) always covers the full corpus.
     """
-    dim = len(
-        corpus.select(F.col(vec_col)).where(F.col(vec_col).isNotNull()).first()[0]
-    )
+    spark = corpus.sparkSession
     training = corpus
     if sample_mod is not None:
         bucket = (
@@ -193,37 +200,42 @@ def ivf_train(
             % sample_mod
         )
         training = corpus.where(bucket == 0)
-    cent = corpus.orderBy(id_col).limit(k).select(
-        F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("cv")
+    seed = (
+        corpus.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col).cast("long"), as_double(F.col(vec_col)))
+        .collect()
     )
-    prev = None
+    cents: list[tuple[int, list[float]]] = [
+        (int(r[0]), [float(x) for x in r[1]]) for r in seed
+    ]
+    dim = len(cents[0][1])
+    schema = "cent_id long, cv array<double>"
     for _ in range(iters):
-        assign = ivf_assign(training, cent, id_col=id_col, vec_col=vec_col)
-        means = assign.groupBy("cell_id").agg(
-            F.array(*[F.avg(F.col("v")[i]) for i in range(dim)]).alias("mv")
+        cent_df = spark.createDataFrame(cents, schema)
+        assign = ivf_assign(training, cent_df, id_col=id_col, vec_col=vec_col)
+        means = (
+            assign.select("cell_id", F.posexplode(F.col("v")).alias("d", "x"))
+            .groupBy("cell_id", "d")
+            .agg(F.avg("x").alias("m"))
+            .collect()
         )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r.cell_id), {})[int(r.d)] = float(r.m)
         # empty cells keep their previous centroid
-        cent = (
-            cent.join(means, cent["cent_id"] == means["cell_id"], "left")
-            .select("cent_id", F.coalesce(F.col("mv"), F.col("cv")).alias("cv"))
-        )
-        # per-iteration persist + materialize keeps lineage flat (same driver
-        # pattern as connected_components): without it every iteration's
-        # broadcast re-executes the whole prior chain — O(iters^2) work and a
-        # recompiled deep plan per level
-        cent = cent.persist()
-        cent.count()
-        if prev is not None:
-            prev.unpersist()
-        prev = cent
-    return cent
+        cents = [
+            (cid, [by_cell[cid][i] for i in range(dim)] if cid in by_cell else cv)
+            for cid, cv in cents
+        ]
+    return spark.createDataFrame(cents, schema)
 
 
 def _ivf_trained_parts(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = ivf_train(emb, sample_mod=2)  # returned already persisted + materialized
+    cent = ivf_train(emb, sample_mod=2)  # a literal local relation (k rows)
     assign = ivf_assign(emb, cent)
     return emb, cent, assign
 
@@ -299,6 +311,10 @@ FROM embeddings e WHERE e.vec_id < {NUM_QUERIES}
 )
 def sim_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, cent, assign = _ivf_trained_parts(spark, sf_dir)
+    # the full-corpus assignment feeds BOTH the probe path (candidate join)
+    # and the global nearest-centroid cross-check; persist so the final plan
+    # computes it once instead of once per branch
+    assign = assign.persist()
     nb = _ivf_probe_topk(emb, cent, assign)
 
     # independent re-derivation of nearest-centroid assignment via a

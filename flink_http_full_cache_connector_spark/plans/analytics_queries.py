@@ -509,15 +509,25 @@ def supplier_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    agg = events.groupBy("event_type").agg(
+    # The sketch columns and their exact verification twins are computed in
+    # SEPARATE aggregations joined on the 5-row group key.  Mixing
+    # count_distinct into the sketch aggregate routes the rsd-0.01 HLL++
+    # buffer (~16 KB) through the distinct-rewrite Expand, whose first
+    # aggregation phase groups by (event_type, user_id) — one HLL buffer
+    # per USER, measured 0.7 s -> 6.8 s at sf0.1.  The split keeps the
+    # production shape (sketch-only, one pass) intact; the exact pass
+    # exists only for the tolerance contract.
+    sketch = events.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.count("*").alias("cnt"),
+    )
+    exact = events.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users"),
         F.expr("percentile(value, 0.45)").alias("_p45"),
         F.expr("percentile(value, 0.55)").alias("_p55"),
     )
-    return agg.select(
+    return sketch.join(exact, "event_type").select(
         "event_type",
         "cnt",
         "exact_users",
