@@ -305,7 +305,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("bucket").cast("int").alias("bucket"),
         "n_tokens",
-        (F.col("prefix_tokens") / PACK_WINDOW).cast("long").alias("pack_id"),
+        F.expr(f"prefix_tokens div {PACK_WINDOW}").alias("pack_id"),
         (F.col("prefix_tokens") % PACK_WINDOW).alias("pack_offset"),
     )
 

@@ -226,13 +226,13 @@ MIXTURE_TARGET: dict[str, float] = {
     rates AS (
         SELECT source, n_total,
                floor(share * corpus_scale)::bigint AS n_target,
-               floor((share * corpus_scale / n_total) * 1000)::bigint AS keep_buckets
+               floor((share * corpus_scale / n_total) * {NUM_BUCKETS})::bigint AS keep_buckets
         FROM scaled
     )
     SELECT r.source, r.n_total, r.n_target,
            (SELECT count(*) FROM documents d
             WHERE d.source = r.source
-              AND (('0x' || substr(md5(d.doc_id::varchar), 1, 8))::bigint % 1000)
+              AND (('0x' || substr(md5(d.doc_id::varchar), 1, 8))::bigint % {NUM_BUCKETS})
                   < r.keep_buckets)::bigint AS n_kept
     FROM rates r
     """,

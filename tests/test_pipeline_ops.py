@@ -576,3 +576,22 @@ def test_pack_sequences_long_doc_overflows_into_next_window(spark, tmp_path):
             assert r.pack_offset == prefix % PACK_WINDOW
             prefix += r.n_tokens
     assert out[2].n_tokens == PACK_WINDOW + 88
+
+
+def test_trigram_profiles_have_no_self_overlap():
+    """The column-expression trigram counter (occurrences/replace trick)
+    counts NON-overlapping occurrences, while the registered explode+join
+    form and the DuckDB oracle count overlapping ones.  The two agree iff
+    no profile trigram can overlap itself — i.e. no trigram has period 1
+    ('aaa') or period 2 ('aba').  Pin that invariant so adding such a
+    trigram to TRIGRAM_PROFILES fails loudly instead of silently
+    diverging the two formulations."""
+    from flink_http_full_cache_connector_spark.operators.text import (
+        TRIGRAM_PROFILES,
+    )
+
+    for lang, prof in TRIGRAM_PROFILES.items():
+        for t in prof:
+            assert len(t) == 3, (lang, t)
+            assert t[0] != t[1] or t[1] != t[2], f"period-1 trigram {t!r} in {lang}"
+            assert t[0] != t[2], f"period-2 trigram {t!r} in {lang} self-overlaps"
