@@ -721,6 +721,74 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _canonicalize_oracle() -> str:
+    return f"""
+WITH RECURSIVE pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_minhash_oracle()}) mh),
+verts AS (SELECT doc_a AS id FROM pairs UNION SELECT doc_b FROM pairs),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b AS a, doc_a AS b FROM pairs),
+reach AS (
+    SELECT id, id AS r FROM verts
+    UNION
+    SELECT reach.id, e.b AS r FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id AS doc_id, min(r)::bigint AS component FROM reach GROUP BY id),
+ranked AS (
+    SELECT d.doc_id,
+           coalesce(c.component, d.doc_id)::bigint AS component,
+           row_number() OVER (PARTITION BY coalesce(c.component, d.doc_id)
+                              ORDER BY d.n_chars DESC, d.doc_id) AS rk
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, component, (rk = 1) AS is_canonical,
+       CASE WHEN rk = 1 THEN 'keep' ELSE 'drop' END AS action
+FROM ranked
+"""
+
+
+@register(
+    "dedup_canonicalize",
+    _canonicalize_oracle(),
+    doc="The production OUTPUT of near-dup dedup: one keep/drop decision "
+    "per document. Canonical representative per near-dup cluster = most "
+    "content (max n_chars, ties to min doc_id); every doc outside the "
+    "pair graph is its own singleton and kept. Plan: the cluster table "
+    "(from the LSH pair graph) is small by construction, so members get "
+    "their rank from a window over a BROADCAST-joined slice while "
+    "singletons pass through a broadcast anti-join — the full corpus is "
+    "never shuffled, which is what makes the decision sweep affordable "
+    "at 100 TB.",
+)
+def dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component")
+    )
+    members = docs.join(F.broadcast(comp), "doc_id").select(
+        "doc_id", "component", "n_chars"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    member_out = members.select(
+        "doc_id", "component", (F.row_number().over(w) == 1).alias("is_canonical")
+    )
+    singles = docs.join(
+        F.broadcast(comp.select("doc_id")), "doc_id", "left_anti"
+    ).select(
+        "doc_id",
+        F.col("doc_id").alias("component"),
+        F.lit(True).alias("is_canonical"),
+    )
+    return member_out.unionByName(singles).withColumn(
+        "action",
+        F.when(F.col("is_canonical"), F.lit("keep")).otherwise(F.lit("drop")),
+    )
+
+
 @register(
     "streaming_dedup_watermarked",
     """

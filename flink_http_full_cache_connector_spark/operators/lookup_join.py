@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 def lookup_join(
     probe: DataFrame,
     cache: DataFrame,
-    on: str | Sequence[str] | list[tuple[str, str]],
+    on: str | Column | Sequence[str] | list[tuple[str, str]],
     how: str = "left",
     *,
     broadcast_cache: bool = True,
@@ -33,10 +33,12 @@ def lookup_join(
     """Join a probe DataFrame against the cached dimension snapshot.
 
     ``on`` accepts a column name (same name on both sides), a sequence of
-    names, or ``[(probe_col, cache_col), ...]`` pairs for the reference's
+    names, ``[(probe_col, cache_col), ...]`` pairs for the reference's
     ``ON o.user_id = u.id`` shape (differing names) — join-key columns from
     the cache side are dropped in that case, matching the lookup-join output
-    where the select-list picks qualified columns.
+    where the select-list picks qualified columns — or a raw boolean
+    ``Column`` condition (the ``df.join(other, cond)`` shape Spark users
+    reach for first; passed through unchanged).
 
     ``how``: ``"inner"`` (B1) or ``"left"`` (B2).  The dimension side is
     broadcast unless ``broadcast_cache=False`` (a dimension too big to
@@ -48,6 +50,10 @@ def lookup_join(
     dim = F.broadcast(cache) if broadcast_cache else cache
 
     if isinstance(on, str):
+        return probe.join(dim, on=on, how=how)
+    # a Column is truthy-hostile (PySpark raises CANNOT_CONVERT_COLUMN_INTO_BOOL
+    # on `if col`), so dispatch on it before any sequence inspection
+    if isinstance(on, Column):
         return probe.join(dim, on=on, how=how)
     if on and isinstance(on[0], tuple):
         cond: Column | None = None

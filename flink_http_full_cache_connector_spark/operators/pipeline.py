@@ -377,3 +377,127 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
         (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus selection — keep the highest-quality docs until a
+# target token budget is hit
+# ---------------------------------------------------------------------------
+
+BUDGET_NUM, BUDGET_DEN = 1, 2  # budget = 1/2 of the corpus' total tokens
+QS_COARSE = 1000  # quality micro-units -> milli-units for the group key
+
+
+def _token_budget_oracle() -> str:
+    from flink_http_full_cache_connector_spark.operators.sampling import (
+        _duck_bucket,
+    )
+    from flink_http_full_cache_connector_spark.operators.text import (
+        _DUCK_TOKENS,
+        duck_quality_expr,
+    )
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               round({duck_quality_expr()} * 1000000)::bigint // {QS_COARSE}
+                   AS qs_m,
+               {_duck_bucket('doc_id')} AS bucket,
+               len({_DUCK_TOKENS})::bigint AS n_tokens
+        FROM documents
+    ),
+    tot AS (
+        SELECT (sum(n_tokens)::bigint * {BUDGET_NUM}) // {BUDGET_DEN} AS budget
+        FROM base
+    ),
+    ordered AS (
+        SELECT *,
+               sum(n_tokens) OVER (ORDER BY qs_m DESC, bucket, doc_id
+                   ROWS UNBOUNDED PRECEDING)::bigint AS cum
+        FROM base
+    )
+    SELECT doc_id, qs_m, bucket::int AS bucket, n_tokens,
+           (cum <= (SELECT budget FROM tot)) AS keep
+    FROM ordered
+    """
+
+
+@register(
+    "corpus_token_budget",
+    _token_budget_oracle(),
+    doc=f"Token-budget corpus selection: keep the best-quality documents "
+    f"(quality score in milli-units, ties broken by md5 bucket then doc_id "
+    f"— a tie-free deterministic total order) until {BUDGET_NUM}/{BUDGET_DEN} "
+    "of the corpus' tokens are selected. The oracle takes one global "
+    "cumulative-sum window; the Spark side NEVER builds that global order: "
+    "per-(score, bucket) token sums (a metadata-sized partial agg) get the "
+    "running total, groups broadcast back onto the scan, and only the ONE "
+    "boundary group — the group the budget line crosses — pays a doc-level "
+    "window, over just its own rows. Map-side keep decisions for everything "
+    "else; the standard threshold-plus-boundary-resolution shape for exact "
+    "global cuts at 100 TB.",
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from flink_http_full_cache_connector_spark.operators.sampling import (
+        hash_bucket,
+    )
+    from flink_http_full_cache_connector_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")) * 1_000_000).cast("long").alias(
+            "qs_micro"
+        ),
+        hash_bucket(F.col("doc_id")).cast("int").alias("bucket"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    ).withColumn("qs_m", F.expr(f"qs_micro div {QS_COARSE}")).drop("qs_micro")
+
+    grp = base.groupBy("qs_m", "bucket").agg(F.sum("n_tokens").alias("gtok"))
+    # the aggregated frame is metadata-sized (<= 1001 scores x 1000 buckets),
+    # so the unpartitioned running-total window is a driver-scale sort, not
+    # a data shuffle
+    wg = Window.orderBy(F.col("qs_m").desc(), F.col("bucket").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gcum = grp.select(
+        "qs_m", "bucket", "gtok", F.sum("gtok").over(wg).alias("cum")
+    )
+    budget = grp.agg(
+        F.expr(f"(sum(gtok) * {BUDGET_NUM}) div {BUDGET_DEN}").alias("budget")
+    )
+    groups = gcum.crossJoin(F.broadcast(budget))
+
+    ann = base.join(F.broadcast(groups), ["qs_m", "bucket"])
+    cum_before = F.col("cum") - F.col("gtok")
+    kept = ann.where(F.col("cum") <= F.col("budget")).withColumn(
+        "keep", F.lit(True)
+    )
+    dropped = ann.where(cum_before >= F.col("budget")).withColumn(
+        "keep", F.lit(False)
+    )
+    boundary = ann.where(
+        (F.col("cum") > F.col("budget")) & (cum_before < F.col("budget"))
+    )
+    wb = (
+        Window.partitionBy("qs_m", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    resolved = boundary.withColumn(
+        "doc_cum", F.sum("n_tokens").over(wb)
+    ).withColumn(
+        "keep", F.col("doc_cum") <= (F.col("budget") - cum_before)
+    ).drop("doc_cum")
+
+    out_cols = ["doc_id", "qs_m", "bucket", "n_tokens", "keep"]
+    return (
+        kept.select(*out_cols)
+        .unionByName(dropped.select(*out_cols))
+        .unionByName(resolved.select(*out_cols))
+    )

@@ -980,3 +980,107 @@ def text_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition signals (RefinedWeb/Gopher-style repetition
+# filters: high duplicate-n-gram fraction marks spammy / boilerplate docs)
+# ---------------------------------------------------------------------------
+
+REP_NGRAM = 3  # word n-gram length for the repetition scan
+REP_DUP_PPM_MAX = 300_000  # keep if <=30% of n-grams are repeats
+REP_TOP_PPM_MAX = 200_000  # keep if the most frequent n-gram is <=20%
+
+
+def word_ngrams_all(text: Column, n: int = REP_NGRAM) -> Column:
+    """ALL word n-grams in order (with repeats — unlike
+    ``dedup.word_shingles`` which deduplicates into a set).  Same short-doc
+    guard: Spark's ``sequence(0, negative)`` descends instead of returning
+    empty, so docs with fewer than ``n`` tokens must yield [] explicitly."""
+    toks = F.split(F.trim(text), r"\s+")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+    )
+    return F.transform(idx, gram)
+
+
+def _repetition_oracle() -> str:
+    toks = _DUCK_TOKENS
+    gram = " || ' ' || ".join(f"{toks}[i+{k}]" for k in range(REP_NGRAM))
+    return f"""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len({toks}) - {REP_NGRAM - 2}),
+                                     i -> {gram})) AS g
+        FROM documents
+    ),
+    counts AS (
+        SELECT doc_id, g, count(*)::bigint AS c FROM g GROUP BY doc_id, g
+    ),
+    agg AS (
+        SELECT doc_id, sum(c)::bigint AS n_grams,
+               count(*)::bigint AS n_distinct, max(c)::bigint AS top_c
+        FROM counts GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id, n_grams, n_distinct,
+               ((n_grams - n_distinct) * 1000000) // n_grams AS dup_ppm,
+               (top_c * 1000000) // n_grams AS top_ppm
+        FROM agg
+        UNION ALL
+        SELECT doc_id, 0, 0, 0, 0 FROM documents
+        WHERE len({toks}) < {REP_NGRAM}
+    )
+    SELECT doc_id, n_grams, n_distinct, dup_ppm, top_ppm,
+           (dup_ppm <= {REP_DUP_PPM_MAX} AND top_ppm <= {REP_TOP_PPM_MAX})
+               AS keep
+    FROM sig
+    """
+
+
+@register(
+    "text_repetition_signals",
+    _repetition_oracle(),
+    doc=f"Intra-document repetition filter (RefinedWeb/Gopher style): "
+    f"duplicate word-{REP_NGRAM}-gram fraction and top-n-gram share, in "
+    "exact integer ppm (no float division — repartition-invariant and "
+    "bit-identical cross-engine). Plan: explode n-grams -> partial-agg "
+    "count per (doc, gram) -> per-doc rollup — both shuffles keyed by "
+    "doc_id (uniform, no skew), short docs rejoin via a pushed-down "
+    "filter scan, no join against the gram table. The keep flag is the "
+    "production filter decision.",
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(word_ngrams_all(F.col("text"))).alias("g")
+    )
+    counts = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_grams"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+    sig = agg.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.expr("((n_grams - n_distinct) * 1000000) div n_grams").alias("dup_ppm"),
+        F.expr("(top_c * 1000000) div n_grams").alias("top_ppm"),
+    ).unionByName(
+        docs.where(token_count(F.col("text")) < REP_NGRAM).select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_grams"),
+            F.lit(0).cast("long").alias("n_distinct"),
+            F.lit(0).cast("long").alias("dup_ppm"),
+            F.lit(0).cast("long").alias("top_ppm"),
+        )
+    )
+    return sig.withColumn(
+        "keep",
+        (F.col("dup_ppm") <= REP_DUP_PPM_MAX)
+        & (F.col("top_ppm") <= REP_TOP_PPM_MAX),
+    )

@@ -69,7 +69,7 @@ def _local_relation(spark: SparkSession, rows: list[tuple], schema: StructType) 
 def create_lookup_df(
     spark: SparkSession,
     options: dict[str, object] | HttpLookupOptions,
-    schema: StructType,
+    schema: StructType | str,
     *,
     stats: FetchStats | None = None,
 ) -> DataFrame:
@@ -83,6 +83,11 @@ def create_lookup_df(
     Falls back to the classic ``createDataFrame`` path for payloads pandas
     can't represent (e.g. deeply nested rows).
     """
+    if isinstance(schema, str):
+        # DDL-string convenience (`"id INT, name STRING"`); without this,
+        # a string schema fails deep inside row deserialization with an
+        # opaque AttributeError instead of at the API boundary
+        schema = StructType.fromDDL(schema)
     opts = options if isinstance(options, HttpLookupOptions) else validate_options(options)
     t0 = time.monotonic()
     rows = fetch_rows(opts, schema)

@@ -172,3 +172,31 @@ def test_nested_row_schema_through_arrow_path(spark, http_server):
     assert rows[1].city == "Oslo" and rows[1].zip == "0150"
     assert rows[2] is None
     assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lookup_join_accepts_column_condition(spark, http_server):
+    """The `df.join(other, cond)` shape Spark users reach for first: a raw
+    boolean Column condition must pass through (it used to crash with
+    CANNOT_CONVERT_COLUMN_INTO_BOOL on the `if on` truthiness probe)."""
+    cache = create_lookup_df(spark, {"url": http_server.url}, USERS_SCHEMA)
+    probe = spark.range(1, 11).select(F.col("id").cast("int").alias("user_id"))
+    out = lookup_join(
+        probe, cache, probe.user_id == cache.id, how="inner"
+    ).collect()
+    assert len(out) == 10
+    assert all(r.user_id == r.id for r in out)
+
+
+def test_create_lookup_df_accepts_ddl_schema(spark, http_server):
+    """DDL-string schema convenience: `"id INT, name STRING"` must parse at
+    the API boundary (it used to fail deep inside row deserialization with
+    an opaque AttributeError)."""
+    cache = create_lookup_df(
+        spark,
+        {"url": http_server.url},
+        "id INT, name STRING, username STRING, email STRING",
+    )
+    assert cache.count() == 10
+    assert [f.name for f in cache.schema.fields] == [
+        "id", "name", "username", "email",
+    ]

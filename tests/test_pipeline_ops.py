@@ -595,3 +595,78 @@ def test_trigram_profiles_have_no_self_overlap():
             assert len(t) == 3, (lang, t)
             assert t[0] != t[1] or t[1] != t[2], f"period-1 trigram {t!r} in {lang}"
             assert t[0] != t[2], f"period-2 trigram {t!r} in {lang} self-overlaps"
+
+
+def test_repetition_signals_flag_planted_spam(spark, tmp_path):
+    """A doc that is one phrase repeated 50x must be dropped (dup_ppm ~1e6);
+    normal prose and sub-3-token docs must be kept with exact ppm values."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    d = str(tmp_path)
+    docs = [
+        (1, "buy cheap pills now " * 50, "en", "src0"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank", "en", "src0"),
+        (3, "hi there", "en", "src0"),
+    ]
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = {
+        r.doc_id: r
+        for r in all_queries()["text_repetition_signals"].spark(spark, d).collect()
+    }
+    assert not out[1].keep and out[1].dup_ppm > 900_000
+    assert out[2].keep and out[2].dup_ppm == 0
+    # repeated trigram count: 200 tokens -> 198 grams, 4 distinct
+    assert out[1].n_grams == 198 and out[1].n_distinct == 4
+    assert out[3].keep and out[3].n_grams == 0 and out[3].dup_ppm == 0
+
+
+def test_canonicalize_one_keep_per_component(spark):
+    """Exactly one canonical doc per component; the canonical doc is the
+    max-n_chars (ties min doc_id) member; singleton count + member count
+    covers the whole corpus exactly once."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    rows = all_queries()["dedup_canonicalize"].spark(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        keeps = [r for r in members if r.is_canonical]
+        assert len(keeps) == 1, (comp, members)
+        assert all(
+            (r.action == "keep") == r.is_canonical for r in members
+        )
+
+
+def test_token_budget_is_a_maximal_prefix(spark):
+    """Kept tokens must not exceed the budget, and the kept set must be a
+    PREFIX of the (qs_m desc, bucket, doc_id) total order: every kept doc
+    ranks strictly before every dropped doc, and adding the first dropped
+    doc would overshoot the budget."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    rows = all_queries()["corpus_token_budget"].spark(spark, SF_DIR).collect()
+    total = sum(r.n_tokens for r in rows)
+    budget = total * 1 // 2
+    ordered = sorted(rows, key=lambda r: (-r.qs_m, r.bucket, r.doc_id))
+    kept_tokens = 0
+    seen_drop = False
+    first_dropped = None
+    for r in ordered:
+        if r.keep:
+            assert not seen_drop, f"kept doc {r.doc_id} after a dropped one"
+            kept_tokens += r.n_tokens
+        else:
+            if not seen_drop:
+                first_dropped = r
+            seen_drop = True
+    assert kept_tokens <= budget
+    assert first_dropped is not None
+    assert kept_tokens + first_dropped.n_tokens > budget

@@ -312,3 +312,42 @@ def test_trigram_lang_profile_is_broadcast(spark):
     tri_joins = [ln for ln in joins if "BroadcastHashJoin [t#" in ln.strip()]
     assert tri_joins, plan
     assert not any("SortMergeJoin [t#" in ln for ln in joins), plan
+
+
+def test_repetition_signals_shuffles_only_on_doc_keys(spark):
+    """Both aggregations of the repetition scan must key on doc_id(+gram) —
+    uniform keys — and the short-doc branch must be a pushed-down filter
+    scan, not a join against the gram table."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["text_repetition_signals"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exchanges and all("doc_id" in ln for ln in exchanges), plan
+
+
+def test_canonicalize_broadcasts_component_table(spark):
+    """The cluster table (from the LSH pair graph) is small by construction:
+    members and singletons must resolve via broadcast joins — the corpus
+    itself must never shuffle for the keep/drop sweep."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["dedup_canonicalize"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_token_budget_boundary_only_window(spark):
+    """The budget cut must be resolved by broadcast-joined group totals; the
+    only data-sized window allowed is the doc-level one over the single
+    boundary group (partitioned by qs_m+bucket, never SinglePartition over
+    base data).  The unpartitioned running-total window runs over the
+    metadata-sized aggregate only."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["corpus_token_budget"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
