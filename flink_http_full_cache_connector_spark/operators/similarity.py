@@ -980,3 +980,234 @@ def embedding_drift_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code_sum_new",
         drift.alias("drifted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN (the FAISS-style IVFPQ shape) — coarse
+# cells bound the search set, 8-bit-per-subspace codes bound the memory,
+# ADC (asymmetric distance computation) scores candidates from a per-query
+# distance table instead of raw vectors
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_SUB = 8  # dims per subspace (PQ_M * PQ_SUB = embedding dim 64)
+PQ_K = 16  # codewords per subspace
+
+#: at 100 TB the point of PQ is storage: a 64-dim float32 vector (256 B)
+#: becomes PQ_M 4-bit codes (4 B) — the candidate scan reads codes, not
+#: vectors, and the ADC table (queries x PQ_M x PQ_K doubles) is metadata.
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, left-fold double (bit-identical to the DuckDB
+    twin :func:`duck_sqdist` — same diff/multiply/accumulate order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def duck_sqdist(a: str, b: str, off: int = 0, n: int = 64) -> str:
+    d = f"({a}[{off} + i]::double - {b}[{off} + i]::double)"
+    return (
+        f"list_reduce(list_transform(range(1, {n + 1}), "
+        f"i -> {d} * {d}), (x, y) -> x + y)"
+    )
+
+
+def sub_sqdist(a: Column, b: Column, m: int) -> Column:
+    """Squared L2 between subspace ``m`` slices of two full vectors."""
+    return sqdist(
+        F.slice(a, m * PQ_SUB + 1, PQ_SUB), F.slice(b, m * PQ_SUB + 1, PQ_SUB)
+    )
+
+
+def pq_encode(corpus: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, code_0..code_{M-1}): nearest codeword per subspace.
+
+    Codebook (PQ_K rows) broadcasts; per (vector, codeword) all M subspace
+    distances are computed map-side, then ONE groupBy(vec_id) with M
+    ``min_by`` aggregates picks every subspace's code — the shuffle carries
+    one row per vector (scalar code columns, no arrays)."""
+    c = widen(corpus).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    enc = c.join(F.broadcast(codebook)).select(
+        "vec_id",
+        "j",
+        *[sub_sqdist(F.col("v"), F.col("w"), m).alias(f"d_{m}") for m in range(PQ_M)],
+    )
+    return enc.groupBy("vec_id").agg(
+        *[
+            F.min_by("j", F.struct(F.col(f"d_{m}"), F.col("j")))
+            .cast("int")
+            .alias(f"code_{m}")
+            for m in range(PQ_M)
+        ]
+    )
+
+
+def _ivf_pq_oracle() -> str:
+    ms = f"(SELECT unnest(range(0, {PQ_M})) AS m)"
+    sub = lambda a, b: duck_sqdist(a, b, off=f"ms.m * {PQ_SUB}", n=PQ_SUB)  # noqa: E731
+    full = duck_sqdist
+    return f"""
+WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+              WHERE vec_id < {NUM_CENTROIDS}),
+cw AS (SELECT vec_id AS j, embedding AS w FROM embeddings WHERE vec_id < {PQ_K}),
+assign AS (
+    SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cent_id AS cell_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {full('e.embedding', 'c.cv')}, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {NUM_QUERIES}),
+probes AS (
+    SELECT query_id, cell_id FROM (
+        SELECT q.query_id, c.cent_id AS cell_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {full('q.qv', 'c.cv')}, c.cent_id) AS rn
+        FROM q CROSS JOIN cent c
+    ) WHERE rn <= {NPROBE}
+),
+codes AS (
+    SELECT vec_id, m, j AS code FROM (
+        SELECT e.vec_id, ms.m, cw.j,
+               row_number() OVER (PARTITION BY e.vec_id, ms.m
+                   ORDER BY {sub('e.embedding', 'cw.w')}, cw.j) AS rn
+        FROM embeddings e CROSS JOIN {ms} ms CROSS JOIN cw
+    ) WHERE rn = 1
+),
+dt AS (
+    SELECT q.query_id, ms.m, cw.j, {sub('q.qv', 'cw.w')} AS d
+    FROM q CROSS JOIN {ms} ms CROSS JOIN cw
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+    WHERE a.vec_id <> p.query_id
+),
+adc AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_reduce(list(dt.d ORDER BY dt.m), (x, y) -> x + y) AS adc_dist
+    FROM cand c
+    JOIN codes k ON k.vec_id = c.neighbor_id
+    JOIN dt ON dt.query_id = c.query_id AND dt.m = k.m AND dt.j = k.code
+    GROUP BY c.query_id, c.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dist, neighbor_id) AS rank
+    FROM adc
+)
+SELECT query_id, neighbor_id, {duck_trunc6('adc_dist')} AS adc_dist, rank::int AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivf_pq",
+    _ivf_pq_oracle(),
+    doc=f"IVF-PQ ANN (FAISS IVFPQ shape, L2 metric end-to-end): "
+    f"{NUM_CENTROIDS}-cell coarse quantizer bounds the search set "
+    f"(nprobe={NPROBE}), product quantization ({PQ_M} subspaces x "
+    f"{PQ_K} codewords from deterministic corpus slices) replaces raw "
+    "vectors with 4-bit codes, and ADC scores candidates by summing "
+    "per-subspace table entries in fixed m-order. Plan: codebook and "
+    "centroids broadcast; encoding is one min_by shuffle per vector "
+    "(scalar code columns); the per-query distance table (queries x M x K "
+    "doubles) is collected as metadata and applied as a literal-array "
+    "lookup, so candidate scoring is pure map-side expression after one "
+    "uniform vec_id join attaching codes. At 100 TB the ADC scan reads "
+    "codes (4 B/vector), never the embedding column.",
+)
+def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    codebook = emb.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("j"),
+        as_double(F.col("embedding")).alias("w"),
+    )
+    c = widen(emb).select("vec_id", as_double(F.col("embedding")).alias("v"))
+
+    # coarse assignment: nearest centroid by L2, one min_by shuffle
+    assign = (
+        c.join(F.broadcast(cent))
+        .select("vec_id", "cent_id", sqdist(F.col("v"), F.col("cv")).alias("d"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cent_id", F.struct(F.col("d"), F.col("cent_id"))).alias(
+                "cell_id"
+            )
+        )
+    )
+    codes = pq_encode(emb, codebook)
+
+    q = emb.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("d"), F.col("cent_id"))
+    probes = (
+        q.join(F.broadcast(cent))
+        .select("query_id", "cent_id", sqdist(F.col("qv"), F.col("cv")).alias("d"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= NPROBE)
+        .select("query_id", F.col("cent_id").alias("cell_id"))
+    )
+
+    # per-query ADC table: queries x M x K squared subspace distances —
+    # metadata-sized by construction, collected and re-applied as a literal
+    # array lookup (the Lloyd-centroid pattern: dimension data may drive
+    # expressions, corpus data never collects)
+    dt_rows = (
+        q.join(F.broadcast(codebook))
+        .select(
+            "query_id",
+            "j",
+            *[
+                sub_sqdist(F.col("qv"), F.col("w"), m).alias(f"d_{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        .collect()
+    )
+    table = [0.0] * (NUM_QUERIES * PQ_M * PQ_K)
+    for r in dt_rows:
+        for m in range(PQ_M):
+            table[r.query_id * PQ_M * PQ_K + m * PQ_K + r.j] = float(r[f"d_{m}"])
+    arr = F.array(*[F.lit(x) for x in table])
+
+    cand = (
+        probes.join(assign, "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    )
+    adc = None
+    for m in range(PQ_M):
+        idx = (
+            F.col("query_id") * (PQ_M * PQ_K)
+            + F.lit(m * PQ_K)
+            + F.col(f"code_{m}")
+            + 1
+        ).cast("int")
+        term = F.element_at(arr, idx)
+        adc = term if adc is None else adc + term
+    scored = cand.select(
+        "query_id", "neighbor_id", adc.alias("adc_dist")
+    ).withColumn("cos_sim", -F.col("adc_dist"))
+    # topk_per_query ranks cos_sim DESC == adc ASC; subset property holds
+    # for any total order
+    return topk_per_query(scored, TOP_K).select(
+        "query_id",
+        "neighbor_id",
+        trunc6(F.col("adc_dist")).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )

@@ -670,3 +670,40 @@ def test_token_budget_is_a_maximal_prefix(spark):
     assert kept_tokens <= budget
     assert first_dropped is not None
     assert kept_tokens + first_dropped.n_tokens > budget
+
+
+def test_ann_ivf_pq_recall_vs_bruteforce_l2(spark):
+    """IVF-PQ (nprobe=4/16 cells + 8x16 product codes) against exact L2
+    top-10: the coarse quantizer bounds recall like plain IVF (>= 0.3
+    pinned there); ADC quantization distorts distances further, so pin a
+    slightly lower floor — and require ranks to be contiguous per query."""
+    import numpy as np
+
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        sim_ann_ivf_pq,
+    )
+
+    rows = sim_ann_ivf_pq(spark, SF_DIR).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for q, pairs in got.items():
+        ranks = sorted(p[0] for p in pairs)
+        assert ranks == list(range(1, len(ranks) + 1)), (q, ranks)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r.vec_id for r in emb])
+    V = np.array([r.embedding for r in emb], dtype=np.float64)
+    recalls = []
+    for qid in sorted(got):
+        qv = V[ids == qid][0]
+        d = ((V - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        truth = {int(ids[i]) for i in order if ids[i] != qid}
+        truth = set(list(sorted(truth, key=lambda n: (d[ids == n][0], n)))[:10])
+        mine = {n for _, n in got[qid]}
+        recalls.append(len(mine & truth) / 10)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.25, f"IVF-PQ recall@10 {avg:.2f}"

@@ -351,3 +351,21 @@ def test_token_budget_boundary_only_window(spark):
     plan = plan_of(df)
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ivf_pq_scoring_is_map_side_lookup(spark):
+    """ADC candidate scoring must stay JVM-side (no BatchEvalPython) with
+    the codebook/centroids broadcast, and the candidate ranking must keep
+    topk_per_query's two-stage shape: a (_pid, query_id) pre-rank exchange
+    before the final per-query window, so the full ADC score stream never
+    shuffles into #queries partitions.  (The remaining query_id-only
+    exchanges are metadata-sized: the 16-row probe ranking and the
+    partitions*k top-k survivors.)"""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["sim_ann_ivf_pq"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert any("_pid" in ln and "query_id" in ln for ln in exchanges), plan
