@@ -281,3 +281,103 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature sampling — α-scaled source mixing (upsampling allowed)
+# ---------------------------------------------------------------------------
+
+#: temperature exponent α = 1/2: source share ∝ n^α.  α=1 is natural
+#: frequency, α→0 is uniform-over-sources; 0.5 is the classic multilingual/
+#: multi-corpus rebalancing value (mT5/XLM-R style).
+
+
+def _temperature_oracle() -> str:
+    return f"""
+    WITH counts AS (
+        SELECT source, count(*)::bigint AS n_total FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n_total,
+               floor(sqrt(n_total) * 1000000)::bigint AS weight_micro
+        FROM counts
+    ),
+    tot AS (
+        SELECT sum(n_total)::bigint AS n_corpus,
+               sum(weight_micro)::bigint AS w_sum
+        FROM w
+    ),
+    derived AS (
+        SELECT source, n_total, weight_micro,
+               (t.n_corpus * weight_micro) // t.w_sum AS n_target,
+               ((t.n_corpus * weight_micro) // t.w_sum) // n_total AS epochs,
+               ((((t.n_corpus * weight_micro) // t.w_sum) % n_total)
+                   * {NUM_BUCKETS}) // n_total AS rem_keep_buckets
+        FROM w, tot t
+    )
+    SELECT d.source, d.n_total, d.weight_micro, d.n_target, d.epochs,
+           d.rem_keep_buckets,
+           (d.epochs * d.n_total
+            + (SELECT count(*) FROM documents x
+               WHERE x.source = d.source
+                 AND {_duck_bucket('x.doc_id')} < d.rem_keep_buckets))::bigint
+               AS n_sampled
+    FROM derived d
+    """
+
+
+@register(
+    "sample_temperature",
+    _temperature_oracle(),
+    doc="Temperature-scaled source mixing (share ∝ n^0.5, the mT5/XLM-R "
+    "rebalancing): scarce sources UPSAMPLE via whole epochs plus an "
+    "md5-bucket remainder draw, abundant sources downsample — unlike "
+    "corpus_mixture's fixed target blend, the blend derives from the "
+    "counts. All selection arithmetic is integer (weights in micro-units "
+    "summed exactly — float addition order can never flip a share; "
+    "IEEE sqrt is correctly rounded, so the per-source weight is "
+    "bit-identical cross-engine). Two tiny aggs broadcast back onto the "
+    "scan; the remainder draw is the map-side shuffle-free bucket filter. "
+    "Weights sized for <=1e9 docs/source before int64 overflow (switch to "
+    "DECIMAL beyond).",
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_total"))
+    w = counts.withColumn(
+        "weight_micro",
+        F.floor(F.sqrt(F.col("n_total")) * 1_000_000).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("n_total").alias("n_corpus"), F.sum("weight_micro").alias("w_sum")
+    )
+    derived = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("n_target", F.expr("(n_corpus * weight_micro) div w_sum"))
+        .withColumn("epochs", F.expr("n_target div n_total"))
+        .withColumn(
+            "rem_keep_buckets",
+            F.expr(f"((n_target % n_total) * {NUM_BUCKETS}) div n_total"),
+        )
+        .select(
+            "source", "n_total", "weight_micro", "n_target", "epochs",
+            "rem_keep_buckets",
+        )
+    )
+    rem = (
+        docs.join(F.broadcast(derived), "source")
+        .where(hash_bucket(F.col("doc_id")) < F.col("rem_keep_buckets"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_rem"))
+    )
+    return derived.join(rem, "source", "left").select(
+        "source",
+        "n_total",
+        "weight_micro",
+        "n_target",
+        "epochs",
+        "rem_keep_buckets",
+        (
+            F.col("epochs") * F.col("n_total") + F.coalesce(F.col("n_rem"), F.lit(0))
+        ).alias("n_sampled"),
+    )

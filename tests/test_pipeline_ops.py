@@ -707,3 +707,31 @@ def test_ann_ivf_pq_recall_vs_bruteforce_l2(spark):
         recalls.append(len(mine & truth) / 10)
     avg = sum(recalls) / len(recalls)
     assert avg >= 0.25, f"IVF-PQ recall@10 {avg:.2f}"
+
+
+def test_temperature_sampling_flattens_shares(spark, tmp_path):
+    """α=0.5 must flatten the blend: with sources of 400 vs 100 docs
+    (natural 80/20), sampled shares must sit strictly between natural and
+    uniform, the scarce source must upsample (n_sampled > n_total via
+    epochs+remainder), and Σ n_target ≈ corpus size (integer floors)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    d = str(tmp_path)
+    rows = [(i, f"doc {i} text", "en", "big" if i < 400 else "small", 10)
+            for i in range(500)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+
+    out = {r.source: r for r in
+           all_queries()["sample_temperature"].spark(spark, d).collect()}
+    big, small = out["big"], out["small"]
+    assert big.n_total == 400 and small.n_total == 100
+    tot_target = big.n_target + small.n_target
+    big_share = big.n_target / tot_target
+    assert 0.5 < big_share < 0.8, big_share  # between uniform and natural
+    assert small.n_target > small.n_total  # scarce source upsamples
+    assert small.epochs >= 1
+    assert 0 <= 500 - tot_target <= 2  # floor slack only
+    # sampled counts approximate targets to md5-draw binomial noise (~4σ)
+    assert abs(big.n_sampled - big.n_target) <= 4 * big.n_total ** 0.5
