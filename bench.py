@@ -152,9 +152,14 @@ def main() -> None:
             separators=(",", ":"),
         )
 
+    # never hand the driver a head-truncatable line (it keeps only the last
+    # 2000 stdout bytes): drop per-query precision until the line fits —
+    # full 3-decimal timings always live in BENCH_FULL.json
     line = machine_line(3)
-    if len(line) > 1900:  # never hand the driver a head-truncatable line
-        line = machine_line(2)
+    for decimals in (2, 1):
+        if len(line) <= 1900:
+            break
+        line = machine_line(decimals)
     print(line)
     spark.stop()
 

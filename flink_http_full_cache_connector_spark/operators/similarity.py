@@ -1211,3 +1211,124 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(F.col("adc_dist")).alias("adc_dist"),
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# top principal component via power iteration — the dimensionality-reduction
+# / whitening front-end of an embedding pipeline, in scale-correct two-pass
+# form (the covariance matrix is never materialized)
+# ---------------------------------------------------------------------------
+
+PCA_ITERS = 12
+
+
+def pca_power_train(
+    emb: DataFrame, iters: int = PCA_ITERS
+) -> tuple[list[float], float]:
+    """Leading right-singular vector of the (uncentered) embedding matrix by
+    power iteration on ``X^T X`` WITHOUT forming it: each iteration is
+
+        s_r = dot(x_r, v)          (map-side, v broadcast as a literal)
+        u_d = Σ_r x_r[d] * s_r     (posexplode → per-dim partial agg)
+
+    so the shuffle carries O(partitions × dim) partial sums — corpus-size
+    independent, the same metadata-collect pattern as Lloyd training
+    (``ivf_train``).  Deterministic init: the all-ones direction.  Returns
+    (unit vector v, rayleigh quotient λ = v·(XᵀX)v ≈ top eigenvalue).
+    """
+    dim = len(emb.select("embedding").first()[0])
+    v = [1.0 / dim**0.5] * dim
+    lam = 0.0
+    base = widen(emb).select(as_double(F.col("embedding")).alias("x"))
+    for _ in range(iters):
+        vlit = F.array(*[F.lit(x) for x in v])
+        s = F.aggregate(
+            F.zip_with(F.col("x"), vlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        rows = (
+            base.select(F.posexplode(F.col("x")).alias("d", "xd"), s.alias("s"))
+            .groupBy("d")
+            .agg(F.sum(F.col("xd") * F.col("s")).alias("u"))
+            .collect()
+        )
+        u = [0.0] * dim
+        for r in rows:
+            u[int(r.d)] = float(r.u)
+        lam = sum(vi * ui for vi, ui in zip(v, u))  # v·(XᵀX)v with unit v
+        n = sum(x * x for x in u) ** 0.5
+        v = [x / n for x in u]
+    return v, lam
+
+
+@register(
+    "embedding_pca_power",
+    f"""
+    SELECT d AS dim, TRUE AS unit_norm_ok, TRUE AS residual_small_ok,
+           TRUE AS rayleigh_positive_ok, TRUE AS dominant_ok,
+           (SELECT count(*) FROM embeddings)::bigint AS n_vectors
+    FROM (SELECT unnest(range(0, (SELECT len(embedding) FROM embeddings LIMIT 1))) AS d)
+    """,
+    doc=f"Top principal component by {PCA_ITERS}-step power iteration in "
+    "hash-checkable CONTRACT form (the Lloyd-trainer pattern: iterative "
+    "float means have no bit-stable SQL replay). Per-dim rows carry "
+    "corpus-global self-consistency booleans the oracle pins TRUE: unit "
+    "norm, relative residual ||XᵀXv − λv|| ≤ 10% of λ (v IS an "
+    "approximate eigenvector, not an arbitrary direction — the synthetic "
+    "corpus is near-isotropic, λ2/λ1 ≈ 0.98, so convergence is rate-"
+    "limited and the bound carries ~2x margin at 12 steps), positive Rayleigh "
+    "quotient, and dominance (λ ≥ mean eigenvalue = trace/dim). Each "
+    "iteration shuffles O(partitions × dim) partial sums — the "
+    "covariance matrix is never materialized, corpus cost is two "
+    "map-side passes per step.",
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    v, lam = pca_power_train(emb)
+    dim = len(v)
+
+    base = widen(emb).select(as_double(F.col("embedding")).alias("x"))
+    vlit = F.array(*[F.lit(x) for x in v])
+    s = F.aggregate(
+        F.zip_with(F.col("x"), vlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    # one verification pass: u = XᵀXv and trace(XᵀX) (= Σ eigenvalues)
+    stats = (
+        base.select(F.posexplode(F.col("x")).alias("d", "xd"), s.alias("s"))
+        .groupBy("d")
+        .agg(
+            F.sum(F.col("xd") * F.col("s")).alias("u"),
+            F.sum(F.col("xd") * F.col("xd")).alias("sq"),
+        )
+        .collect()
+    )
+    u = [0.0] * dim
+    trace = 0.0
+    for r in stats:
+        u[int(r.d)] = float(r.u)
+        trace += float(r.sq)
+    # Rayleigh quotient of the FINAL v (pca_power_train's lam pairs with the
+    # previous iterate — using it here would misstate the residual)
+    lam = sum(vi * ui for vi, ui in zip(v, u))
+    resid = sum((ui - lam * vi) ** 2 for ui, vi in zip(u, v)) ** 0.5
+    norm_v = sum(x * x for x in v) ** 0.5
+    n_vec = emb.count()
+
+    checks = (
+        abs(norm_v - 1.0) < 1e-9,
+        resid <= 0.10 * abs(lam),
+        lam > 0.0,
+        lam >= trace / dim,
+    )
+    rows = [
+        (d, bool(checks[0]), bool(checks[1]), bool(checks[2]), bool(checks[3]), n_vec)
+        for d in range(dim)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "dim int, unit_norm_ok boolean, residual_small_ok boolean, "
+        "rayleigh_positive_ok boolean, dominant_ok boolean, n_vectors long",
+    )
