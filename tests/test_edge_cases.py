@@ -236,3 +236,59 @@ def test_contrastive_negatives_no_self_pairs_and_dense_range(spark):
     for r in rows:
         assert r.negative_id != r.anchor_id
         assert 0 <= r.negative_id < n
+
+
+def _tiny_docs(spark, tmp_path, rows):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_canonicalize_no_pairs_all_singletons(spark, tmp_path):
+    """A corpus with NO near-dup pairs must come back entirely as kept
+    singletons (component = own doc_id) — the empty-pair-graph path through
+    connected_components and the broadcast anti-join."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    d = _tiny_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma delta epsilon zeta", "en", "s", 30),
+            (2, "one two three four five six seven", "en", "s", 30),
+            (3, "red green blue yellow purple orange", "en", "s", 30),
+        ],
+    )
+    rows = all_queries()["dedup_canonicalize"].spark(spark, d).collect()
+    assert len(rows) == 3
+    assert all(r.is_canonical and r.action == "keep" for r in rows)
+    assert all(r.component == r.doc_id for r in rows)
+
+
+def test_token_budget_single_doc(spark, tmp_path):
+    """One document holds ALL the tokens: budget = total // 2 < n_tokens,
+    so the single boundary doc must be dropped (cum > budget) — the
+    boundary-group window on a 1-row group."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    d = _tiny_docs(spark, tmp_path, [(1, "a b c d e f g h", "en", "s", 15)])
+    rows = all_queries()["corpus_token_budget"].spark(spark, d).collect()
+    assert len(rows) == 1 and not rows[0].keep
+
+
+def test_temperature_single_source_keeps_everything(spark, tmp_path):
+    """With one source, share = 1: n_target = n_total, exactly one epoch,
+    no remainder draw."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    d = _tiny_docs(
+        spark,
+        tmp_path,
+        [(i, f"doc number {i}", "en", "only", 12) for i in range(7)],
+    )
+    r = all_queries()["sample_temperature"].spark(spark, d).collect()
+    assert len(r) == 1
+    assert r[0].n_target == 7 and r[0].epochs == 1
+    assert r[0].rem_keep_buckets == 0 and r[0].n_sampled == 7
