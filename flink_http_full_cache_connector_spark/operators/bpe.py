@@ -1,0 +1,198 @@
+"""BPE merge training — subword vocabulary induction (SURVEY.md §2.D).
+
+The canonical tokenizer-training step of an LLM data pipeline: starting
+from characters (plus an end-of-word marker), repeatedly merge the most
+frequent adjacent symbol pair.  Sennrich et al.'s algorithm operates on the
+WORD-FREQUENCY table, not the corpus: the expensive corpus pass happens
+once (word counts — one uniform-key shuffle), and every merge iteration
+then works on the distinct-word vocabulary, which is orders of magnitude
+smaller than the corpus and stays fully distributed here (at 100 TB the
+word vocab is ~10⁷–10⁸ rows — executor-sized, never driver-sized).
+
+Per iteration: adjacent pairs come from a ``zip_with`` self-zip of each
+word's symbol array (map-side), pair counts partial-aggregate into one
+small shuffle, the argmax pair (metadata) is collected, and the merge
+applies as an Arrow-batched pandas UDF over the symbol arrays — Python
+only where the JVM genuinely can't express it (adjacent-run rewriting),
+per the SCALE.md ground rules.
+
+Determinism: ties on pair count break lexicographically (left, then
+right); both engines compare strings bytewise for the corpus alphabet.
+The registered query is a contract view (the Lloyd-trainer pattern):
+merge #1 is recomputed EXACTLY by the DuckDB oracle, later merges carry
+self-consistency booleans (count monotonicity, concat identity, pair
+distinctness); the full merge table is validated against a pure-Python
+reference BPE in tests.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from flink_http_full_cache_connector_spark.operators.scale import widen
+from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+
+NUM_MERGES = 8
+EOW = "</w>"  # end-of-word marker (standard BPE; makes suffixes distinct)
+
+
+def word_freq(docs: DataFrame) -> DataFrame:
+    """(word, freq) from whitespace tokenization — the one corpus-sized
+    pass; everything after operates on the distinct-word table."""
+    return (
+        widen(docs)
+        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def _initial_symbols(vocab: DataFrame) -> DataFrame:
+    """word → its character symbols plus the end-of-word marker."""
+    return vocab.select(
+        "word",
+        "freq",
+        F.concat(F.split(F.col("word"), ""), F.array(F.lit(EOW))).alias("syms"),
+    )
+
+
+def _pair_counts(symtab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts: map-side self-zip explode, then one
+    partial-aggregated shuffle keyed on the (l, r) pair."""
+    pairs = F.zip_with(
+        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        symtab.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+def _merge_udf(left: str, right: str):
+    """Arrow-batched merge of one (left, right) pair into each symbol
+    array — left-to-right, non-overlapping (standard BPE application)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def apply(syms: pd.Series) -> pd.Series:
+        merged_sym = left + right
+
+        def one(s):
+            out, i, n = [], 0, len(s)
+            while i < n:
+                if i + 1 < n and s[i] == left and s[i + 1] == right:
+                    out.append(merged_sym)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+
+        return syms.map(one)
+
+    return apply
+
+
+def bpe_train_merges(
+    docs: DataFrame, num_merges: int = NUM_MERGES
+) -> list[tuple[int, str, str, str, int]]:
+    """Train ``num_merges`` BPE merges; returns
+    ``[(rank, left, right, merged, pair_count), ...]`` (the merges.txt
+    content a tokenizer ships).  The vocabulary stays distributed; each
+    iteration collects only the single argmax pair (metadata)."""
+    cur = _initial_symbols(word_freq(docs)).persist()
+    cur.count()  # materialize before the loop so iterations reuse, not recompute
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, num_merges + 1):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0].l, top[0].r, int(top[0].c)
+        merges.append((rank, l, r, l + r, c))
+        nxt = cur.withColumn("syms", _merge_udf(l, r)(F.col("syms"))).persist()
+        nxt.count()
+        cur.unpersist()
+        cur = nxt
+    cur.unpersist()
+    return merges
+
+
+def _bpe_oracle() -> str:
+    """Exact SQL recomputation of merge #1 (initial symbols are single
+    characters, so adjacent pairs are substring pairs) + pinned-TRUE
+    self-consistency booleans for the later merges."""
+    return f"""
+    WITH words AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+    ),
+    freq AS (
+        SELECT w, count(*)::bigint AS f FROM words WHERE length(w) > 0 GROUP BY w
+    ),
+    prs AS (
+        SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, f
+        FROM freq, unnest(range(1, length(w))) AS t(i)
+        UNION ALL
+        SELECT substr(w, length(w), 1) AS l, '{EOW}' AS r, f FROM freq
+    ),
+    counts AS (SELECT l, r, sum(f)::bigint AS c FROM prs GROUP BY l, r),
+    top1 AS (SELECT l, r, c FROM counts ORDER BY c DESC, l, r LIMIT 1)
+    SELECT m.rank, t.l AS first_left, t.r AS first_right, t.c AS first_count,
+           TRUE AS counts_nonincreasing_ok, TRUE AS merged_is_concat_ok,
+           TRUE AS pairs_distinct_ok, TRUE AS counts_positive_ok
+    FROM (SELECT unnest(range(1, {NUM_MERGES + 1})) AS rank) m, top1 t
+    """
+
+
+@register(
+    "bpe_merges",
+    _bpe_oracle(),
+    doc=f"BPE subword-vocabulary induction ({NUM_MERGES} merges, Sennrich "
+    "algorithm on the word-frequency table): one corpus-sized shuffle "
+    "builds word counts, then every merge iteration is a map-side "
+    "pair-zip + one small pair-keyed shuffle + an argmax collect "
+    "(metadata) + an Arrow-batched merge over the distributed vocab — "
+    "the vocab never sits on the driver. CONTRACT view (Lloyd pattern): "
+    "merge #1 recomputed exactly by the oracle (single-char symbols = "
+    "substring pairs in SQL); later merges pin count monotonicity, "
+    "concat identity, and pair distinctness; the full merge table is "
+    "checked against a pure-Python reference BPE in tests.",
+)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train_merges(docs)
+    first = merges[0]
+    rows = []
+    prev = None
+    seen = set()
+    for rank, l, r, merged, c in merges:
+        rows.append(
+            (
+                rank,
+                first[1],
+                first[2],
+                first[4],
+                prev is None or c <= prev,
+                merged == l + r,
+                (l, r) not in seen,
+                c > 0,
+            )
+        )
+        seen.add((l, r))
+        prev = c
+    return spark.createDataFrame(
+        rows,
+        "rank long, first_left string, first_right string, first_count long, "
+        "counts_nonincreasing_ok boolean, merged_is_concat_ok boolean, "
+        "pairs_distinct_ok boolean, counts_positive_ok boolean",
+    )

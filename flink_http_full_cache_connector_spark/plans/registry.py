@@ -141,6 +141,7 @@ def all_queries() -> dict[str, QueryDef]:
         from flink_http_full_cache_connector_spark.operators import (  # noqa: F401
             asof,
             bloom,
+            bpe,
             dedup,
             multimodal,
             pipeline,

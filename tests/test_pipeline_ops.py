@@ -761,3 +761,59 @@ def test_pca_power_matches_numpy_top_eigenvector(spark):
     # near-isotropic data (l2/l1 ~ 0.98) limits directional convergence;
     # still must be far from random (E|cos| ~ 1/8 for dim 64)
     assert abs(float(v @ vecs[:, -1])) >= 0.5
+
+
+def _python_bpe(word_freqs, k):
+    """Reference BPE (Sennrich): dict of word->freq, k merges, ties broken
+    lexicographically on (left, right)."""
+    vocab = {tuple(list(w) + ["</w>"]): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, k + 1):
+        counts = {}
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (l, r), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, l, r, l + r, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_python_reference(spark, tmp_path):
+    """The distributed trainer must reproduce the reference algorithm's
+    full merge table — order, pairs, and counts — on a corpus crafted so
+    merges chain (lo+w, low+e, ...) and ties occur."""
+    from collections import Counter
+
+    from flink_http_full_cache_connector_spark.operators.bpe import (
+        bpe_train_merges,
+    )
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest new new",
+        "wide wider widest low new",
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    wf = Counter(w for t in texts for w in t.split())
+    expected = _python_bpe(wf, 8)
+    got = bpe_train_merges(spark.read.parquet(f"{d}/documents.parquet"))
+    assert got == expected, (got, expected)
