@@ -152,7 +152,10 @@ def all_queries() -> dict[str, QueryDef]:
         )
     except ImportError:
         pass
-    from flink_http_full_cache_connector_spark.streaming import upsert  # noqa: F401
+    from flink_http_full_cache_connector_spark.streaming import (  # noqa: F401
+        heavy_hitters,
+        upsert,
+    )
 
     pending = {n: q for n, q in _REGISTRY.items() if n not in _DRIVER_GREEN}
     green = {n: q for n, q in _REGISTRY.items() if n in _DRIVER_GREEN}

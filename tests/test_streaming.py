@@ -259,3 +259,48 @@ def test_kafka_shaped_stream_parse_and_lookup_join(spark, http_server, tmp_path)
     assert len(rows) == 7
     assert all(rows[100 + i].name == f"Mock User {i % 10 + 1}" for i in range(6))
     assert rows[106].user_id is None and rows[106].name is None  # missing -> NULL
+
+
+def test_heavy_hitter_counts_accumulate_across_microbatches(spark, tmp_path):
+    """Running-count state must accumulate across batches: a key appearing
+    in both microbatches emits an UPDATED cumulative row (3+2=5), and the
+    final per-key table takes the max — emission order cannot matter."""
+    import pandas as pd
+
+    from flink_http_full_cache_connector_spark.streaming.heavy_hitters import (
+        running_counts_stream,
+    )
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    pd.DataFrame({"event_id": [1, 2, 3, 4], "event_type": ["a", "a", "a", "b"]}).to_parquet(
+        src / "b1.parquet"
+    )
+    pd.DataFrame({"event_id": [5, 6, 7], "event_type": ["a", "a", "c"]}).to_parquet(
+        src / "b2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        running_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("hh_accum_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("hh_accum_test").collect()
+    final = {}
+    for r in rows:
+        if r.event_type not in final or r.cnt > final[r.event_type][0]:
+            final[r.event_type] = (r.cnt, r.first_id)
+    assert final["a"] == (5, 1)
+    assert final["b"] == (1, 4)
+    assert final["c"] == (1, 7)
+    # the cumulative update for 'a' (not a fresh 2) must have been emitted
+    a_counts = sorted(r.cnt for r in rows if r.event_type == "a")
+    assert a_counts[-1] == 5 and 2 not in a_counts
