@@ -44,6 +44,18 @@ QUERIES = [
     # quantization step
     "embedding_quantize_int8",
     "embedding_drift_int8",
+    # r3 additions: integer-ppm repetition signals, the broadcast-window
+    # canonical pick, the threshold+boundary budget cut, ADC literal-array
+    # sums, integer temperature shares, the power-iteration contract, BPE
+    # argmax ties, and stateful streaming counts
+    "text_repetition_signals",
+    "dedup_canonicalize",
+    "corpus_token_budget",
+    "sim_ann_ivf_pq",
+    "sample_temperature",
+    "embedding_pca_power",
+    "bpe_merges",
+    "streaming_heavy_hitters",
 ]
 
 
