@@ -107,24 +107,32 @@ def bpe_train_merges(
     content a tokenizer ships).  The vocabulary stays distributed; each
     iteration collects only the single argmax pair (metadata)."""
     cur = _initial_symbols(word_freq(docs)).persist()
-    cur.count()  # materialize before the loop so iterations reuse, not recompute
+    prev: DataFrame | None = None
     merges: list[tuple[int, str, str, str, int]] = []
     for rank in range(1, num_merges + 1):
+        # ONE job per iteration: the top-1 collect materializes `cur`'s
+        # cache (reading the previous table's cache through the merge UDF)
+        # — no separate count() action.  The previous table can only be
+        # dropped AFTER this collect, else `cur`'s first materialization
+        # would recompute the whole merge lineage from the corpus.
         top = (
             _pair_counts(cur)
             .orderBy(F.col("c").desc(), F.col("l"), F.col("r"))
             .limit(1)
             .collect()
         )
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not top:
             break
         l, r, c = top[0].l, top[0].r, int(top[0].c)
         merges.append((rank, l, r, l + r, c))
         nxt = cur.withColumn("syms", _merge_udf(l, r)(F.col("syms"))).persist()
-        nxt.count()
-        cur.unpersist()
-        cur = nxt
+        prev, cur = cur, nxt
     cur.unpersist()
+    if prev is not None:
+        prev.unpersist()
     return merges
 
 
