@@ -1084,3 +1084,108 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dup_ppm") <= REP_DUP_PPM_MAX)
         & (F.col("top_ppm") <= REP_TOP_PPM_MAX),
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation mining — bigram lift scoring (word2phrase-style phrase
+# detection: "new york" scores far above chance, "of the" does not)
+# ---------------------------------------------------------------------------
+
+COLLOC_TOP_K = 20
+
+
+def _colloc_oracle() -> str:
+    toks = _DUCK_TOKENS
+    return f"""
+    WITH tok AS (
+        SELECT unnest({toks}) AS w FROM documents
+    ),
+    uni AS (SELECT w, count(*)::bigint AS c FROM tok WHERE length(w) > 0 GROUP BY w),
+    big AS (
+        SELECT l, r, count(*)::bigint AS c_ab FROM (
+            SELECT t[i] AS l, t[i+1] AS r
+            FROM (SELECT {toks} AS t FROM documents), unnest(range(1, len(t))) AS u(i)
+        ) WHERE length(l) > 0 AND length(r) > 0
+        GROUP BY l, r
+    ),
+    tot AS (
+        SELECT (SELECT sum(c)::bigint FROM uni) AS n_tokens,
+               (SELECT sum(c_ab)::bigint FROM big) AS n_bigrams
+    ),
+    top AS (
+        SELECT l, r, c_ab FROM big ORDER BY c_ab DESC, l, r LIMIT {COLLOC_TOP_K}
+    )
+    SELECT t.l AS left_word, t.r AS right_word, t.c_ab AS pair_count,
+           ua.c AS left_count, ub.c AS right_count,
+           {duck_trunc6("(t.c_ab::double * x.n_tokens::double * x.n_tokens::double)"
+                        " / (x.n_bigrams::double * ua.c::double * ub.c::double)")}
+               AS lift
+    FROM top t
+    JOIN uni ua ON ua.w = t.l
+    JOIN uni ub ON ub.w = t.r
+    CROSS JOIN tot x
+    """
+
+
+@register(
+    "text_collocations",
+    _colloc_oracle(),
+    doc=f"Collocation mining (word2phrase-style): top-{COLLOC_TOP_K} "
+    "adjacent bigrams with lift = p(ab)/(p(a)p(b)) — the phrase-detection "
+    "signal that precedes phrase-aware tokenization. Plan: one token "
+    "explode feeds two partial-agg shuffles (unigrams, bigrams); the "
+    "top-k is a TakeOrdered (no global sort), and the k-row result "
+    "BROADCASTS onto the unigram table for the two marginal-count joins "
+    "— the vocab-sized side never shuffles. Lift is double with a fixed "
+    "multiply order (bit-identical cross-engine), counts are exact "
+    "integers.",
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    tok = docs.select(F.explode(toks).alias("w")).where(F.length("w") > 0)
+    uni = tok.groupBy("w").agg(F.count("*").alias("c"))
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    big = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .where((F.length("l") > 0) & (F.length("r") > 0))
+        .groupBy("l", "r")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_tokens")).crossJoin(
+        big.agg(F.sum("c_ab").alias("n_bigrams"))
+    )
+    top = big.orderBy(F.col("c_ab").desc(), "l", "r").limit(COLLOC_TOP_K)
+    lift = (
+        F.col("c_ab").cast("double")
+        * F.col("n_tokens").cast("double")
+        * F.col("n_tokens").cast("double")
+    ) / (
+        F.col("n_bigrams").cast("double")
+        * F.col("ca").cast("double")
+        * F.col("cb").cast("double")
+    )
+    with_left = uni.join(F.broadcast(top), uni["w"] == top["l"]).select(
+        "l", "r", "c_ab", F.col("c").alias("ca")
+    )
+    # with_left is <= k rows — IT broadcasts onto the vocab-sized unigram
+    # table for the right-marginal lookup (never the reverse)
+    return (
+        uni.withColumnRenamed("w", "r2")
+        .join(F.broadcast(with_left), F.col("r2") == F.col("r"))
+        .select("l", "r", "c_ab", "ca", F.col("c").alias("cb"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("l").alias("left_word"),
+            F.col("r").alias("right_word"),
+            F.col("c_ab").alias("pair_count"),
+            F.col("ca").alias("left_count"),
+            F.col("cb").alias("right_count"),
+            trunc6(lift).alias("lift"),
+        )
+    )

@@ -56,6 +56,7 @@ QUERIES = [
     "embedding_pca_power",
     "bpe_merges",
     "streaming_heavy_hitters",
+    "text_collocations",
 ]
 
 

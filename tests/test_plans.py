@@ -369,3 +369,16 @@ def test_ivf_pq_scoring_is_map_side_lookup(spark):
     assert "BroadcastExchange" in plan, plan
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert any("_pid" in ln and "query_id" in ln for ln in exchanges), plan
+
+
+def test_collocations_broadcast_topk_not_vocab(spark):
+    """Both marginal-count joins must broadcast the k-row top list, never
+    the vocab-sized unigram table; the top-k itself must be a TakeOrdered,
+    not a global sort."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["text_collocations"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
