@@ -204,3 +204,60 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "counts_nonincreasing_ok boolean, merged_is_concat_ok boolean, "
         "pairs_distinct_ok boolean, counts_positive_ok boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# applying trained merges — the tokenizer's encode half (library surface;
+# not registered: iterative merge application has no SQL replay, and its
+# correctness is pinned against the reference implementation in tests)
+# ---------------------------------------------------------------------------
+
+def bpe_encode(docs: DataFrame, merges: list[tuple[int, str, str, str, int]]) -> DataFrame:
+    """(doc_id, n_words, n_subwords): tokenize every document with the
+    trained merge list.
+
+    One Arrow-batched pass over the corpus: the merge list (metadata) ships
+    inside the UDF closure; per word, merges apply in rank order with the
+    same left-to-right non-overlapping rule as training.  Per-word results
+    are memoized per batch — Zipf's law makes the distinct-word set of a
+    batch far smaller than its token count.
+    """
+    from collections.abc import Iterator
+
+    ranked = [(l, r) for _, l, r, _, _ in merges]
+
+    def encode_word(w: str, cache: dict) -> int:
+        got = cache.get(w)
+        if got is not None:
+            return got
+        syms = list(w) + [EOW]
+        for l, r in ranked:
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[w] = len(syms)
+        return len(syms)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+        for pdf in it:
+            words = pdf["text"].map(lambda t: [w for w in t.strip().split() if w])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": words.map(len).astype("int64"),
+                    "n_subwords": words.map(
+                        lambda ws: sum(encode_word(w, cache) for w in ws)
+                    ).astype("int64"),
+                }
+            )
+
+    return widen(docs).select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, n_words long, n_subwords long"
+    )

@@ -817,3 +817,45 @@ def test_bpe_merges_match_python_reference(spark, tmp_path):
     expected = _python_bpe(wf, 8)
     got = bpe_train_merges(spark.read.parquet(f"{d}/documents.parquet"))
     assert got == expected, (got, expected)
+
+
+def test_bpe_encode_matches_python_tokenizer(spark, tmp_path):
+    """Encoding with the trained merges must reproduce the reference
+    tokenizer's subword counts per document, and merges must strictly
+    shrink token counts versus character-level."""
+    from flink_http_full_cache_connector_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train_merges,
+    )
+
+    texts = ["low lower lowest low", "new newest lowest", "low new low"]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    merges = bpe_train_merges(docs)
+
+    def py_encode(w):
+        syms = list(w) + ["</w>"]
+        for _, l, r, _, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    got = {r.doc_id: r for r in bpe_encode(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        ws = t.split()
+        assert got[i].n_words == len(ws)
+        expect = sum(py_encode(w) for w in ws)
+        assert got[i].n_subwords == expect
+        chars_level = sum(len(w) + 1 for w in ws)
+        assert got[i].n_subwords < chars_level  # merges actually shrink
