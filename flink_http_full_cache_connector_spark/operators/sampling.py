@@ -381,3 +381,52 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("epochs") * F.col("n_total") + F.coalesce(F.col("n_rem"), F.lit(0))
         ).alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-entity capping — "at most N per key-window" (the domain-cap /
+# rate-limit guard every crawl-derived corpus applies before training)
+# ---------------------------------------------------------------------------
+
+CAP_PER_ENTITY = 3  # keep at most N events per (user, hour)
+
+
+@register(
+    "cap_events_per_entity",
+    f"""
+    WITH ranked AS (
+        SELECT event_id, user_id, date_trunc('hour', ts) AS hour_start,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT event_id, user_id, hour_start, rn::bigint AS rn,
+           (rn <= {CAP_PER_ENTITY}) AS keep
+    FROM ranked
+    """,
+    doc=f"Per-entity capping: keep at most {CAP_PER_ENTITY} events per "
+    "(user, hour), earliest-first with event_id tie-break — the "
+    "domain-cap/rate-limit guard a crawl corpus applies so no single "
+    "entity dominates training. One shuffle on the HIGH-CARDINALITY "
+    "composite key (user x hour — not the skewed user alone), "
+    "watermark-friendly at stream scale. Deterministic total order per "
+    "group; emits the keep decision rather than dropping, so downstream "
+    "stages can audit what the cap removed.",
+)
+def cap_events_per_entity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = widen(load_table(spark, sf_dir, "events"))
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    w = Window.partitionBy("user_id", "hour_start").orderBy("ts", "event_id")
+    return (
+        events.select("event_id", "user_id", "ts", hour)
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .select(
+            "event_id",
+            "user_id",
+            "hour_start",
+            "rn",
+            (F.col("rn") <= CAP_PER_ENTITY).alias("keep"),
+        )
+    )

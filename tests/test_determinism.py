@@ -57,6 +57,7 @@ QUERIES = [
     "bpe_merges",
     "streaming_heavy_hitters",
     "text_collocations",
+    "cap_events_per_entity",
 ]
 
 
