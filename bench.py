@@ -156,7 +156,7 @@ def main() -> None:
     # 2000 stdout bytes): drop per-query precision until the line fits —
     # full 3-decimal timings always live in BENCH_FULL.json
     line = machine_line(3)
-    for decimals in (2, 1):
+    for decimals in (2, 1, 0):
         if len(line) <= 1900:
             break
         line = machine_line(decimals)

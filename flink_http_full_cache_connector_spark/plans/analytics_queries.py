@@ -941,3 +941,181 @@ def outliers_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(F.col("hi_f")).alias("hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# market-basket pair mining — co-purchase association (support + lift)
+# ---------------------------------------------------------------------------
+
+BASKET_TOP_K = 20
+BASKET_MAX_ITEMS = 64  # TPC-H orders hold <=7 items; cap guards pathological baskets
+
+
+@register(
+    "market_basket_pairs",
+    f"""
+    WITH distinct_items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    items AS (
+        SELECT l_orderkey, l_partkey FROM (
+            SELECT l_orderkey, l_partkey,
+                   row_number() OVER (PARTITION BY l_orderkey
+                                      ORDER BY l_partkey) AS rn
+            FROM distinct_items
+        ) WHERE rn <= {BASKET_MAX_ITEMS}
+    ),
+    n_orders AS (SELECT count(DISTINCT l_orderkey)::bigint AS n FROM items),
+    item_supp AS (
+        SELECT l_partkey, count(*)::bigint AS supp FROM items GROUP BY l_partkey
+    ),
+    pair_supp AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               count(*)::bigint AS pair_support
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+    ),
+    top AS (
+        SELECT part_a, part_b, pair_support
+        FROM pair_supp ORDER BY pair_support DESC, part_a, part_b
+        LIMIT {BASKET_TOP_K}
+    )
+    SELECT t.part_a, t.part_b, t.pair_support,
+           sa.supp AS a_support, sb.supp AS b_support,
+           {duck_trunc6("(t.pair_support::double * o.n::double)"
+                        " / (sa.supp::double * sb.supp::double)")} AS lift
+    FROM top t
+    JOIN item_supp sa ON sa.l_partkey = t.part_a
+    JOIN item_supp sb ON sb.l_partkey = t.part_b
+    CROSS JOIN n_orders o
+    """,
+    doc=f"Market-basket pair mining: top-{BASKET_TOP_K} co-purchased part "
+    "pairs by support with lift = P(ab)/(P(a)P(b)). Plan: ONE shuffle "
+    "groups each order's distinct parts into a sorted basket array; all "
+    "C(n,2) pairs generate MAP-SIDE from the array (baskets are small by "
+    f"domain, capped at {BASKET_MAX_ITEMS} items as the pathology guard) — "
+    "the classic SQL self-join per order never happens, so cost is "
+    "Σ basket² instead of a second data shuffle. Top-k is a TakeOrdered; "
+    "the k rows broadcast onto the dimension-sized item-support table. "
+    "Lift is double with fixed multiply order; supports exact integers.",
+)
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = widen(load_table(spark, sf_dir, "lineitem"))
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .withColumn("parts", F.slice("parts", 1, BASKET_MAX_ITEMS))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pair_supp = (
+        baskets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
+        .agg(F.count("*").alias("pair_support"))
+    )
+    item_supp = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("supp"))
+    )
+    n_orders = baskets.agg(F.count("*").alias("n"))
+    top = pair_supp.orderBy(
+        F.col("pair_support").desc(), "part_a", "part_b"
+    ).limit(BASKET_TOP_K)
+    with_a = item_supp.join(
+        F.broadcast(top), item_supp["l_partkey"] == top["part_a"]
+    ).select("part_a", "part_b", "pair_support", F.col("supp").alias("a_support"))
+    lift = (F.col("pair_support").cast("double") * F.col("n").cast("double")) / (
+        F.col("a_support").cast("double") * F.col("b_support").cast("double")
+    )
+    return (
+        item_supp.withColumnRenamed("l_partkey", "pk2")
+        .join(F.broadcast(with_a), F.col("pk2") == F.col("part_b"))
+        .select(
+            "part_a", "part_b", "pair_support", "a_support",
+            F.col("supp").alias("b_support"),
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a", "part_b", "pair_support", "a_support", "b_support",
+            trunc6(lift).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) analysis — classify parts by cumulative revenue share
+# ---------------------------------------------------------------------------
+
+ABC_A_PCT = 80  # class A: parts covering the first 80% of revenue
+ABC_B_PCT = 95  # class B: up to 95%; the tail is class C
+
+
+@register(
+    "abc_analysis_parts",
+    f"""
+    WITH rev AS (
+        SELECT l_partkey,
+               sum(l_extendedprice::DECIMAL(18,2)
+                   * (1 - l_discount::DECIMAL(18,2))) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, revenue,
+               row_number() OVER (ORDER BY revenue DESC, l_partkey) AS rnk,
+               sum(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                   ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               (SELECT sum(revenue) FROM rev) AS total_rev
+        FROM rev
+    )
+    SELECT l_partkey, revenue::DOUBLE AS revenue, rnk::bigint AS rnk,
+           CASE WHEN cum_rev * 100 <= total_rev * {ABC_A_PCT} THEN 'A'
+                WHEN cum_rev * 100 <= total_rev * {ABC_B_PCT} THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+    doc=f"ABC / Pareto analysis: rank parts by discounted revenue and "
+    f"classify by cumulative share (A <= {ABC_A_PCT}%, B <= {ABC_B_PCT}%, "
+    "C = tail) — the inventory-prioritization classic. Money stays exact "
+    "DECIMAL through the aggregation, the running total, AND the "
+    "threshold tests (cum*100 <= total*pct — integer-scaled decimal "
+    "comparison, no float ever decides a class); only the display column "
+    "drops to DOUBLE. The ranking window runs over the DIMENSION-SIZED "
+    "per-part aggregate (parts ~ 0.2% of lineitems), after one "
+    "partial-agg shuffle on l_partkey.",
+)
+def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = widen(load_table(spark, sf_dir, "lineitem"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy(F.col("revenue").desc(), "l_partkey")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = rev.agg(F.sum("revenue").alias("total_rev"))
+    ranked = (
+        rev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn("cum_rev", F.sum("revenue").over(wc))
+        .crossJoin(F.broadcast(total))
+    )
+    return ranked.select(
+        "l_partkey",
+        F.col("revenue").cast("double").alias("revenue"),
+        "rnk",
+        F.when(
+            F.col("cum_rev") * 100 <= F.col("total_rev") * ABC_A_PCT, F.lit("A")
+        )
+        .when(F.col("cum_rev") * 100 <= F.col("total_rev") * ABC_B_PCT, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )

@@ -58,6 +58,8 @@ QUERIES = [
     "streaming_heavy_hitters",
     "text_collocations",
     "cap_events_per_entity",
+    "market_basket_pairs",
+    "abc_analysis_parts",
 ]
 
 
