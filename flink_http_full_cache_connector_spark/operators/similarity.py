@@ -1332,3 +1332,51 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim int, unit_norm_ok boolean, residual_small_ok boolean, "
         "rayleigh_positive_ok boolean, dominant_ok boolean, n_vectors long",
     )
+
+
+# ---------------------------------------------------------------------------
+# per-dimension min-max normalization — the feature-scaling pass before
+# distance-based indexing (deterministic by construction: min/max are
+# order-independent, unlike mean/std whose float sums depend on merge order)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_minmax_scale",
+    f"""
+    WITH flat AS (
+        SELECT vec_id, unnest(range(len(embedding))) AS dim,
+               unnest(embedding)::double AS v
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT dim, min(v) AS lo, max(v) AS hi FROM flat GROUP BY dim
+    )
+    SELECT f.vec_id, f.dim::int AS dim,
+           CASE WHEN s.hi = s.lo THEN 0.0
+                ELSE {duck_trunc6("(f.v - s.lo) / (s.hi - s.lo)")} END AS scaled
+    FROM flat f JOIN stats s ON s.dim = f.dim
+    """,
+    doc="Per-dimension min-max normalization of the embedding column — "
+    "the feature-scaling pass before L2/ANN indexing. min/max are "
+    "ORDER-INDEPENDENT aggregates (mean/std float sums are not — "
+    "SCALE.md rule 3), so the scaled values are bit-identical under any "
+    "partitioning. Stats are O(dims) rows broadcast back onto the "
+    "posexploded scan (map-side rescale, one dim-keyed metadata "
+    "shuffle); degenerate dims (hi == lo) pin to 0.0. Exploded scalar "
+    "output — the driver-hashable schema the r2 quantize fix "
+    "established.",
+)
+def embedding_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = widen(load_table(spark, sf_dir, "embeddings"))
+    flat = emb.select(
+        "vec_id", F.posexplode(as_double(F.col("embedding"))).alias("dim", "v")
+    )
+    stats = flat.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    scaled = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        trunc6((F.col("v") - F.col("lo")) / (F.col("hi") - F.col("lo")))
+    )
+    return flat.join(F.broadcast(stats), "dim").select(
+        "vec_id", F.col("dim").cast("int").alias("dim"), scaled.alias("scaled")
+    )

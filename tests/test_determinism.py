@@ -60,6 +60,7 @@ QUERIES = [
     "cap_events_per_entity",
     "market_basket_pairs",
     "abc_analysis_parts",
+    "embedding_minmax_scale",
 ]
 
 
