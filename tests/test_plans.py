@@ -382,3 +382,94 @@ def test_collocations_broadcast_topk_not_vocab(spark):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_volume_shipping_pushes_daterange_broadcasts_nations(spark):
+    """Q7 shape: the ship-date range must reach the lineitem parquet scan
+    as PushedFilters (the fact never materializes out-of-window rows), and
+    the two nation dims must broadcast — a shuffle keyed on nationkey
+    (25 values) would be the skew-killer at scale."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["volume_shipping"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "l_shipdate" in ln and "GreaterThanOrEqual" in ln and "LessThanOrEqual" in ln
+        for ln in pushed
+    ), plan
+    # both nation joins broadcast (cn_key / sn_key build sides)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert not any("nationkey" in ln or "n_name" in ln for ln in exchanges), plan
+
+
+def test_market_share_prunes_part_type_at_scan(spark):
+    """Q8 shape: the p_type predicate must be a pushed parquet filter on
+    the part scan (pruning the join build side before any shuffle), and
+    region/nation must broadcast."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["market_share"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("p_type" in ln and "EqualTo" in ln for ln in pushed), plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_important_parts_aggregates_before_threshold_join(spark):
+    """Q11 shape: the global total must come back as a broadcast
+    nested-loop of a 1-row relation, and the fact must be scanned ONCE —
+    both the per-part branch and the total branch read the persisted
+    per-part aggregate (InMemoryTableScan), sharing one physical partkey
+    exchange (identical plan_id on every partkey exchange mention)."""
+    import re
+
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["important_parts"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    ids = {
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\(l_partkey[^\[]*\[plan_id=(\d+)\]", plan)
+    }
+    assert len(ids) == 1, plan
+
+
+def test_cust_order_distribution_counts_survive_left_join(spark):
+    """Q13 shape: the customer⋈orders join must stay LEFT OUTER in the
+    executed plan (zero-order customers are the point of the query), and
+    both aggregates partial-agg before their exchange."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["cust_order_distribution"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftOuter" in plan, plan
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × 2 aggs
+
+
+def test_parts_supplier_counts_pushes_exclusions(spark):
+    """Q16 shape: the brand/type exclusion predicates must reach the part
+    parquet scan as pushed Not(EqualTo) filters."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["parts_supplier_counts"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any(
+        "p_brand" in ln and "p_type" in ln and "Not(EqualTo" in ln for ln in pushed
+    ), plan
+
+
+def test_idle_customers_anti_join_and_scalar_broadcast(spark):
+    """Q22 shape: NOT EXISTS must compile to a LeftAnti join on custkey
+    (one fact-sized shuffle at scale) and the positive-balance average
+    must arrive as a broadcast 1-row relation, not a shuffle."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["idle_customers"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
