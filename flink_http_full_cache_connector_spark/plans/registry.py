@@ -144,6 +144,7 @@ def all_queries() -> dict[str, QueryDef]:
             bloom,
             bpe,
             dedup,
+            graph,
             multimodal,
             pipeline,
             rangejoin,

@@ -473,3 +473,32 @@ def test_idle_customers_anti_join_and_scalar_broadcast(spark):
     plan = plan_of(df)
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_pagerank_reuses_persisted_edges(spark):
+    """Distributed PageRank shape: the edge list and out-degree relations
+    are persisted once and every iteration reads the cache (no re-derivation
+    of the orders-lineitem join per iteration), and no iteration collects to
+    the driver — the plan is pure joins + aggregates."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["pagerank_nodes"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    # 3 iterations x (edges join + outdeg join) read the cached relations
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    # the orders-lineitem pair join is computed exactly once (inside the
+    # cached edge relation, which prints its stored plan once per cache)
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_graph_triangles_orients_before_wedge_join(spark):
+    """Triangle counting must join oriented half-edges (lo/hi), never the
+    raw symmetric edge list against itself three ways; the weighted pair
+    relation is persisted (threshold scalar + edge filter + closing-edge
+    lookup all reuse it)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["graph_triangles"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "InMemoryTableScan" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row scalar gates
