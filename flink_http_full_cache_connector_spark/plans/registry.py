@@ -134,6 +134,7 @@ def all_queries() -> dict[str, QueryDef]:
     from flink_http_full_cache_connector_spark.plans import (  # noqa: F401
         analytics_queries,
         reference_queries,
+        timeseries_queries,
         tpch_extra,
         warehouse_queries,
     )

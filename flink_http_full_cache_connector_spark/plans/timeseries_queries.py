@@ -1,0 +1,173 @@
+"""Time-series operational analytics: trailing-window anomaly detection
+and winsorized robust aggregation.
+
+The reference has no time-series surface (SURVEY.md §2.C); these are the
+monitoring/robust-stats shapes run daily over an event warehouse, kept
+hash-checkable cross-engine by the repo's exactness rules.
+
+Exactness notes:
+- The z-score gate is an all-integer cross-multiplication.  With
+  trailing-window count n, sum S, sum-of-squares Q and current count c:
+      mean = S/n,  var_samp = (n*Q - S^2) / (n*(n-1)),
+      z^2 > Z^2  <=>  (c*n - S)^2 * (n-1) > Z^2 * n * (n*Q - S^2)
+  Every operand is a bigint — no float mean/stddev whose summation
+  order could differ between engines.  (stddev_samp itself is NOT
+  replayed: different engines use different one-pass formulas.)
+- Winsorized sums accumulate in integer micro-units
+  (``floor(clamped * 1e6)``): floor of a bit-identical double is
+  identical everywhere, and the bigint sum is order-independent —
+  where a double sum of clamped values would drift with partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
+from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+
+HOUR_US = 3600 * 1_000_000
+#: anomaly gate: |z| > AZ_Z over a trailing window of AZ_LOOKBACK hours,
+#: requiring at least AZ_MIN_N history points.
+AZ_Z = 3
+AZ_LOOKBACK = 24
+AZ_MIN_N = 8
+
+#: winsorization bounds (type-7 interpolated percentiles, trunc6-pinned)
+WZ_LO = 0.05
+WZ_HI = 0.95
+
+
+@register(
+    "event_anomaly_zscore",
+    f"""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(ts::TIMESTAMP) // {HOUR_US} AS hour_idx,
+               count(*)::bigint AS c
+        FROM events GROUP BY 1, 2
+    ),
+    windowed AS (
+        SELECT event_type, hour_idx, c,
+               count(c) OVER w AS n,
+               sum(c) OVER w AS s,
+               sum(c * c) OVER w AS q
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
+                     ROWS BETWEEN {AZ_LOOKBACK} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_idx, c, n, s, q,
+           (c * n - s) * (c * n - s) * (n - 1)
+               > {AZ_Z * AZ_Z} * n * (n * q - s * s) AS is_anomaly,
+           (c * n - s) > 0 AS is_spike
+    FROM windowed WHERE n >= {AZ_MIN_N}
+    """,
+    doc=f"Trailing-window anomaly detection: per (event_type, hour) counts "
+    f"vs the preceding {AZ_LOOKBACK} hours' mean/variance, flagging "
+    f"|z| > {AZ_Z} (and spike direction). One (type, hour) partial-agg "
+    "shuffle, then a window keyed on event_type ordered by hour — the "
+    "window input is hours x types (already aggregated), thousands of "
+    "rows per type per year, NOT event-sized, so the per-type partition "
+    "is driver-safe at any SF. The z-test is an exact integer "
+    "cross-multiplication (see module docstring) — no cross-engine "
+    "stddev formula drift.",
+)
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {HOUR_US}").alias("hour_idx"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(-AZ_LOOKBACK, -1)
+    )
+    windowed = hourly.select(
+        "event_type",
+        "hour_idx",
+        "c",
+        F.count("c").over(w).alias("n"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("q"),
+    ).where(F.col("n") >= AZ_MIN_N)
+    dev = F.col("c") * F.col("n") - F.col("s")
+    return windowed.select(
+        "event_type",
+        "hour_idx",
+        "c",
+        "n",
+        "s",
+        "q",
+        (
+            dev * dev * (F.col("n") - 1)
+            > AZ_Z * AZ_Z * F.col("n") * (F.col("n") * F.col("q") - F.col("s") * F.col("s"))
+        ).alias("is_anomaly"),
+        (dev > 0).alias("is_spike"),
+    )
+
+
+@register(
+    "winsorize_prices",
+    f"""
+    WITH bounds AS (
+        SELECT c_mktsegment,
+               {duck_trunc6(f'quantile_cont(o_totalprice, {WZ_LO})')} AS lo,
+               {duck_trunc6(f'quantile_cont(o_totalprice, {WZ_HI})')} AS hi
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+    )
+    SELECT b.c_mktsegment, b.lo, b.hi,
+           count(*)::bigint AS n_orders,
+           sum(CASE WHEN o.o_totalprice < b.lo THEN 1 ELSE 0 END)::bigint
+               AS n_clamped_lo,
+           sum(CASE WHEN o.o_totalprice > b.hi THEN 1 ELSE 0 END)::bigint
+               AS n_clamped_hi,
+           sum(floor(GREATEST(LEAST(o.o_totalprice, b.hi), b.lo)
+                     * 1000000))::bigint AS winsorized_sum_micro
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN bounds b ON c.c_mktsegment = b.c_mktsegment
+    GROUP BY b.c_mktsegment, b.lo, b.hi
+    """,
+    doc="Winsorized revenue per market segment: clamp order prices to the "
+    f"per-segment [p{int(WZ_LO * 100)}, p{int(WZ_HI * 100)}] band "
+    "(type-7 interpolated percentiles, trunc6-pinned like "
+    "percentiles_events), then aggregate the clamped values in integer "
+    "micro-units — floor + bigint sum is partitioning-independent where "
+    "a double sum would drift. The 5-row bounds table broadcasts back "
+    "onto the orders scan; the exact-percentile pass is the second scan "
+    "of orders AND shuffles fact rows onto the 5 segment keys (exact "
+    "percentiles cannot partial-aggregate) — the verification-grade "
+    "construction. At scale the production variant swaps in "
+    "approx_percentile: one pass, partial-aggregable, no 5-key shuffle.",
+)
+def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    seg = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    bounds = seg.groupBy("c_mktsegment").agg(
+        trunc6(F.expr(f"percentile(o_totalprice, {WZ_LO})")).alias("lo"),
+        trunc6(F.expr(f"percentile(o_totalprice, {WZ_HI})")).alias("hi"),
+    )
+    clamped = F.greatest(F.least(F.col("o_totalprice"), F.col("hi")), F.col("lo"))
+    return (
+        seg.join(F.broadcast(bounds), "c_mktsegment")
+        .groupBy("c_mktsegment", "lo", "hi")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.when(F.col("o_totalprice") < F.col("lo"), 1).otherwise(0)
+            ).alias("n_clamped_lo"),
+            F.sum(
+                F.when(F.col("o_totalprice") > F.col("hi"), 1).otherwise(0)
+            ).alias("n_clamped_hi"),
+            F.sum(F.floor(clamped * 1_000_000)).alias("winsorized_sum_micro"),
+        )
+    )

@@ -502,3 +502,37 @@ def test_graph_triangles_orients_before_wedge_join(spark):
     plan = plan_of(df)
     assert "InMemoryTableScan" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row scalar gates
+
+
+def test_anomaly_zscore_windows_over_aggregated_hours(spark):
+    """The trailing-window stats must run over the (type, hour) aggregate,
+    not raw events: the plan's window sort input comes from a HashAggregate
+    (partial+final around a (event_type, hour_idx) exchange), and the only
+    other exchange is the window's event_type repartition."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["event_anomaly_zscore"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Window" in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 2, plan
+    # the agg exchange keys on (event_type, hour-expression); the window
+    # exchange on event_type alone — over already-aggregated rows
+    assert any("_groupingexpression" in ln or "hour_idx" in ln for ln in exchanges), plan
+
+
+def test_winsorize_broadcasts_bounds(spark):
+    """The 5-row percentile bounds table must broadcast onto the orders
+    scan — re-shuffling orders on the 5-value mktsegment key would be the
+    skew-killer."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["winsorize_prices"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # custkey dims + bounds
+    # the clamped re-aggregation's exchange carries (segment, lo, hi) group
+    # keys over partially-aggregated rows; the only segment-only exchange is
+    # the exact-percentile bounds branch (verification construction — the
+    # production path swaps in partial-aggregable approx_percentile)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert any("lo#" in ln and "hi#" in ln for ln in exchanges), plan
