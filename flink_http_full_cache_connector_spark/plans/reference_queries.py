@@ -503,3 +503,53 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+@register(
+    "json_codec_roundtrip",
+    """
+    SELECT event_id, user_id, event_type, value,
+           TRUE AS roundtrip_ok
+    FROM events
+    """,
+    doc="JSON serialize/deserialize round-trip over the events fact: "
+    "to_json(struct(...)) then from_json with the declared schema, "
+    "emitting the RE-PARSED fields plus a per-row equality flag. The "
+    "hash compare runs on post-roundtrip values, so any codec loss "
+    "(double formatting, null handling, field order) breaks the gate — "
+    "the batch twin of the connector's A10 schema-driven row "
+    "deserialization (reference JsonFormatFactory usage, "
+    "HttpLookupTableSource.scala:60-66). Pure map-side JVM expressions "
+    "(Jackson inside codegen): no shuffle, no Python.",
+)
+def json_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    payload_schema = "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    encoded = events.select(
+        F.col("event_id").alias("orig_id"),
+        F.col("user_id").alias("orig_user"),
+        F.col("event_type").alias("orig_type"),
+        F.col("value").alias("orig_value"),
+        F.to_json(
+            F.struct("event_id", "user_id", "event_type", "value")
+        ).alias("js"),
+    )
+    parsed = encoded.select(
+        "orig_id",
+        "orig_user",
+        "orig_type",
+        "orig_value",
+        F.from_json(F.col("js"), payload_schema).alias("p"),
+    )
+    return parsed.select(
+        F.col("p.event_id").alias("event_id"),
+        F.col("p.user_id").alias("user_id"),
+        F.col("p.event_type").alias("event_type"),
+        F.col("p.value").alias("value"),
+        (
+            (F.col("p.event_id") == F.col("orig_id"))
+            & (F.col("p.user_id") == F.col("orig_user"))
+            & (F.col("p.event_type") == F.col("orig_type"))
+            & (F.col("p.value") == F.col("orig_value"))
+        ).alias("roundtrip_ok"),
+    )

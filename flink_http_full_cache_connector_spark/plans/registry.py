@@ -146,6 +146,7 @@ def all_queries() -> dict[str, QueryDef]:
             bpe,
             dedup,
             graph,
+            lm_score,
             multimodal,
             pipeline,
             rangejoin,

@@ -57,7 +57,7 @@ WZ_HI = 0.95
         WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx
                      ROWS BETWEEN {AZ_LOOKBACK} PRECEDING AND 1 PRECEDING)
     )
-    SELECT event_type, hour_idx, c, n, s, q,
+    SELECT event_type, hour_idx, c, n, s::bigint AS s, q::bigint AS q,
            (c * n - s) * (c * n - s) * (n - 1)
                > {AZ_Z * AZ_Z} * n * (n * q - s * s) AS is_anomaly,
            (c * n - s) > 0 AS is_spike

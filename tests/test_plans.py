@@ -536,3 +536,40 @@ def test_winsorize_broadcasts_bounds(spark):
     # production path swaps in partial-aggregable approx_percentile)
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert any("lo#" in ln and "hi#" in ln for ln in exchanges), plan
+
+
+def test_surprisal_broadcasts_vocab_not_word_join(spark):
+    """The unigram scorer must broadcast the capped vocab onto the token
+    stream — an exchange keyed on the raw word would hit Zipf skew. The
+    only hashpartitioning exchanges allowed are the vocab build's own
+    word-key agg and the per-doc re-assembly."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["text_surprisal_lm"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-K vocab, no global sort
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_encode_is_single_arrow_pass(spark):
+    """Encoding must be one Arrow-batched map over the corpus (merge list
+    in the closure): MapInPandas, no join, no row-at-a-time Python."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["bpe_encode_stats"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_json_roundtrip_is_scan_only(spark):
+    """Serialize + parse + compare must stay inside the scan's projection:
+    no exchange, no Python worker."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["json_codec_roundtrip"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
