@@ -158,6 +158,7 @@ def all_queries() -> dict[str, QueryDef]:
         pass
     from flink_http_full_cache_connector_spark.streaming import (  # noqa: F401
         heavy_hitters,
+        session,
         upsert,
     )
 

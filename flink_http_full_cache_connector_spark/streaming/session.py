@@ -43,3 +43,166 @@ def build_session(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful sessionization — the session-window operator rebuilt as a
+# user-level applyInPandasWithState handler (the shape Flink users write as
+# a KeyedProcessFunction; reference has no session surface — SURVEY.md 2.C)
+# ---------------------------------------------------------------------------
+
+#: inactivity gap closing a session, in integer microseconds (the same
+#: constant the batch twin sessionize_events uses).
+STREAM_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def sessionize_stream(events: "DataFrame") -> "DataFrame":
+    """Custom stateful sessionization (``applyInPandasWithState``): per
+    user, state carries the OPEN session (number, start, end, count);
+    each microbatch sorts its events, closes sessions at >gap boundaries,
+    emits every session it saw (closed ones finally, the open one
+    provisionally) and parks the open session back in state.
+
+    Emission is idempotent-by-key: a session extended across microbatches
+    re-emits under the same (user_id, session_num) with larger n_events /
+    end_us, so a consumer (and the registered query) reduces by
+    max-per-key — the same convention streaming_heavy_hitters documents.
+    State is ONE 4-long tuple per user — O(keys), never O(events).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = STREAM_SESSION_GAP_US
+
+    def handle(key, pdfs, state: GroupState):
+        ev = pd.concat(list(pdfs), ignore_index=True)
+        if not len(ev):
+            return iter(())
+        ev = ev.sort_values(["us", "event_id"])
+        if state.exists:
+            snum, s_start, s_end, s_n = state.get
+        else:
+            snum, s_start, s_end, s_n = 0, None, None, 0
+        out = []
+        for t in ev["us"].to_numpy():
+            t = int(t)
+            if s_start is None or t - s_end > gap:
+                if s_start is not None:
+                    out.append((snum, s_start, s_end, s_n))
+                snum += 1
+                s_start, s_end, s_n = t, t, 1
+            else:
+                s_end, s_n = t, s_n + 1
+        out.append((snum, s_start, s_end, s_n))  # provisional open session
+        state.update((int(snum), int(s_start), int(s_end), int(s_n)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])] * len(out),
+                "session_num": [o[0] for o in out],
+                "start_us": [o[1] for o in out],
+                "end_us": [o[2] for o in out],
+                "n_events": [o[3] for o in out],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        handle,
+        outputStructType=(
+            "user_id long, session_num long, start_us long, "
+            "end_us long, n_events long"
+        ),
+        stateStructType=(
+            "session_num long, start_us long, end_us long, n_events long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _register_streaming_sessionize() -> None:
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        load_table,
+        normalize_events_ts,
+        register,
+    )
+
+    @register(
+        "streaming_sessionize",
+        f"""
+        WITH marked AS (
+            SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+                   CASE WHEN epoch_us(ts::TIMESTAMP)
+                          - lag(epoch_us(ts::TIMESTAMP)) OVER w
+                          > {STREAM_SESSION_GAP_US}
+                        OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS boundary
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, us, event_id,
+                   sum(boundary) OVER (PARTITION BY user_id
+                       ORDER BY us, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_num
+            FROM marked
+        )
+        SELECT user_id, session_num::bigint AS session_num,
+               count(*)::bigint AS n_events,
+               min(us) AS start_us, max(us) AS end_us
+        FROM numbered GROUP BY user_id, session_num
+        """,
+        doc="Sessionization as a CUSTOM stateful streaming operator "
+        "(applyInPandasWithState keyed on user): state carries only the "
+        "open session tuple per user (O(keys), not O(events)); closed "
+        "sessions emit finally, the open one provisionally under a "
+        "stable (user, session_num) key, so the consumer reduces by "
+        "max-per-key and emission order is irrelevant. Single-batch run "
+        "equals the batch lag/cumsum oracle (sessionize_events twin); "
+        "cross-batch session continuation and gap-split are pinned by "
+        "unit test. The streaming answer to the batch shape — same "
+        "integer-microsecond gap arithmetic.",
+    )
+    def streaming_sessionize(spark, sf_dir):
+        load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .transform(normalize_events_ts)
+            .select(
+                "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+            )
+        )
+        sessions = sessionize_stream(stream)
+        name = f"stream_sess_{uuid.uuid4().hex[:12]}"
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            query = (
+                sessions.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # reduce provisional re-emissions: last version per (user, session)
+        return (
+            spark.table(name)
+            .groupBy("user_id", "session_num")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.min("start_us").alias("start_us"),
+                F.max("end_us").alias("end_us"),
+            )
+        )
+
+
+_register_streaming_sessionize()

@@ -304,3 +304,61 @@ def test_heavy_hitter_counts_accumulate_across_microbatches(spark, tmp_path):
     # the cumulative update for 'a' (not a fresh 2) must have been emitted
     a_counts = sorted(r.cnt for r in rows if r.event_type == "a")
     assert a_counts[-1] == 5 and 2 not in a_counts
+
+
+def test_sessionize_continues_and_splits_across_microbatches(spark, tmp_path):
+    """Cross-batch session semantics: an event in batch 2 within the gap of
+    batch 1's open session EXTENDS it (same session_num, grown n_events);
+    an event beyond the gap starts a new session. Max-per-key reduction of
+    the update stream must equal batch sessionization of the union."""
+    import pandas as pd
+
+    from flink_http_full_cache_connector_spark.streaming.session import (
+        STREAM_SESSION_GAP_US,
+        sessionize_stream,
+    )
+
+    gap = STREAM_SESSION_GAP_US
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    # user 1: batch1 two events 1min apart; batch2 one event 1min later
+    # (extends session 1) and one event gap+2min later (opens session 2).
+    # user 2: only batch2, one event (session 1).
+    m = 60 * 1_000_000
+    pd.DataFrame(
+        {"user_id": [1, 1], "event_id": [10, 11], "us": [0 * m, 1 * m]}
+    ).to_parquet(src / "b1.parquet")
+    pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "event_id": [12, 13, 20],
+            "us": [2 * m, 2 * m + gap + 2 * m, 5 * m],
+        }
+    ).to_parquet(src / "b2.parquet")
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_accum_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("sess_accum_test").collect()
+    final = {}
+    for r in rows:
+        k = (r.user_id, r.session_num)
+        if k not in final or r.n_events > final[k][0]:
+            final[k] = (r.n_events, r.start_us, r.end_us)
+    assert final[(1, 1)] == (3, 0, 2 * m)            # extended across batches
+    assert final[(1, 2)] == (1, 2 * m + gap + 2 * m, 2 * m + gap + 2 * m)
+    assert final[(2, 1)] == (1, 5 * m, 5 * m)
+    # the batch-1 provisional emission for user 1 session 1 must exist with
+    # the smaller count (proves it was emitted provisionally, then updated)
+    u1s1 = sorted(r.n_events for r in rows if (r.user_id, r.session_num) == (1, 1))
+    assert u1s1[0] == 2 and u1s1[-1] == 3
