@@ -173,20 +173,21 @@ def short_keys(names: list[str]) -> dict[str, str]:
     The driver keeps only the last 2000 bytes of bench.py stdout
     (BENCH_r01.json: ``tail`` is exactly 2000 chars and ``parsed`` is null
     because the full-name line was ~4 KB).  Keys compress each ``_``-word to
-    its first letters (3 for the head word, 2 for the rest); collisions widen
-    the suffix-word slice until unique.  Independent of input order (widening
-    applies to whole colliding groups at once), so the mapping depends only
-    on the SET of registered names.  Full mapping is written to
-    BENCH_KEYS.json next to the bench output.
+    its first letters (2 for the head word, 1 for the rest — tightened when
+    the registry passed ~135 names and the 3+2 scheme overflowed the budget
+    even at 1 decimal); collisions widen the suffix-word slice until unique.
+    Independent of input order (widening applies to whole colliding groups
+    at once), so the mapping depends only on the SET of registered names.
+    Full mapping is written to BENCH_KEYS.json next to the bench output.
     """
 
     def key(name: str, k: int) -> str:
         words = name.split("_")
-        return words[0][:3] + "".join(w[:k] for w in words[1:])
+        return words[0][:2] + "".join(w[:k] for w in words[1:])
 
     out: dict[str, str] = {}
     remaining = list(names)
-    k = 2
+    k = 1
     while remaining:
         cand = {n: key(n, k) for n in remaining}
         counts: dict[str, int] = {}
