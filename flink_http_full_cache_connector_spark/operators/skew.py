@@ -60,3 +60,80 @@ def salted_join(
     for probe_col, build_col in on:
         cond = cond & (probe_salted[probe_col] == build_salted[build_col])
     return probe_salted.join(build_salted, cond, how).drop("_salt", "_bsalt")
+
+
+def _key_profile(df, key_col: str, key_name: str):
+    from pyspark.sql import functions as F
+
+    per_key = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count("*").alias("cnt")
+    )
+    return per_key.agg(
+        F.lit(key_name).alias("key_name"),
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").alias("total_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.expr("max(cnt) * 1000000 div sum(cnt)").alias("top_share_ppm"),
+        F.expr("max(cnt) * count(*) * 1000000 div sum(cnt)").alias(
+            "skew_factor_ppm"
+        ),
+    )
+
+
+def _register_skew_profile() -> None:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        load_table,
+        register,
+    )
+
+    def one(key_expr: str, key_name: str, table: str) -> str:
+        return f"""
+        SELECT '{key_name}' AS key_name,
+               count(*)::bigint AS n_keys,
+               sum(cnt)::bigint AS total_rows,
+               max(cnt)::bigint AS max_cnt,
+               (max(cnt) * 1000000 // sum(cnt))::bigint AS top_share_ppm,
+               (max(cnt) * count(*) * 1000000 // sum(cnt))::bigint
+                   AS skew_factor_ppm
+        FROM (SELECT {key_expr}::varchar AS k, count(*)::bigint AS cnt
+              FROM {table} GROUP BY 1)
+        """
+
+    @register(
+        "skew_profile",
+        " UNION ALL ".join(
+            [
+                one("user_id", "events.user_id", "events"),
+                one("event_type", "events.event_type", "events"),
+                one("o_custkey", "orders.o_custkey", "orders"),
+                one("l_partkey", "lineitem.l_partkey", "lineitem"),
+            ]
+        ),
+        doc="Join-key skew diagnostics — the profile you read BEFORE "
+        "choosing broadcast/salting/AQE-skew-join strategy: per candidate "
+        "key, cardinality, max key weight, top-key share and skew factor "
+        "(max/avg) in exact integer ppm (integer division — no float "
+        "ratios to drift). One partial-agg shuffle per profiled key, "
+        "second-level aggregates are key-cardinality-sized. The "
+        "operational companion to salted_join_orders: its output decides "
+        "when that operator's salting is worth the fan-out.",
+    )
+    def skew_profile(spark, sf_dir):
+        events = load_table(spark, sf_dir, "events")
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        parts = [
+            _key_profile(events, "user_id", "events.user_id"),
+            _key_profile(events, "event_type", "events.event_type"),
+            _key_profile(orders, "o_custkey", "orders.o_custkey"),
+            _key_profile(li, "l_partkey", "lineitem.l_partkey"),
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+
+_register_skew_profile()

@@ -152,6 +152,7 @@ def all_queries() -> dict[str, QueryDef]:
             rangejoin,
             sampling,
             similarity,
+            skew,
             text,
         )
     except ImportError:
