@@ -171,3 +171,62 @@ def winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(clamped * 1_000_000)).alias("winsorized_sum_micro"),
         )
     )
+
+
+@register(
+    "event_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*)::bigint AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+    ),
+    totals AS (
+        SELECT from_type, sum(n)::bigint AS n_from FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n, tt.n_from,
+           (t.n * 1000000 // tt.n_from) AS p_ppm
+    FROM trans t JOIN totals tt ON t.from_type = tt.from_type
+    """,
+    doc="First-order event-transition matrix (the Markov-chain view of "
+    "user journeys): per-user event sequences via lead(), transition "
+    "counts, and conditional probabilities in exact integer ppm "
+    "(bigint // bigint truncates identically in both engines). One "
+    "user-key window shuffle + one (from, to) partial agg; the "
+    "totals join is a 5x5-type-matrix broadcast. The sequence-modeling "
+    "prior every session-based recommender/abuse model starts from.",
+)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).where(F.col("next_type").isNotNull())
+    trans = (
+        seq.groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+        # type-matrix-sized; persisted so the totals branch reads the cache
+        # instead of replaying the event-sized window + aggregation
+        .persist()
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            "n_from",
+            F.expr("n * 1000000 div n_from").alias("p_ppm"),
+        )
+    )

@@ -380,3 +380,164 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bal).cast("double").alias("totacctbal"),
         )
     )
+
+
+# Q6: discount-band revenue effect.
+DE_DATE_LO = "1997-01-01 00:00:00"
+DE_DATE_HI = "1998-01-01 00:00:00"
+DE_DISC_LO = "0.05"
+DE_DISC_HI = "0.07"
+DE_QTY = 30
+
+
+@register(
+    "discount_effect",
+    f"""
+    SELECT sum(l_extendedprice::DECIMAL(18,2)
+               * l_discount::DECIMAL(18,2))::DOUBLE AS promo_revenue,
+           count(*)::bigint AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{DE_DATE_LO}'
+      AND l_shipdate < TIMESTAMP '{DE_DATE_HI}'
+      AND l_discount BETWEEN {DE_DISC_LO} AND {DE_DISC_HI}
+      AND l_quantity < {DE_QTY}
+    """,
+    doc="TPC-H Q6-flavor discount effect: forgone revenue from in-band "
+    "discounts on small-quantity lines in one ship year. The purest "
+    "pushdown showcase — date range, discount band, and quantity cap "
+    "all reach the parquet scan as PushedFilters, then a single global "
+    "DECIMAL aggregate (partial-agg, one 1-row exchange). At scale this "
+    "is a scan-bound query; anything beyond one pass over the pruned "
+    "row groups is wrong.",
+)
+def discount_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(DE_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(DE_DATE_HI).cast("timestamp"))
+        & F.col("l_discount").between(float(DE_DISC_LO), float(DE_DISC_HI))
+        & (F.col("l_quantity") < DE_QTY)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "promo_revenue_share",
+    f"""
+    SELECT year(l.l_shipdate)::int AS ship_year,
+           month(l.l_shipdate)::int AS ship_month,
+           sum(CASE WHEN p.p_type = '{MS_PART_TYPE}' THEN {_DUCK_REVENUE}
+                    ELSE 0::DECIMAL(18,2) END)::DOUBLE AS promo_revenue,
+           sum({_DUCK_REVENUE})::DOUBLE AS total_revenue,
+           ((sum(CASE WHEN p.p_type = '{MS_PART_TYPE}'
+                      THEN {_DUCK_REVENUE} ELSE 0::DECIMAL(18,2) END)
+             * 10000)::bigint * 1000000
+            // (sum({_DUCK_REVENUE}) * 10000)::bigint) AS promo_share_ppm
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY year(l.l_shipdate), month(l.l_shipdate)
+    """,
+    doc="TPC-H Q14-flavor promo share per ship month: the conditional-sum "
+    "ratio report. Share lands as exact integer ppm: both sums convert "
+    "to ten-thousandths-of-currency BIGINTs (exact — the DECIMAL(18,2) "
+    "revenue has scale 4 after the discount multiply), then integer "
+    "division, which truncates identically in both engines. int64-safe "
+    "to ~9e8 currency units per month-group x1e6 ppm scale; beyond "
+    "that, widen to DECIMAL(38). One part join (AQE broadcast locally, "
+    "shuffle at scale) + one (year, month) partial-agg shuffle.",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _revenue_dec()
+    zero = F.lit(0).cast("decimal(18,2)")
+    promo = F.sum(
+        F.when(F.col("p_type") == MS_PART_TYPE, rev).otherwise(zero)
+    )
+    total = F.sum(rev)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            F.month("l_shipdate").cast("int").alias("ship_month"),
+        )
+        .agg(
+            promo.cast("double").alias("promo_revenue"),
+            total.cast("double").alias("total_revenue"),
+            ((promo * 10000).cast("long") * 1_000_000).alias("_ps"),
+            (total * 10000).cast("long").alias("_ts"),
+        )
+        .select(
+            "ship_year",
+            "ship_month",
+            "promo_revenue",
+            "total_revenue",
+            F.expr("_ps div _ts").alias("promo_share_ppm"),
+        )
+    )
+
+
+@register(
+    "nation_yoy_growth",
+    f"""
+    WITH yearly AS (
+        SELECT n.n_name, year(o.o_orderdate)::int AS o_year,
+               sum(o.o_totalprice::DECIMAL(18,2)) AS rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+    )
+    SELECT cur.n_name, cur.o_year,
+           cur.rev::DOUBLE AS revenue,
+           prev.rev::DOUBLE AS prev_revenue,
+           (((cur.rev * 100)::bigint - (prev.rev * 100)::bigint) * 1000000)
+               // (prev.rev * 100)::bigint AS growth_ppm
+    FROM yearly cur JOIN yearly prev
+      ON cur.n_name = prev.n_name AND cur.o_year = prev.o_year + 1
+    """,
+    doc="Year-over-year revenue growth per nation: one (nation, year) "
+    "DECIMAL aggregate, then lag via a window (Spark side) over the "
+    "TINY aggregated relation — 25 nations x years, metadata-sized, so "
+    "the self-join the SQL twin writes costs nothing and the window "
+    "needs no big-data plan. Growth in exact integer ppm: revenues "
+    "convert to cent BIGINTs (exact from DECIMAL(18,2)), then integer "
+    "division — negative growth truncates toward zero identically in "
+    "both engines (Spark div == DuckDB // on integers; NOT true on "
+    "decimals, where // keeps fractions and the bigint cast rounds). "
+    "int64-safe to ~9e10 currency units per nation-year. The canonical "
+    "period-over-period report shape.",
+)
+def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    yearly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(_dec("o_totalprice")).alias("rev"))
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    lagged = yearly.select(
+        "n_name",
+        "o_year",
+        "rev",
+        F.lag("rev").over(w).alias("prev_rev"),
+        (F.col("o_year") - F.lag("o_year").over(w)).alias("year_gap"),
+    ).where(F.col("prev_rev").isNotNull() & (F.col("year_gap") == 1))
+    return lagged.select(
+        "n_name",
+        "o_year",
+        F.col("rev").cast("double").alias("revenue"),
+        F.col("prev_rev").cast("double").alias("prev_revenue"),
+        F.expr(
+            "(CAST(rev * 100 AS BIGINT) - CAST(prev_rev * 100 AS BIGINT))"
+            " * 1000000 div CAST(prev_rev * 100 AS BIGINT)"
+        ).alias("growth_ppm"),
+    )

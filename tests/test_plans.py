@@ -573,3 +573,32 @@ def test_json_roundtrip_is_scan_only(spark):
     plan = plan_of(df)
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_discount_effect_pushes_all_three_predicates(spark):
+    """Q6 shape: date range, discount band, and quantity cap must ALL reach
+    the parquet scan; the plan is scan -> partial agg -> 1-row exchange."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["discount_effect"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, plan
+    assert "Join" not in plan, plan
+
+
+def test_event_transitions_reuses_window_partitioning(spark):
+    """The lead() window and the transition agg must not shuffle the
+    event stream more than twice (user-key window + (from,to) agg); the
+    totals join broadcasts the type-matrix-sized relation."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["event_transitions"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # the totals branch must read the persisted transition matrix, not
+    # replay the event-sized window: both branches are cache scans (the
+    # Window text below an InMemoryRelation is its STORED plan, printed
+    # once per reference — it executes once at cache fill)
+    assert plan.count("InMemoryTableScan") >= 2, plan
