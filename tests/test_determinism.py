@@ -61,6 +61,25 @@ QUERIES = [
     "market_basket_pairs",
     "abc_analysis_parts",
     "embedding_minmax_scale",
+    # r3 session additions: integer micro-unit PageRank (the float-free
+    # fixed point must not depend on join order), the thresholded wedge
+    # count, winsorize's percentile-bound micro-sums, the z-score integer
+    # gate, surprisal's log sums under trunc6, exact-DECIMAL report money,
+    # ppm ratios through bigint cents, and the Arrow BPE encoder
+    "pagerank_nodes",
+    "graph_triangles",
+    "winsorize_prices",
+    "event_anomaly_zscore",
+    "text_surprisal_lm",
+    "volume_shipping",
+    "market_share",
+    "important_parts",
+    "idle_customers",
+    "promo_revenue_share",
+    "nation_yoy_growth",
+    "event_transitions",
+    "bpe_encode_stats",
+    "skew_profile",
 ]
 
 
