@@ -314,3 +314,50 @@ def test_decode_real_wav_env_blocked_contract(media):
     except ImportError:
         with pytest.raises(NotImplementedError, match="soundfile"):
             decode_audio(wav)
+
+
+def _real_gif_1x1() -> bytes:
+    """Construct a REAL, spec-valid 1x1 GIF89a by hand (the format is
+    simple enough to write byte-for-byte): logical screen descriptor, a
+    2-entry global color table, image descriptor, a minimal LZW data
+    stream (clear code, one index, end code), trailer.  Any conformant
+    GIF decoder opens it.  (JPEG stays a canonical JFIF prefix in the
+    sniff matrix: a full scan needs Huffman/quant tables and no stdlib
+    encoder exists — and the decode path is codec-gated regardless.)"""
+    return (
+        b"GIF89a"
+        + b"\x01\x00\x01\x00"  # 1x1 logical screen
+        + b"\x80\x00\x00"      # GCT present, 2 entries; bg 0; no aspect
+        + b"\x00\x00\x00\xff\xff\xff"  # palette: black, white
+        + b"\x2c" + b"\x00\x00\x00\x00\x01\x00\x01\x00\x00"  # image desc
+        + b"\x02"              # LZW min code size
+        + b"\x02\x44\x01"      # one sub-block: clear, #0, end
+        + b"\x00"              # block terminator
+        + b"\x3b"              # trailer
+    )
+
+
+def test_constructed_gif_through_sniff_and_decode_contract(spark, media):
+    """The spec-valid constructed GIF must sniff as gif (Python twin and
+    JVM hex ladder) and hit the same env-blocked decode contract as the
+    constructed PNG/WAV fixtures — completing the constructed-fixture
+    matrix for every sniffable format with a stdlib-expressible encoder."""
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        decode_image,
+        sniff_format_bytes,
+        sniff_format_col,
+    )
+
+    gif = _real_gif_1x1()
+    assert sniff_format_bytes(gif) == "gif"
+    df = spark.createDataFrame([Row(doc_id=1, payload=bytearray(gif))])
+    got = df.select(sniff_format_col(F.col("payload")).alias("fmt")).collect()
+    assert got[0].fmt == "gif"
+    try:
+        import PIL  # noqa: F401
+
+        img = decode_image(gif)
+        assert (img.width, img.height) == (1, 1)
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="pillow"):
+            decode_image(gif)
