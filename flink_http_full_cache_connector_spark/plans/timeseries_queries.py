@@ -230,3 +230,67 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 1000000 div n_from").alias("p_ppm"),
         )
     )
+
+
+#: rolling-distinct window length in hours (trailing, inclusive of the
+#: current hour).
+RD_WINDOW_H = 24
+
+
+@register(
+    "rolling_distinct_users",
+    f"""
+    WITH user_hours AS (
+        SELECT DISTINCT event_type,
+               epoch_us(ts::TIMESTAMP) // {HOUR_US} AS hour_idx,
+               user_id
+        FROM events
+    ),
+    fanned AS (
+        SELECT DISTINCT event_type, hour_idx + i AS hour_idx, user_id
+        FROM user_hours, unnest(range(0, {RD_WINDOW_H})) AS t(i)
+    ),
+    active AS (SELECT DISTINCT event_type, hour_idx FROM user_hours)
+    SELECT f.event_type, f.hour_idx,
+           count(DISTINCT f.user_id)::bigint AS distinct_users
+    FROM fanned f JOIN active a
+      ON f.event_type = a.event_type AND f.hour_idx = a.hour_idx
+    GROUP BY f.event_type, f.hour_idx
+    """,
+    doc=f"Rolling {RD_WINDOW_H}h distinct users per (event_type, hour) — "
+    "the sliding-window COUNT DISTINCT no window frame can express "
+    "(distinct does not decompose into frame aggregates). Exact banded "
+    "form: dedup events to (type, hour, user) FIRST (the corpus-sized "
+    "pass collapses to presence rows), then each presence row fans out "
+    f"to the {RD_WINDOW_H} window positions it participates in — fan-out "
+    "bounded by the constant window length over the ALREADY-DEDUPED "
+    "relation, never raw events — and a distinct-agg counts per "
+    "position (restricted to hours that actually had activity, so "
+    "engines agree on the grid). At larger windows the production "
+    "variant swaps the exact distinct for HLL sketch union — "
+    "sketch_stats holds that contract.",
+)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    user_hours = (
+        events.select(
+            "event_type",
+            F.expr(f"unix_micros(ts) div {HOUR_US}").alias("hour_idx"),
+            "user_id",
+        )
+        .distinct()
+        .persist()
+    )
+    fanned = user_hours.select(
+        "event_type",
+        F.explode(F.sequence(F.col("hour_idx"), F.col("hour_idx") + RD_WINDOW_H - 1)).alias(
+            "hour_idx"
+        ),
+        "user_id",
+    )
+    active = user_hours.select("event_type", "hour_idx").distinct()
+    return (
+        fanned.join(active, ["event_type", "hour_idx"])
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count_distinct("user_id").alias("distinct_users"))
+    )

@@ -80,6 +80,7 @@ QUERIES = [
     "event_transitions",
     "bpe_encode_stats",
     "skew_profile",
+    "rolling_distinct_users",
 ]
 
 
