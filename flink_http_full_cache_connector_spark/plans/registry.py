@@ -127,6 +127,25 @@ _R2_DRIVER_GREEN = frozenset(
 # never gets a record (round-2 verdict, What's wrong #3).
 _DRIVER_GREEN = _R1_DRIVER_GREEN | _R2_DRIVER_GREEN
 
+# Within pending, LONGEST-pending first: queries that existed by the end of
+# round 2 but have no green row (the 16 the r2 sweep never reached, plus
+# the two r2 non-green rows).  With 51 pending and a 50-query sweep budget,
+# plain insertion order would push `streaming_upsert_snapshot` — flagged
+# as never-checked by the round-2 verdict — past the cap AGAIN behind
+# round-3 registrants; age-priority guarantees every r2-era query gets its
+# driver row this round and only a newest registrant waits for round 4.
+_R2_ERA_PENDING = frozenset(
+    {
+        "pack_sequences", "decontaminate", "corpus_mixture",
+        "text_quality_gopher", "text_length_buckets", "text_token_gini",
+        "boilerplate_shingles", "pipeline_clean_corpus",
+        "observe_corpus_metrics", "range_join_events", "sample_hash_split",
+        "sample_stratified", "sample_weighted", "split_leakage_report",
+        "streaming_upsert_snapshot", "training_corpus_build",
+        "sim_ann_ivf_trained", "embedding_quantize_int8",
+    }
+)
+
 
 def all_queries() -> dict[str, QueryDef]:
     # Import registrants lazily to avoid import cycles; each module appends
@@ -163,9 +182,18 @@ def all_queries() -> dict[str, QueryDef]:
         upsert,
     )
 
-    pending = {n: q for n, q in _REGISTRY.items() if n not in _DRIVER_GREEN}
+    oldest = {
+        n: q
+        for n, q in _REGISTRY.items()
+        if n in _R2_ERA_PENDING and n not in _DRIVER_GREEN
+    }
+    pending = {
+        n: q
+        for n, q in _REGISTRY.items()
+        if n not in _DRIVER_GREEN and n not in oldest
+    }
     green = {n: q for n, q in _REGISTRY.items() if n in _DRIVER_GREEN}
-    return {**pending, **green}
+    return {**oldest, **pending, **green}
 
 
 def short_keys(names: list[str]) -> dict[str, str]:

@@ -94,3 +94,13 @@ def test_sweep_order_puts_driver_unverified_queries_first():
     for still_pending in ("sim_ann_ivf_trained", "embedding_quantize_int8"):
         assert still_pending not in _DRIVER_GREEN
         assert still_pending in names
+    # within pending, LONGEST-pending first: every r2-era never-green query
+    # must enumerate before any round-3 registrant, so a 50-query capped
+    # sweep cannot strand an r2-era query behind newer additions
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        _R2_ERA_PENDING,
+    )
+
+    pending = [n for n in names if n not in _DRIVER_GREEN]
+    k = len(_R2_ERA_PENDING & set(pending))
+    assert set(pending[:k]) == _R2_ERA_PENDING & set(pending)
