@@ -714,3 +714,89 @@ def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "scd2_apply_changes",
+    """
+    WITH dim AS (
+        SELECT user_id, value,
+               ts::TIMESTAMP AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts)::TIMESTAMP
+                   AS valid_to
+        FROM events WHERE event_type = 'signup'
+    ),
+    delta AS (
+        SELECT user_id, ts::TIMESTAMP AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    first_change AS (
+        SELECT user_id, min(ts) AS first_ts FROM delta GROUP BY user_id
+    ),
+    closed AS (
+        SELECT d.user_id, d.value, d.valid_from,
+               CASE WHEN d.valid_to IS NULL AND f.user_id IS NOT NULL
+                    THEN f.first_ts ELSE d.valid_to END AS valid_to
+        FROM dim d LEFT JOIN first_change f ON d.user_id = f.user_id
+    ),
+    fresh AS (
+        SELECT user_id, value, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        FROM delta
+    )
+    SELECT user_id, value, valid_from, valid_to,
+           (valid_to IS NULL) AS is_current
+    FROM (SELECT * FROM closed UNION ALL SELECT * FROM fresh)
+    """,
+    doc="SCD2 change application — the MERGE-shaped incremental twin of "
+    "scd2_intervals: a delta batch (purchase events as the change feed) "
+    "closes each affected user's open interval at the delta's first "
+    "timestamp and appends the delta's own chained intervals; untouched "
+    "users' history passes through UNCHANGED — the work is delta-joined, "
+    "never a dimension rebuild. One uniform user-key LEFT join (dim "
+    "against the delta's per-user min — delta-sized, broadcastable when "
+    "the batch is small) + one window over the delta only. The shape a "
+    "table format's MERGE INTO executes; here it is pure DataFrame ops "
+    "with a hash-checkable oracle.",
+)
+def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w_dim = Window.partitionBy("user_id").orderBy("ts")
+    dim = events.where(F.col("event_type") == "signup").select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w_dim).alias("valid_to"),
+    )
+    delta = events.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    first_change = delta.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    closed = (
+        dim.join(first_change, "user_id", "left")
+        .select(
+            "user_id",
+            "value",
+            "valid_from",
+            F.when(
+                F.col("valid_to").isNull() & F.col("first_ts").isNotNull(),
+                F.col("first_ts"),
+            )
+            .otherwise(F.col("valid_to"))
+            .alias("valid_to"),
+        )
+    )
+    w_delta = Window.partitionBy("user_id").orderBy("ts")
+    fresh = delta.select(
+        "user_id",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w_delta).alias("valid_to"),
+    )
+    return closed.unionByName(fresh).select(
+        "user_id",
+        "value",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -81,6 +81,8 @@ QUERIES = [
     "bpe_encode_stats",
     "skew_profile",
     "rolling_distinct_users",
+    "scd2_apply_changes",
+    "split_balance_audit",
 ]
 
 

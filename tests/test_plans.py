@@ -602,3 +602,26 @@ def test_event_transitions_reuses_window_partitioning(spark):
     # Window text below an InMemoryRelation is its STORED plan, printed
     # once per reference — it executes once at cache fill)
     assert plan.count("InMemoryTableScan") >= 2, plan
+
+
+def test_split_balance_audit_single_corpus_scan(spark):
+    """The per-lang totals must derive from the persisted 15-row cell
+    table, not a second corpus scan."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["split_balance_audit"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_scd2_apply_windows_delta_only(spark):
+    """The change-application window must run over the DELTA stream, and
+    the dim-delta join key on the uniform user id — no dimension rebuild
+    over the union (two windows total: dim intervals + delta chaining)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["scd2_apply_changes"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert plan.count("Window [") == 2, plan
+    assert "user_id" in plan, plan

@@ -81,3 +81,30 @@ def test_dedup_incremental_matches_set_model(spark, tmp_path_factory, docs):
             expected.add(i)
             seen.add(norm)
     assert got == expected
+
+
+def test_pagerank_micro_unit_invariants(spark):
+    """Fixed-point PageRank invariants that hold for ANY graph: every rank
+    in [base, base + damp * max_possible]; total rank bounded above by
+    n * 1e6 (integer truncation only ever loses mass, never creates it);
+    suppliers (hub side of the bipartite graph) absorb more rank than the
+    uniform start on average."""
+    from flink_http_full_cache_connector_spark.operators.graph import (
+        PR_BASE_MICRO,
+        PR_MICRO,
+        pagerank_nodes,
+    )
+
+    rows = pagerank_nodes(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    total = sum(r.rank_micro for r in rows)
+    assert all(r.rank_micro >= PR_BASE_MICRO for r in rows)
+    # truncation in contributions and damping can only LOSE mass vs the
+    # exact stochastic fixed point, whose total is exactly n * 1e6
+    assert total <= n * PR_MICRO
+    supp = [r.rank_micro for r in rows if not r.is_customer]
+    cust = [r.rank_micro for r in rows if r.is_customer]
+    assert supp and cust
+    # ~100 suppliers serve ~1500 customers: each supplier aggregates many
+    # customers' mass, so the supplier mean must exceed the customer mean
+    assert sum(supp) / len(supp) > sum(cust) / len(cust)
