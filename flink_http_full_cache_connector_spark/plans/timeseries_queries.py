@@ -294,3 +294,63 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour_idx")
         .agg(F.count_distinct("user_id").alias("distinct_users"))
     )
+
+
+@register(
+    "late_arrival_report",
+    f"""
+    WITH arrivals AS (
+        SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+               max(epoch_us(ts::TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS watermark_us
+        FROM events
+    )
+    SELECT user_id,
+           count(*)::bigint AS n_events,
+           sum(CASE WHEN us < watermark_us THEN 1 ELSE 0 END)::bigint
+               AS n_late,
+           max(CASE WHEN us < watermark_us THEN watermark_us - us
+                    ELSE 0 END)::bigint AS max_lateness_us,
+           (sum(CASE WHEN us < watermark_us THEN 1 ELSE 0 END) * 1000000
+               // count(*))::bigint AS late_ppm
+    FROM arrivals
+    GROUP BY user_id
+    """,
+    doc="Late-arrival accounting — the measurement that TUNES watermarks: "
+    "using event_id as arrival order, an event is late when its event "
+    "time undercuts the per-key running max of everything that arrived "
+    "before it (exactly a 0-delay watermark's drop rule). Reports "
+    "per-key late counts, worst lateness in integer microseconds, and "
+    "late share in exact integer ppm — read max_lateness_us off this "
+    "report and you have the withWatermark() delay that loses nothing. "
+    "One user-key shuffle shared by the running-max window and the "
+    "aggregate (same partitioning, no second exchange).",
+)
+def late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    us = F.unix_micros(F.col("ts"))
+    arrivals = events.select(
+        "user_id",
+        "event_id",
+        us.alias("us"),
+        F.max(us).over(w).alias("watermark_us"),
+    )
+    late = F.col("us") < F.col("watermark_us")
+    return arrivals.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).alias("n_late"),
+        F.max(
+            F.when(late, F.col("watermark_us") - F.col("us")).otherwise(0)
+        ).alias("max_lateness_us"),
+        F.expr(
+            "sum(CASE WHEN us < watermark_us THEN 1 ELSE 0 END) * 1000000"
+            " div count(*)"
+        ).alias("late_ppm"),
+    )

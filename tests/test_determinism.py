@@ -83,6 +83,7 @@ QUERIES = [
     "rolling_distinct_users",
     "scd2_apply_changes",
     "split_balance_audit",
+    "late_arrival_report",
 ]
 
 
