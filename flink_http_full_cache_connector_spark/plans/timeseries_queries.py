@@ -354,3 +354,96 @@ def late_arrival_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*)"
         ).alias("late_ppm"),
     )
+
+
+#: attribution lookback: a conversion credits the last touch within this
+#: window (integer microseconds; 7 days).
+ATTR_WINDOW_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "attribution_last_touch",
+    f"""
+    WITH tagged AS (
+        SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS us,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_conv,
+               event_type
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    run AS (
+        SELECT user_id, event_id, us, is_conv,
+               last_value(CASE WHEN is_conv = 0 THEN event_id END
+                          IGNORE NULLS) OVER w AS touch_id,
+               last_value(CASE WHEN is_conv = 0 THEN us END
+                          IGNORE NULLS) OVER w AS touch_us,
+               last_value(CASE WHEN is_conv = 0 THEN event_type END
+                          IGNORE NULLS) OVER w AS touch_type
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, is_conv, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+           CASE WHEN touch_us IS NOT NULL
+                 AND us - touch_us <= {ATTR_WINDOW_US}
+                THEN touch_id END AS touch_id,
+           CASE WHEN touch_us IS NOT NULL
+                 AND us - touch_us <= {ATTR_WINDOW_US}
+                THEN touch_type END AS touch_type,
+           CASE WHEN touch_us IS NOT NULL
+                 AND us - touch_us <= {ATTR_WINDOW_US}
+                THEN us - touch_us END AS lag_us,
+           (touch_us IS NOT NULL
+            AND us - touch_us <= {ATTR_WINDOW_US}) AS attributed
+    FROM run WHERE is_conv = 1
+    """,
+    doc="Last-touch conversion attribution: each purchase credits the "
+    "most recent click/view by the same user within a 7-day window "
+    "(same-instant touches sort before the conversion and attribute). "
+    "The as-of union dataflow (operators/asof.py): one user-key "
+    "shuffle, a running last(ignore nulls) over the merged stream — "
+    "never the per-conversion range join that explodes "
+    "O(|touches|x|conversions|) per user. Integer-microsecond lag; "
+    "out-of-window conversions report unattributed rather than "
+    "silently dropping.",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    tagged = events.where(
+        F.col("event_type").isin("click", "view", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_conv"),
+        "event_type",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_conv", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    touch = lambda c: F.last(  # noqa: E731
+        F.when(F.col("is_conv") == 0, c), ignorenulls=True
+    ).over(w)
+    run = tagged.select(
+        "user_id",
+        "event_id",
+        "us",
+        "is_conv",
+        touch(F.col("event_id")).alias("touch_id"),
+        touch(F.col("us")).alias("touch_us"),
+        touch(F.col("event_type")).alias("touch_type"),
+    ).where(F.col("is_conv") == 1)
+    in_window = F.col("touch_us").isNotNull() & (
+        F.col("us") - F.col("touch_us") <= ATTR_WINDOW_US
+    )
+    return run.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("us").alias("purchase_us"),
+        F.when(in_window, F.col("touch_id")).alias("touch_id"),
+        F.when(in_window, F.col("touch_type")).alias("touch_type"),
+        F.when(in_window, F.col("us") - F.col("touch_us")).alias("lag_us"),
+        in_window.alias("attributed"),
+    )

@@ -541,3 +541,98 @@ def nation_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div CAST(prev_rev * 100 AS BIGINT)"
         ).alias("growth_ppm"),
     )
+
+
+TPS_K = 3  # grouped top-k: best revenue parts kept per supplier
+
+
+@register(
+    "top_parts_per_supplier",
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey, l_partkey,
+               sum({_DUCK_REVENUE}) AS rev_dec
+        FROM lineitem GROUP BY l_suppkey, l_partkey
+    ),
+    ranked AS (
+        SELECT l_suppkey, l_partkey, rev_dec,
+               row_number() OVER (PARTITION BY l_suppkey
+                   ORDER BY rev_dec DESC, l_partkey) AS rnk
+        FROM rev
+    )
+    SELECT l_suppkey, l_partkey, rev_dec::DOUBLE AS part_revenue,
+           rnk::int AS rnk
+    FROM ranked WHERE rnk <= {TPS_K}
+    """,
+    doc=f"Grouped top-k: each supplier's {TPS_K} highest-revenue parts "
+    "(DECIMAL-exact revenue, partkey tie-break). The per-GROUP top-k "
+    "shape global TakeOrdered cannot express: one (supp, part) "
+    "partial-agg shuffle, then the rank window rides the same supplier "
+    "partitioning over the aggregated relation — aggregate-then-rank, "
+    "so the window input is pairs, never raw lineitem rows.",
+)
+def top_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_revenue_dec()).alias("rev_dec")
+    )
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("rev_dec").desc(), "l_partkey"
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= TPS_K)
+        .select(
+            "l_suppkey",
+            "l_partkey",
+            F.col("rev_dec").cast("double").alias("part_revenue"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+FZ_MAX_DIST = 2  # fuzzy match: edit-distance ceiling within a noun band
+
+
+@register(
+    "fuzzy_part_match",
+    f"""
+    WITH names AS (
+        SELECT DISTINCT p_name, split_part(p_name, ' ', 2) AS noun
+        FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name)::int AS dist
+    FROM names a JOIN names b
+      ON a.noun = b.noun AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {FZ_MAX_DIST}
+    """,
+    doc=f"Banded fuzzy name matching — the entity-resolution shape: "
+    "dedup to DISTINCT names FIRST (matching runs over the value "
+    "domain, never row-by-row — the raw column repeats each name "
+    "thousands of times and an all-rows self-join would be quadratic "
+    "in corpus size AND degenerate), block on the head noun (the "
+    "equi-join band bounding the candidate set, same philosophy as the "
+    f"LSH dedup banding), then verify candidates at edit distance "
+    f"<= {FZ_MAX_DIST}. Levenshtein is the classic integer DP — "
+    "engine-identical. The distinct-name relation is vocabulary-sized "
+    "(stable across SF), so the expensive verifier's cost is bounded "
+    "by the name vocabulary, not the table.",
+)
+def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(
+        F.col("p_name"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("noun"),
+    ).distinct()
+    a = names.select(F.col("p_name").alias("name_a"), "noun")
+    b = names.select(F.col("p_name").alias("name_b"), "noun")
+    return (
+        a.join(b, "noun")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= FZ_MAX_DIST)
+        .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -84,6 +84,9 @@ QUERIES = [
     "scd2_apply_changes",
     "split_balance_audit",
     "late_arrival_report",
+    "attribution_last_touch",
+    "top_parts_per_supplier",
+    "fuzzy_part_match",
 ]
 
 
