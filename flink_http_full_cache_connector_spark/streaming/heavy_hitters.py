@@ -103,3 +103,119 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_id",
         (F.col("cnt") * HH_SHARE_DEN >= F.col("total")).alias("heavy"),
     )
+
+
+def transition_counts_stream(events: DataFrame) -> DataFrame:
+    """(user_id, event_id, us, event_type) stream → per-microbatch
+    transition increment rows via ``applyInPandasWithState``.
+
+    State per user is ONLY the last-seen event (type, us, id) — the
+    cross-batch bridge: each batch sorts its events, chains them onto the
+    carried last event, and emits one row per (from, to) pair observed,
+    each transition exactly once.  Because increments are append-only and
+    integer, the consumer's groupBy-sum over the update stream equals the
+    batch lead()-derived transition matrix regardless of batch slicing or
+    emission order — the streaming twin of event_transitions.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def chain(key, pdfs, state: GroupState):
+        ev = pd.concat(list(pdfs), ignore_index=True)
+        if not len(ev):
+            return iter(())
+        ev = ev.sort_values(["us", "event_id"])
+        types = list(ev["event_type"])
+        if state.exists:
+            last_type, last_us, last_id = state.get
+            seq = [last_type, *types]
+        else:
+            seq = types
+        last = ev.iloc[-1]
+        state.update((str(last["event_type"]), int(last["us"]), int(last["event_id"])))
+        pairs: dict[tuple[str, str], int] = {}
+        for a, b in zip(seq, seq[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+        if not pairs:
+            return iter(())
+        yield pd.DataFrame(
+            {
+                "from_type": [k[0] for k in pairs],
+                "to_type": [k[1] for k in pairs],
+                "inc": list(pairs.values()),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        chain,
+        outputStructType="from_type string, to_type string, inc long",
+        stateStructType="last_type string, last_us long, last_id long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "streaming_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           count(*)::bigint AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    doc="Event-transition counting as a CUSTOM stateful streaming "
+    "operator: per-user state carries ONLY the last-seen event (the "
+    "cross-batch bridge); each microbatch chains its sorted events onto "
+    "it and appends integer increment rows, each transition emitted "
+    "exactly once — so the consumer's groupBy-sum equals the batch "
+    "lead() oracle under ANY batch slicing. O(users) state, increment "
+    "rows bounded by type-matrix size per (user, batch). The streaming "
+    "twin of event_transitions (which adds the probability ppm view).",
+)
+def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        normalize_events_ts,
+    )
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(normalize_events_ts)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("us"),
+            "event_type",
+        )
+    )
+    name = f"stream_trans_{uuid.uuid4().hex[:12]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        query = (
+            transition_counts_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table(name)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("inc").alias("n"))
+    )

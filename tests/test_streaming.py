@@ -362,3 +362,48 @@ def test_sessionize_continues_and_splits_across_microbatches(spark, tmp_path):
     # the smaller count (proves it was emitted provisionally, then updated)
     u1s1 = sorted(r.n_events for r in rows if (r.user_id, r.session_num) == (1, 1))
     assert u1s1[0] == 2 and u1s1[-1] == 3
+
+
+def test_transition_increments_bridge_across_microbatches(spark, tmp_path):
+    """The cross-batch bridge: the transition from batch 1's last event to
+    batch 2's first event (same user) must be counted exactly once, and
+    the groupBy-sum of increments must equal batch sessionless lead()
+    semantics over the union."""
+    import pandas as pd
+
+    from flink_http_full_cache_connector_spark.streaming.heavy_hitters import (
+        transition_counts_stream,
+    )
+
+    src = tmp_path / "trans_src"
+    src.mkdir()
+    # user 1: a -> b in batch1, then (bridge b -> c) c -> a in batch2
+    pd.DataFrame(
+        {"user_id": [1, 1], "event_id": [1, 2], "us": [10, 20],
+         "event_type": ["a", "b"]}
+    ).to_parquet(src / "b1.parquet")
+    pd.DataFrame(
+        {"user_id": [1, 1], "event_id": [3, 4], "us": [30, 40],
+         "event_type": ["c", "a"]}
+    ).to_parquet(src / "b2.parquet")
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, us long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        transition_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("trans_bridge_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.table("trans_bridge_test").collect()
+    totals = {}
+    for r in rows:
+        totals[(r.from_type, r.to_type)] = totals.get((r.from_type, r.to_type), 0) + r.inc
+    assert totals == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1}
