@@ -68,6 +68,17 @@ def sessionize_stream(events: "DataFrame") -> "DataFrame":
     end_us, so a consumer (and the registered query) reduces by
     max-per-key — the same convention streaming_heavy_hitters documents.
     State is ONE 4-long tuple per user — O(keys), never O(events).
+
+    Late-data contract: within a microbatch events are sorted, and a
+    cross-batch event landing within the OPEN session's gap window is
+    absorbed (min/max bounds).  Events arriving late enough to belong to
+    an already-closed session follow arrival-order semantics — they open
+    or extend the current session rather than retroactively re-segmenting
+    emitted ones (re-segmentation would re-key emitted rows; bounding
+    lateness is the watermark's job, and ``late_arrival_report`` measures
+    the delay to configure).  For per-key event-time-ordered arrival the
+    operator matches batch sessionization EXACTLY
+    (``test_stateful_sessionize_matches_brute_force``).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -92,7 +103,13 @@ def sessionize_stream(events: "DataFrame") -> "DataFrame":
                 snum += 1
                 s_start, s_end, s_n = t, t, 1
             else:
-                s_end, s_n = t, s_n + 1
+                # min/max (not plain assignment) keeps the bounds consistent
+                # when a LATE cross-batch event lands inside the open
+                # session's gap window: the session absorbs it in arrival
+                # order (no retroactive re-segmentation — that is watermark
+                # territory; see the docstring's late-data contract)
+                s_start = min(s_start, t)
+                s_end, s_n = max(s_end, t), s_n + 1
         out.append((snum, s_start, s_end, s_n))  # provisional open session
         state.update((int(snum), int(s_start), int(s_end), int(s_n)))
         yield pd.DataFrame(

@@ -196,3 +196,93 @@ def test_gapfill_locf_matches_brute_force(spark, rows):
             # last observation = max (us, eid); first bucket always has one
             expected[(k, b)] = max(prior)[2]
     assert got == expected
+
+
+# --- stateful streaming sessionization vs brute force -----------------------
+
+session_events = st.lists(
+    st.tuples(
+        st.integers(1, 3),            # user_id
+        st.integers(0, 10**9),        # us (event time, microseconds)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(session_events, st.integers(1, 3))
+def test_stateful_sessionize_matches_brute_force(spark, events, n_batches):
+    """Property: for ANY event set and ANY slicing into microbatches, the
+    max-per-key reduction of sessionize_stream's update emissions equals a
+    brute-force per-user gap scan of the full set."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+
+    from flink_http_full_cache_connector_spark.streaming.session import (
+        STREAM_SESSION_GAP_US,
+        sessionize_stream,
+    )
+
+    gap = STREAM_SESSION_GAP_US
+    rows = [
+        {"user_id": u, "event_id": i, "us": us}
+        for i, (u, us) in enumerate(events)
+    ]
+
+    # brute force: per user, sort by (us, event_id), split at > gap
+    expect = {}
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, ev in by_user.items():
+        ev.sort(key=lambda r: (r["us"], r["event_id"]))
+        snum, start, end, n = 0, None, None, 0
+        for r in ev:
+            if start is None or r["us"] - end > gap:
+                if start is not None:
+                    expect[(u, snum)] = (n, start, end)
+                snum, start, end, n = snum + 1, r["us"], r["us"], 1
+            else:
+                end, n = r["us"], n + 1
+        expect[(u, snum)] = (n, start, end)
+
+    tmp = tempfile.mkdtemp(prefix="sess_prop_")
+    try:
+        # slice into microbatches along EVENT-TIME order — the in-order
+        # (watermarked) arrival regime where exact batch parity is the
+        # operator's contract; unordered cross-batch arrival follows the
+        # documented arrival-order late-data semantics instead
+        rows.sort(key=lambda r: (r["us"], r["event_id"]))
+        step = (len(rows) + n_batches - 1) // n_batches
+        chunks = [rows[i * step:(i + 1) * step] for i in range(n_batches)]
+        for i, chunk in enumerate(c for c in chunks if c):
+            pd.DataFrame(chunk, columns=["user_id", "event_id", "us"]).astype(
+                "int64"
+            ).to_parquet(f"{tmp}/b{i}.parquet")
+        stream = (
+            spark.readStream.schema("user_id long, event_id long, us long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        name = f"sess_prop_{uuid.uuid4().hex[:10]}"
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {}
+        for r in spark.table(name).collect():
+            k = (r.user_id, r.session_num)
+            if k not in got or r.n_events > got[k][0]:
+                got[k] = (r.n_events, r.start_us, r.end_us)
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
