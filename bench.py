@@ -24,7 +24,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
-    from flink_http_full_cache_connector_spark.streaming.session import build_session
+    from flink_http_full_cache_connector_spark.session import build_session
 
     spark = build_session(
         "flink-http-full-cache-connector-spark-bench",

@@ -175,7 +175,11 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return spark.table(name)
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    return finalize_memory_sink(spark.table(name), name)
 
 
 def stateful_dedup_stream(hashed: DataFrame) -> DataFrame:
@@ -253,7 +257,11 @@ def streaming_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return spark.table(name)
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    return finalize_memory_sink(spark.table(name), name)
 
 
 # ---------------------------------------------------------------------------
@@ -825,7 +833,11 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return spark.table(name)
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    return finalize_memory_sink(spark.table(name), name)
 
 
 # ---------------------------------------------------------------------------

@@ -11,7 +11,7 @@ pathological reducer into ``salt`` even ones.  Semantics are identical to
 the plain equi-join (inner/left), verified by test.
 
 Spark's AQE skew-join (``spark.sql.adaptive.skewJoin.enabled``, on in
-:func:`...streaming.session.build_session`) handles *sort-merge* skew
+:func:`...session.build_session`) handles *sort-merge* skew
 automatically at runtime; explicit salting remains useful when AQE can't
 split (e.g. aggregations after the join keyed the same way, or forced
 shuffled-hash joins).

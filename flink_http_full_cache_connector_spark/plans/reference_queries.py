@@ -264,7 +264,11 @@ def streaming_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return spark.table(name)
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    return finalize_memory_sink(spark.table(name), name)
 
 
 @register(
@@ -316,7 +320,11 @@ def streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    return spark.table(name)
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    return finalize_memory_sink(spark.table(name), name)
 
 
 @register(
@@ -502,7 +510,11 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    return finalize_memory_sink(spark.table(name), name)
 
 
 @register(

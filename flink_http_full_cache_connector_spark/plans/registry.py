@@ -10,6 +10,8 @@ sides — the driver's compare hashes values after sorting columns by name.
 from __future__ import annotations
 
 import functools
+import json
+import pathlib
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -120,20 +122,83 @@ _R2_DRIVER_GREEN = frozenset(
     }
 )
 
+# Green (hash_match) rows from the round-3 driver sweep (CORRECTNESS_r03.json)
+# — the first perfect sweep: 50/50 green, zero errors, zero no_oracle.
+_R3_DRIVER_GREEN = frozenset(
+    {
+        "sim_ann_ivf_trained", "embedding_quantize_int8",
+        "boilerplate_shingles", "text_token_gini", "text_quality_gopher",
+        "text_length_buckets", "pipeline_clean_corpus",
+        "observe_corpus_metrics", "training_corpus_build", "pack_sequences",
+        "decontaminate", "sample_hash_split", "sample_stratified",
+        "sample_weighted", "split_leakage_report", "corpus_mixture",
+        "range_join_events", "streaming_upsert_snapshot",
+        "market_basket_pairs", "abc_analysis_parts", "json_codec_roundtrip",
+        "event_anomaly_zscore", "winsorize_prices", "event_transitions",
+        "rolling_distinct_users", "late_arrival_report",
+        "attribution_last_touch", "volume_shipping", "market_share",
+        "important_parts", "cust_order_distribution", "parts_supplier_counts",
+        "idle_customers", "discount_effect", "promo_revenue_share",
+        "nation_yoy_growth", "top_parts_per_supplier", "fuzzy_part_match",
+        "scd2_apply_changes", "bpe_merges", "bpe_encode_stats",
+        "dedup_canonicalize", "sim_ann_ivf_pq", "embedding_pca_power",
+        "embedding_minmax_scale", "pagerank_nodes", "graph_triangles",
+        "text_surprisal_lm", "text_repetition_signals", "text_collocations",
+    }
+)
+
+
+def _driver_green_from_records() -> frozenset[str]:
+    """Derive the cumulative driver-green set from the CORRECTNESS_r*.json
+    files the driver writes at the repo root — a query is green iff ANY
+    round recorded ``hash_match: true`` for it.
+
+    Rows with ``err == "no_oracle"`` are NOT green: in round 1 the four
+    no-oracle rows (sketch_stats, …) later gained oracles and earned real
+    hash rows in round 2, which only happened because no_oracle kept them
+    in the pending tier.  Missing/unreadable files degrade gracefully; if
+    no record file yields any green name (e.g. the package is imported
+    away from the repo checkout), fall back to the hardcoded per-round
+    frozensets so behavior is identical to the recorded history.
+
+    This derivation exists because hand-maintaining the union went stale
+    twice (round-2 and round-3 verdicts, "What's wrong" #1 both times):
+    a stale union makes a budget-capped driver sweep re-verify the same
+    green queries forever while new registrants never get a record.
+    """
+    green: set[str] = set()
+    repo_root = pathlib.Path(__file__).resolve().parents[2]
+    for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        try:
+            records = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(records, dict):
+            continue
+        for name, row in records.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                green.add(name)
+    if not green:
+        return _R1_DRIVER_GREEN | _R2_DRIVER_GREEN | _R3_DRIVER_GREEN
+    return frozenset(green)
+
+
 # Cumulative: a query is "driver-green" if ANY past round recorded a green
 # hash_match row for it.  This is the set all_queries()'s pending-first
 # ordering keys off — pending must mean "never driver-verified", or a
 # budget-capped sweep re-walks already-green queries forever and the tail
-# never gets a record (round-2 verdict, What's wrong #3).
-_DRIVER_GREEN = _R1_DRIVER_GREEN | _R2_DRIVER_GREEN
+# never gets a record (round-2 verdict, What's wrong #3).  Derived from the
+# CORRECTNESS_r*.json driver records at import time so a new round's file
+# re-tiers the sweep automatically (round-3 verdict, next-round item #2).
+_DRIVER_GREEN = _driver_green_from_records()
 
-# Within pending, LONGEST-pending first: queries that existed by the end of
-# round 2 but have no green row (the 16 the r2 sweep never reached, plus
-# the two r2 non-green rows).  With 51 pending and a 50-query sweep budget,
-# plain insertion order would push `streaming_upsert_snapshot` — flagged
-# as never-checked by the round-2 verdict — past the cap AGAIN behind
-# round-3 registrants; age-priority guarantees every r2-era query gets its
-# driver row this round and only a newest registrant waits for round 4.
+# Within pending, LONGEST-pending first: each era set names the queries
+# that existed by the end of that round.  A pending query sorts by the
+# earliest era that lists it; queries in no era (the newest registrants)
+# come last within pending.  With more pending queries than a sweep budget,
+# plain insertion order would strand the oldest unverified queries behind
+# newer registrants forever (this exact failure recurred in rounds 2 AND 3
+# before era-tiering).
 _R2_ERA_PENDING = frozenset(
     {
         "pack_sequences", "decontaminate", "corpus_mixture",
@@ -145,6 +210,27 @@ _R2_ERA_PENDING = frozenset(
         "sim_ann_ivf_trained", "embedding_quantize_int8",
     }
 )
+
+# Registered during round 3 but past the 50-query sweep cap — the 8 queries
+# with no driver row of any kind (round-3 verdict, "What's missing" #1).
+_R3_ERA_PENDING = frozenset(
+    {
+        "cap_events_per_entity", "corpus_token_budget", "sample_temperature",
+        "skew_profile", "split_balance_audit", "streaming_heavy_hitters",
+        "streaming_sessionize", "streaming_transitions",
+    }
+)
+
+# Oldest era first; extend with one entry per round as registrants outpace
+# the sweep budget.
+_PENDING_ERAS: tuple[frozenset[str], ...] = (_R2_ERA_PENDING, _R3_ERA_PENDING)
+
+
+def _pending_rank(name: str) -> int:
+    for i, era in enumerate(_PENDING_ERAS):
+        if name in era:
+            return i
+    return len(_PENDING_ERAS)
 
 
 def all_queries() -> dict[str, QueryDef]:
@@ -182,18 +268,12 @@ def all_queries() -> dict[str, QueryDef]:
         upsert,
     )
 
-    oldest = {
-        n: q
-        for n, q in _REGISTRY.items()
-        if n in _R2_ERA_PENDING and n not in _DRIVER_GREEN
-    }
-    pending = {
-        n: q
-        for n, q in _REGISTRY.items()
-        if n not in _DRIVER_GREEN and n not in oldest
-    }
+    pending_names = [n for n in _REGISTRY if n not in _DRIVER_GREEN]
+    # stable sort: era rank first, registration (insertion) order within
+    pending_names.sort(key=_pending_rank)
+    pending = {n: _REGISTRY[n] for n in pending_names}
     green = {n: q for n, q in _REGISTRY.items() if n in _DRIVER_GREEN}
-    return {**oldest, **pending, **green}
+    return {**pending, **green}
 
 
 def short_keys(names: list[str]) -> dict[str, str]:

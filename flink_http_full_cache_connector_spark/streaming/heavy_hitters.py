@@ -91,10 +91,15 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     query.awaitTermination()
-    final = (
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    final = finalize_memory_sink(
         spark.table(name)
         .groupBy("event_type")
-        .agg(F.max("cnt").alias("cnt"), F.min("first_id").alias("first_id"))
+        .agg(F.max("cnt").alias("cnt"), F.min("first_id").alias("first_id")),
+        name,
     )
     total = final.agg(F.sum("cnt").alias("total"))
     return final.crossJoin(F.broadcast(total)).select(
@@ -112,10 +117,20 @@ def transition_counts_stream(events: DataFrame) -> DataFrame:
     State per user is ONLY the last-seen event (type, us, id) — the
     cross-batch bridge: each batch sorts its events, chains them onto the
     carried last event, and emits one row per (from, to) pair observed,
-    each transition exactly once.  Because increments are append-only and
-    integer, the consumer's groupBy-sum over the update stream equals the
-    batch lead()-derived transition matrix regardless of batch slicing or
-    emission order — the streaming twin of event_transitions.
+    each transition exactly once.  Increments are append-only and integer,
+    so EMISSION order never matters: the consumer's groupBy-sum over the
+    update stream is the final answer however the rows arrive.
+
+    Late-data contract (mirrors :func:`..session.sessionize_stream`): for
+    per-key event-time-ordered arrival — every microbatch slicing in which
+    no event precedes the carried state's last event — the summed matrix
+    equals the batch lead() oracle EXACTLY
+    (``test_stateful_transitions_matches_batch_under_ordered_slicing``).
+    An event arriving BEHIND the carried bridge chains in arrival order
+    (the bridge regresses to the batch's max-time event), as with
+    sessionize: retroactive re-chaining would retract emitted increments;
+    bounding lateness is the watermark's job.  The streaming twin of
+    event_transitions.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -174,9 +189,12 @@ def transition_counts_stream(events: DataFrame) -> DataFrame:
     "cross-batch bridge); each microbatch chains its sorted events onto "
     "it and appends integer increment rows, each transition emitted "
     "exactly once — so the consumer's groupBy-sum equals the batch "
-    "lead() oracle under ANY batch slicing. O(users) state, increment "
-    "rows bounded by type-matrix size per (user, batch). The streaming "
-    "twin of event_transitions (which adds the probability ppm view).",
+    "lead() oracle under any per-key event-time-ordered slicing "
+    "(events older than the carried bridge chain in arrival order — "
+    "the same late-data contract as streaming_sessionize). O(users) "
+    "state, increment rows bounded by type-matrix size per (user, "
+    "batch). The streaming twin of event_transitions (which adds the "
+    "probability ppm view).",
 )
 def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
@@ -214,8 +232,13 @@ def streaming_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return (
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    return finalize_memory_sink(
         spark.table(name)
         .groupBy("from_type", "to_type")
-        .agg(F.sum("inc").alias("n"))
+        .agg(F.sum("inc").alias("n")),
+        name,
     )

@@ -35,6 +35,29 @@ def start_table_sink(df: DataFrame, table_name: str, checkpoint: str, **options)
     )
 
 
+def finalize_memory_sink(reduced: DataFrame, sink_name: str) -> DataFrame:
+    """Materialize a finished memory-sink stream's reduced result and DROP
+    the uuid-named sink view.
+
+    Memory sinks pin every appended row in driver memory for as long as
+    their temp view exists; a long sweep invoking many streaming queries in
+    one session otherwise accumulates one dead row-log per invocation
+    (round-3 ADVICE).  ``localCheckpoint(eager=True)`` executes the reduced
+    plan (key-cardinality-sized by construction) and pins its partitions in
+    the block manager, truncating lineage back to the sink — so the sink's
+    full row log becomes collectable the moment the view drops, while the
+    returned DataFrame stays distributed (no driver collect) and remains
+    valid after the drop.
+    """
+    spark = reduced.sparkSession
+    out = reduced.localCheckpoint(eager=True)
+    try:
+        spark.catalog.dropTempView(sink_name)
+    except Exception:
+        pass  # view already gone — nothing to release
+    return out
+
+
 def collect_stream(
     df: DataFrame,
     n: int,

@@ -1,55 +1,17 @@
-"""Tuned SparkSession factory — the scale defaults every entry point shares.
+"""Custom stateful sessionization — the session-window operator rebuilt as
+a user-level applyInPandasWithState handler (the shape Flink users write as
+a KeyedProcessFunction; reference has no session surface — SURVEY.md 2.C).
 
-One place encodes the 100 TB posture so tests, bench, and user code agree:
-
-- **AQE on** (runtime re-planning: join strategy switch, partition
-  coalescing, skew-join splitting) — the engine's answer to stats-free
-  sources like the HTTP cache.
-- **Arrow on** for createDataFrame/toPandas and all Pandas UDFs.
-- **shuffle.partitions** sized to the core count by default; at real
-  cluster scale callers pass ~2-3x total cores instead.
+``build_session`` (the tuned SparkSession factory that historically lived
+here) moved to :mod:`flink_http_full_cache_connector_spark.session`; the
+re-export below keeps old imports working.
 """
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import SparkSession
-
-
-def build_session(
-    app_name: str = "flink-http-full-cache-connector-spark",
-    *,
-    master: str | None = None,
-    cpus: int | None = None,
-    shuffle_partitions: int | None = None,
-    extra_conf: dict[str, str] | None = None,
-) -> SparkSession:
-    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # oracle parity: DuckDB timestamps are tz-naive; pinning the session
-        # tz to UTC makes Spark's TIMESTAMP (LTZ) wall-clock values match
-        # regardless of host tz
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.enabled", "false")
-    )
-    for k, v in (extra_conf or {}).items():
-        builder = builder.config(k, v)
-    return builder.getOrCreate()
-
-
-# ---------------------------------------------------------------------------
-# custom stateful sessionization — the session-window operator rebuilt as a
-# user-level applyInPandasWithState handler (the shape Flink users write as
-# a KeyedProcessFunction; reference has no session surface — SURVEY.md 2.C)
-# ---------------------------------------------------------------------------
+from flink_http_full_cache_connector_spark.session import (  # noqa: F401
+    build_session,
+)
 
 #: inactivity gap closing a session, in integer microseconds (the same
 #: constant the batch twin sessionize_events uses).
@@ -211,7 +173,11 @@ def _register_streaming_sessionize() -> None:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         # reduce provisional re-emissions: last version per (user, session)
-        return (
+        from flink_http_full_cache_connector_spark.streaming.pipeline import (
+            finalize_memory_sink,
+        )
+
+        reduced = (
             spark.table(name)
             .groupBy("user_id", "session_num")
             .agg(
@@ -220,6 +186,7 @@ def _register_streaming_sessionize() -> None:
                 F.max("end_us").alias("end_us"),
             )
         )
+        return finalize_memory_sink(reduced, name)
 
 
 _register_streaming_sessionize()

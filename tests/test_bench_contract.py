@@ -72,6 +72,7 @@ def test_sweep_order_puts_driver_unverified_queries_first():
         _DRIVER_GREEN,
         _R1_DRIVER_GREEN,
         _R2_DRIVER_GREEN,
+        _R3_DRIVER_GREEN,
         all_queries,
     )
 
@@ -86,21 +87,90 @@ def test_sweep_order_puts_driver_unverified_queries_first():
             )
     # both groups are non-empty and every driver-green query is registered
     assert seen_green and _DRIVER_GREEN <= set(names)
-    # the cumulative set really is cumulative (r3 regression guard: the r2
-    # sweep's 48 green queries must not fall back into pending)
-    assert _DRIVER_GREEN == _R1_DRIVER_GREEN | _R2_DRIVER_GREEN
-    assert len(_R2_DRIVER_GREEN) == 48
-    # the two r2 non-green rows stay pending until a green round records them
-    for still_pending in ("sim_ann_ivf_trained", "embedding_quantize_int8"):
-        assert still_pending not in _DRIVER_GREEN
-        assert still_pending in names
-    # within pending, LONGEST-pending first: every r2-era never-green query
-    # must enumerate before any round-3 registrant, so a 50-query capped
-    # sweep cannot strand an r2-era query behind newer additions
+    # the cumulative set really is cumulative (r2+r3 regression guard: no
+    # past round's green queries may fall back into pending)
+    assert _R1_DRIVER_GREEN | _R2_DRIVER_GREEN | _R3_DRIVER_GREEN <= _DRIVER_GREEN
+    assert len(_R2_DRIVER_GREEN) == 48 and len(_R3_DRIVER_GREEN) == 50
+    # within pending, LONGEST-pending first: every older-era never-green
+    # query must enumerate before any newer registrant, so a 50-query capped
+    # sweep cannot strand an old query behind newer additions
     from flink_http_full_cache_connector_spark.plans.registry import (
-        _R2_ERA_PENDING,
+        _PENDING_ERAS,
+        _pending_rank,
     )
 
     pending = [n for n in names if n not in _DRIVER_GREEN]
-    k = len(_R2_ERA_PENDING & set(pending))
-    assert set(pending[:k]) == _R2_ERA_PENDING & set(pending)
+    ranks = [_pending_rank(n) for n in pending]
+    assert ranks == sorted(ranks), pending
+    # every era query is either green by now or enumerated in pending
+    for era in _PENDING_ERAS:
+        assert era <= (_DRIVER_GREEN | set(pending))
+
+
+def test_driver_green_derived_from_correctness_records():
+    """_DRIVER_GREEN must be derived from the CORRECTNESS_r*.json driver
+    records (round-3 verdict, next-round item #2): hand-maintained unions
+    went stale in rounds 2 AND 3.  Recompute from the files here and require
+    exact agreement; a new CORRECTNESS_r*.json landing at the repo root must
+    re-tier the sweep with zero code edits."""
+    import pathlib
+
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        _DRIVER_GREEN,
+        _driver_green_from_records,
+    )
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    record_files = sorted(repo.glob("CORRECTNESS_r*.json"))
+    assert record_files, "driver record files missing from repo root"
+    expected = set()
+    for path in record_files:
+        for name, row in json.loads(path.read_text()).items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                expected.add(name)
+    assert _DRIVER_GREEN == expected
+    assert _driver_green_from_records() == frozenset(expected)
+    # the 8 round-3-late queries have no driver record yet and so must be
+    # pending (delete this block when CORRECTNESS_r04.json lands with them)
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        _R3_ERA_PENDING,
+        all_queries,
+    )
+
+    names = list(all_queries())
+    recorded = set()
+    for path in record_files:
+        recorded |= set(json.loads(path.read_text()))
+    never_recorded = _R3_ERA_PENDING - recorded
+    if never_recorded:  # auto-clears once CORRECTNESS_r04.json records them
+        assert never_recorded <= set(names[: len(never_recorded)]), (
+            f"{never_recorded} must lead the sweep enumeration, "
+            f"got head {names[: len(never_recorded)]}"
+        )
+
+
+def test_skip_baselines_mode_excludes_only_tagged_baselines():
+    """bench.py's SPARK_GRAFT_SKIP_BASELINES scale mode (SCALE.md) filters
+    on QueryDef.baseline; pin the tag set so it cannot rot — every tagged
+    query must have a registered non-baseline production twin family, and
+    the filtered registry must still contain everything else."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    q_all = all_queries()
+    tagged = {n for n, qd in q_all.items() if qd.baseline}
+    assert tagged == {
+        "dedup_embedding_cosine",
+        "dedup_ngram_jaccard",
+        "dedup_containment",
+        "sim_topk_cosine",
+    }
+    kept = {n: qd for n, qd in q_all.items() if not qd.baseline}
+    assert set(kept) == set(q_all) - tagged
+    # each baseline's scale-path twin survives the filter
+    for twin in (
+        "dedup_embedding_lsh",
+        "dedup_ngram_jaccard_capped",
+        "dedup_containment_capped",
+        "sim_ann_ivf",
+    ):
+        assert twin in kept

@@ -59,10 +59,16 @@ def test_widen_is_noop_on_wide_input(spark):
 def test_build_session_reuses_active_with_aqe(spark):
     # getOrCreate returns the active session; confs on the active session
     # are what bench/tests actually run with
-    from flink_http_full_cache_connector_spark.streaming.session import build_session
+    from flink_http_full_cache_connector_spark.session import build_session
 
     s = build_session()
     assert s.conf.get("spark.sql.adaptive.enabled") == "true"
+    # the historical import path keeps working (deprecation re-export)
+    from flink_http_full_cache_connector_spark.streaming.session import (
+        build_session as legacy_build_session,
+    )
+
+    assert legacy_build_session is build_session
 
 
 def test_kafka_reader_is_declarative(spark):

@@ -407,3 +407,42 @@ def test_transition_increments_bridge_across_microbatches(spark, tmp_path):
     for r in rows:
         totals[(r.from_type, r.to_type)] = totals.get((r.from_type, r.to_type), 0) + r.inc
     assert totals == {("a", "b"): 1, ("b", "c"): 1, ("c", "a"): 1}
+
+
+def test_finalize_memory_sink_drops_view_and_keeps_result(spark):
+    """Round-3 ADVICE: uuid-named memory-sink tables accumulated in driver
+    memory across invocations.  finalize_memory_sink must drop the view and
+    return a DataFrame that stays valid (localCheckpoint truncates lineage
+    back past the dropped view)."""
+    import uuid
+
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    name = f"stream_fin_{uuid.uuid4().hex[:10]}"
+    spark.range(5).createOrReplaceTempView(name)
+    out = finalize_memory_sink(
+        spark.table(name).selectExpr("sum(id) AS s"), name
+    )
+    assert name not in [t.name for t in spark.catalog.listTables()]
+    assert out.collect()[0].s == 10
+    # idempotent when the view is already gone
+    out2 = finalize_memory_sink(out, name)
+    assert out2.collect()[0].s == 10
+
+
+def test_registered_streaming_queries_leave_no_sink_views(spark):
+    """Every memory-sink-backed registered query must clean up its
+    uuid-named temp view before returning (round-3 ADVICE leak)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    qd = all_queries()["streaming_sessionize"]
+    before = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    qd.spark(spark, "/root/testdata/sf0.001").collect()
+    after = {t.name for t in spark.catalog.listTables() if t.isTemporary}
+    leaked = {
+        n for n in after - before
+        if n.startswith(("stream_", "stateful_", "heavy_hitters_"))
+    }
+    assert not leaked, leaked

@@ -286,3 +286,89 @@ def test_stateful_sessionize_matches_brute_force(spark, events, n_batches):
         assert got == expect
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- stateful streaming transitions vs batch lead() oracle ------------------
+
+transition_events = st.lists(
+    st.tuples(
+        st.integers(1, 3),            # user_id
+        st.integers(0, 10**9),        # us (event time, microseconds)
+        st.sampled_from(["a", "b", "c"]),  # event_type
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(transition_events, st.integers(1, 3))
+def test_stateful_transitions_matches_batch_under_ordered_slicing(
+    spark, events, n_batches
+):
+    """Property: for ANY event set and any per-key EVENT-TIME-ORDERED
+    slicing into microbatches (the regime the operator's late-data contract
+    promises exact parity for — heavy_hitters.py docstring), the groupBy-sum
+    of transition_counts_stream's increment emissions equals a brute-force
+    per-user lead() transition matrix of the full set."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from flink_http_full_cache_connector_spark.streaming.heavy_hitters import (
+        transition_counts_stream,
+    )
+
+    rows = [
+        {"user_id": u, "event_id": i, "us": us, "event_type": t}
+        for i, (u, us, t) in enumerate(events)
+    ]
+
+    # brute force: per user, sort by (us, event_id), count adjacent pairs
+    expect: dict[tuple[str, str], int] = {}
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for ev in by_user.values():
+        ev.sort(key=lambda r: (r["us"], r["event_id"]))
+        for a, b in zip(ev, ev[1:]):
+            k = (a["event_type"], b["event_type"])
+            expect[k] = expect.get(k, 0) + 1
+
+    tmp = tempfile.mkdtemp(prefix="trans_prop_")
+    try:
+        # slice along event-time order: no microbatch event precedes the
+        # carried bridge, the contract's exact-parity regime
+        rows.sort(key=lambda r: (r["us"], r["event_id"]))
+        step = (len(rows) + n_batches - 1) // n_batches
+        chunks = [rows[i * step:(i + 1) * step] for i in range(n_batches)]
+        for i, chunk in enumerate(c for c in chunks if c):
+            pd.DataFrame(
+                chunk, columns=["user_id", "event_id", "us", "event_type"]
+            ).astype(
+                {"user_id": "int64", "event_id": "int64", "us": "int64"}
+            ).to_parquet(f"{tmp}/b{i}.parquet")
+        stream = (
+            spark.readStream.schema(
+                "user_id long, event_id long, us long, event_type string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(tmp)
+        )
+        name = f"trans_prop_{uuid.uuid4().hex[:10]}"
+        q = (
+            transition_counts_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got: dict[tuple[str, str], int] = {}
+        for r in spark.table(name).collect():
+            k = (r.from_type, r.to_type)
+            got[k] = got.get(k, 0) + r.inc
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
