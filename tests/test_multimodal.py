@@ -178,25 +178,23 @@ def test_sniff_golden_bytes_python_and_jvm(spark):
     assert got == {i: want for i, _, want in samples}
 
 
-def test_decode_real_png_env_blocked_contract(media):
-    """Feeding a REAL 1x1 PNG through the decode path: with pillow
-    installed this must decode to a 1x1 grayscale image; in this container
-    (pillow absent — like transformWithStateInPandas' protobuf dependency)
-    the operator must fail loudly with NotImplementedError, never decode
-    garbage silently."""
+def test_decode_real_png_via_vendored_codec(media):
+    """Feeding a REAL 1x1 PNG through the decode path must decode to a 1x1
+    grayscale image with the golden pixel value — with pillow when
+    installed, else through the vendored stdlib codec (round-3 verdict
+    item #3: decode used to raise NotImplementedError without PIL)."""
     from flink_http_full_cache_connector_spark.operators.multimodal import (
         decode_image,
     )
 
-    png = _real_png_1x1()
+    img = decode_image(_real_png_1x1())
+    assert (img.width, img.height) == (1, 1)
+    assert img.mode == "L"
     try:
         import PIL  # noqa: F401
-
-        img = decode_image(png)
-        assert (img.width, img.height) == (1, 1)
     except ImportError:
-        with pytest.raises(NotImplementedError, match="pillow"):
-            decode_image(png)
+        # vendored path exposes the raw decoded samples: golden pixel 0x80
+        assert bytes(img.pixels) == b"\x80"
 
 
 def _real_wav_8samples() -> bytes:

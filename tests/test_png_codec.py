@@ -1,0 +1,132 @@
+"""Vendored pure-Python PNG codec (functions/png_codec.py): round-trip
+properties across every filter type and color mode, fail-fast on malformed
+payloads, and the real-codec Spark decode path end-to-end."""
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_http_full_cache_connector_spark.functions.png_codec import (
+    PngError,
+    decode_png,
+    encode_png,
+    resize_nearest,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    mode=st.sampled_from(["L", "LA", "RGB", "RGBA"]),
+    seed=st.integers(0, 2**31 - 1),
+    filter_base=st.integers(0, 4),
+)
+def test_roundtrip_all_filters_and_modes(w, h, mode, seed, filter_base):
+    """decode(encode(img)) == img for arbitrary images, with the per-row
+    filter cycling through all five types so every unfilter branch runs."""
+    channels = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}[mode]
+    n = w * h * channels
+    # deterministic pseudo-random pixels from the seed (LCG — stdlib-only)
+    x, pix = seed, bytearray()
+    for _ in range(n):
+        x = (x * 1103515245 + 12345) % 2**31
+        pix.append(x % 256)
+    data = encode_png(
+        w, h, pix, mode=mode, filter_fn=lambda y: (y + filter_base) % 5
+    )
+    dw, dh, dmode, out = decode_png(data)
+    assert (dw, dh, dmode) == (w, h, mode)
+    assert bytes(out) == bytes(pix)
+
+
+def _sample_png() -> tuple[bytes, bytes]:
+    pix = bytes(range(2 * 3 * 3))  # 2x3 RGB gradient
+    return encode_png(2, 3, pix, mode="RGB", filter_fn=lambda y: y % 5), pix
+
+
+def test_malformed_payloads_fail_fast():
+    data, _ = _sample_png()
+    with pytest.raises(PngError, match="signature"):
+        decode_png(b"NOPE" + data[4:])
+    # flip one IDAT byte: CRC check must catch it before inflate garbage
+    idat_at = data.index(b"IDAT") + 4
+    corrupted = bytearray(data)
+    corrupted[idat_at + 2] ^= 0xFF
+    with pytest.raises(PngError, match="CRC"):
+        decode_png(bytes(corrupted))
+    with pytest.raises(PngError, match="truncated|missing"):
+        decode_png(data[:-8])
+    # 16-bit depth and interlace are unsupported — loud, not garbage
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+
+    def chunk(typ, body):
+        return (
+            struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x80"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="bit depth"):
+        decode_png(deep)
+
+
+def test_encoder_rejects_bad_buffer_and_filter():
+    with pytest.raises(PngError, match="pixel buffer"):
+        encode_png(2, 2, b"\x00" * 5, mode="L")
+    with pytest.raises(PngError, match="invalid type"):
+        encode_png(1, 1, b"\x00", mode="L", filter_fn=lambda y: 9)
+
+
+def test_resize_nearest_integer_mapping():
+    # 4x2 grayscale, distinct values; shrink to 2x1: out(tx,0)=src(tx*4//2, 0)
+    pix = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    out = resize_nearest(pix, 4, 2, 2, 1, 1)
+    assert bytes(out) == bytes([10, 30])
+    # identity resize is a copy
+    assert bytes(resize_nearest(pix, 4, 2, 4, 2, 1)) == pix
+
+
+def test_decode_resize_images_runs_real_codec_in_spark(spark):
+    """decode_resize_images end-to-end over REAL PNG payloads — the Spark
+    mapInPandas plumbing with an actual codec, no pillow, no fake: decoded
+    dims and NN-thumbnail bytes must match a local reference."""
+    from pyspark.sql import Row
+
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        decode_resize_images,
+    )
+
+    imgs = {}
+    rows = []
+    for doc_id, (w, h) in enumerate([(8, 4), (3, 3), (10, 2)], start=1):
+        pix = bytes((i * 7 + doc_id) % 256 for i in range(w * h * 3))
+        imgs[doc_id] = (w, h, pix)
+        rows.append(
+            Row(
+                doc_id=doc_id,
+                payload=bytearray(
+                    encode_png(w, h, pix, mode="RGB", filter_fn=lambda y: y % 5)
+                ),
+            )
+        )
+    got = {
+        r.doc_id: r
+        for r in decode_resize_images(
+            spark.createDataFrame(rows), max_side=4
+        ).collect()
+    }
+    for doc_id, (w, h, pix) in imgs.items():
+        r = got[doc_id]
+        m = max(w, h)
+        ew = w if m <= 4 else max(1, w * 4 // m)
+        eh = h if m <= 4 else max(1, h * 4 // m)
+        assert (r.width, r.height, r.mode) == (ew, eh, "RGB")
+        assert bytes(r.thumbnail) == bytes(resize_nearest(pix, w, h, ew, eh, 3))
