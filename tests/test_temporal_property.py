@@ -372,3 +372,147 @@ def test_stateful_transitions_matches_batch_under_ordered_slicing(
         assert got == expect
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# --- evicting (EventTimeTimeout) sessionization vs brute force ---------------
+
+
+def _write_session_batches(tmp, rows, n_batches):
+    """Event-time-ordered slicing into one parquet file per microbatch."""
+    rows = sorted(rows, key=lambda r: (r["us"], r["event_id"]))
+    step = (len(rows) + n_batches - 1) // n_batches
+    chunks = [rows[i * step:(i + 1) * step] for i in range(n_batches)]
+    for i, chunk in enumerate(c for c in chunks if c):
+        pdf = pd.DataFrame(chunk, columns=["user_id", "event_id", "us"]).astype(
+            "int64"
+        )
+        pdf["ts"] = pd.to_datetime(pdf["us"], unit="us").astype("datetime64[us]")
+        pdf.to_parquet(f"{tmp}/b{i}.parquet")
+
+
+def _run_evicting(spark, tmp):
+    import uuid
+
+    from flink_http_full_cache_connector_spark.streaming.session import (
+        sessionize_stream_evicting,
+    )
+
+    # 1s delay: the stateful late-filter drops events AT the watermark,
+    # so a us tied across a batch boundary would vanish under "0 seconds"
+    stream = (
+        spark.readStream.schema(
+            "user_id long, event_id long, us long, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(tmp)
+        .withWatermark("ts", "1 second")
+    )
+    name = f"sess_evict_{uuid.uuid4().hex[:10]}"
+    q = (
+        sessionize_stream_evicting(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).collect()
+
+
+@settings(max_examples=8, deadline=None)
+@given(session_events, st.integers(1, 3))
+def test_evicting_sessionize_matches_brute_force_ordered(spark, events, n_batches):
+    """Property: for ANY event set under event-time-ordered slicing, the
+    max-per-(user,start) reduction of the EVICTING sessionizer equals a
+    brute-force gap scan — timeouts may close and evict sessions mid-stream
+    but never change the final values (timeout re-emits state verbatim)."""
+    import shutil
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.streaming.session import (
+        STREAM_SESSION_GAP_US,
+    )
+
+    gap = STREAM_SESSION_GAP_US
+    # offset to a realistic epoch: the stateful operator's late filter
+    # drops events at/behind the watermark, whose floor is epoch 0 —
+    # raw strategy times near 0 would be silently discarded
+    base = 1_700_000_000_000_000
+    rows = [
+        {"user_id": u, "event_id": i, "us": base + us}
+        for i, (u, us) in enumerate(events)
+    ]
+
+    expect = {}
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    for u, ev in by_user.items():
+        ev.sort(key=lambda r: (r["us"], r["event_id"]))
+        start = end = None
+        n = 0
+        for r in ev:
+            if start is None or r["us"] - end > gap:
+                if start is not None:
+                    expect[(u, start)] = (n, end)
+                start, end, n = r["us"], r["us"], 1
+            else:
+                end, n = r["us"], n + 1
+        expect[(u, start)] = (n, end)
+
+    tmp = tempfile.mkdtemp(prefix="sess_evict_prop_")
+    try:
+        _write_session_batches(tmp, rows, n_batches)
+        got = {}
+        for r in _run_evicting(spark, tmp):
+            k = (r.user_id, r.start_us)
+            if k not in got or r.n_events > got[k][0]:
+                got[k] = (r.n_events, r.end_us)
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_evicting_sessionize_times_out_idle_sessions(spark):
+    """State-lifecycle pin: a user whose events stop must get a
+    closed=true FINAL emission via the EventTimeTimeout branch once later
+    batches advance the watermark past their gap horizon (the session
+    never gap-splits, so no other path can emit closed=true for it)."""
+    import shutil
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.streaming.session import (
+        STREAM_SESSION_GAP_US,
+    )
+
+    gap = STREAM_SESSION_GAP_US
+    base = 1_700_000_000_000_000
+    tmp = tempfile.mkdtemp(prefix="sess_evict_unit_")
+    try:
+        batches = [
+            # batch 1: user 1's whole (single) session + user 2 opens
+            [(1, 0, base), (1, 1, base + 1000), (2, 2, base + 2000)],
+            # batch 2: only user 2, far beyond user 1's horizon
+            [(2, 3, base + 3 * gap)],
+            # batch 3: watermark moves again so batch-2 state can time out
+            [(2, 4, base + 6 * gap)],
+        ]
+        for i, chunk in enumerate(batches):
+            pdf = pd.DataFrame(
+                chunk, columns=["user_id", "event_id", "us"]
+            ).astype("int64")
+            pdf["ts"] = pd.to_datetime(pdf["us"], unit="us").astype(
+                "datetime64[us]"
+            )
+            pdf.to_parquet(f"{tmp}/b{i}.parquet")
+        rows = _run_evicting(spark, tmp)
+        u1 = [r for r in rows if r.user_id == 1]
+        # final values correct AND a timed-out (closed) emission exists
+        final = {(r.start_us, r.end_us, r.n_events) for r in u1 if r.closed}
+        assert final == {(base, base + 1000, 2)}, u1
+        # user 2's sessions: each timed out except possibly the last
+        u2_closed = {r.start_us for r in rows if r.user_id == 2 and r.closed}
+        assert base + 2000 in u2_closed and base + 3 * gap in u2_closed
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
