@@ -78,6 +78,8 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytearray]:
         body = data[pos + 8 : pos + 8 + length]
         if len(body) != length:
             raise PngError(f"truncated {ctype!r} chunk")
+        if pos + 12 + length > len(data):
+            raise PngError(f"truncated {ctype!r} chunk CRC")
         (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise PngError(f"CRC mismatch in {ctype!r} chunk")

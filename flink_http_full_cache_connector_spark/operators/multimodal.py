@@ -246,8 +246,15 @@ class PngImage:
         max_w, max_h = size
         if self.width <= max_w and self.height <= max_h:
             return
-        ow = max(1, self.width * max_w // max(self.width, self.height))
-        oh = max(1, self.height * max_h // max(self.width, self.height))
+        # One scale factor for both axes (the binding bound), integer
+        # form: num/den = min(max_w/w, max_h/h).  Two independent ratios
+        # would distort aspect for non-square bounds.
+        if max_w * self.height <= max_h * self.width:
+            num, den = max_w, self.width
+        else:
+            num, den = max_h, self.height
+        ow = max(1, self.width * num // den)
+        oh = max(1, self.height * num // den)
         channels = {v: _CHANNELS[k] for k, v in _MODE_NAME.items()}[self.mode]
         self.pixels = resize_nearest(
             self.pixels, self.width, self.height, ow, oh, channels
@@ -256,22 +263,27 @@ class PngImage:
 
 
 def decode_image(payload: bytes) -> Any:
-    """Decode an image payload: pillow when importable (any format),
-    else the vendored pure-Python PNG codec for PNG payloads; other
-    formats without pillow fail loudly."""
+    """Decode an image payload.  PNG always decodes via the vendored
+    pure-Python codec — NOT pillow even when importable — so widths,
+    heights, and thumbnail bytes are bit-identical across environments
+    (a PIL Image has no ``.pixels`` and its ``thumbnail()`` rounds
+    differently, so the pillow path would silently change registered
+    query output).  Non-PNG formats fall back to pillow when
+    importable, else fail loudly."""
+    raw = bytes(payload)
+    if sniff_format_bytes(raw) == "png":
+        from flink_http_full_cache_connector_spark.functions.png_codec import (
+            decode_png,
+        )
+
+        return PngImage(*decode_png(raw))
     try:
         import io
 
         from PIL import Image
 
-        return Image.open(io.BytesIO(payload))
+        return Image.open(io.BytesIO(raw))
     except ImportError as exc:
-        if sniff_format_bytes(bytes(payload)) == "png":
-            from flink_http_full_cache_connector_spark.functions.png_codec import (
-                decode_png,
-            )
-
-            return PngImage(*decode_png(bytes(payload)))
         raise NotImplementedError(
             "non-PNG image decode requires pillow (PNG decodes via the "
             "vendored stdlib codec, functions/png_codec.py); payload "

@@ -148,10 +148,17 @@ _R3_DRIVER_GREEN = frozenset(
 )
 
 
-def _driver_green_from_records() -> frozenset[str]:
-    """Derive the cumulative driver-green set from the CORRECTNESS_r*.json
-    files the driver writes at the repo root — a query is green iff ANY
-    round recorded ``hash_match: true`` for it.
+def _driver_green_from_records(
+    root: "pathlib.Path | None" = None,
+) -> frozenset[str]:
+    """Derive the driver-green set from the CORRECTNESS_r*.json files the
+    driver writes at the repo root — a query is green iff its LATEST
+    recorded row has ``hash_match: true`` (last file mentioning the query
+    wins).  Any-round-ever-green would let a later regression
+    (green-then-red) hide in the green tier forever: a budget-capped
+    sweep deprioritizes green queries, so the red row would never be
+    re-checked (round-4 advice).  With latest-wins, a regressed query
+    drops back into the pending tier and re-sorts to the sweep front.
 
     Rows with ``err == "no_oracle"`` are NOT green: in round 1 the four
     no-oracle rows (sketch_stats, …) later gained oracles and earned real
@@ -166,9 +173,10 @@ def _driver_green_from_records() -> frozenset[str]:
     a stale union makes a budget-capped driver sweep re-verify the same
     green queries forever while new registrants never get a record.
     """
-    green: set[str] = set()
-    repo_root = pathlib.Path(__file__).resolve().parents[2]
-    for path in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+    latest: dict[str, bool] = {}
+    if root is None:
+        root = pathlib.Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             records = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -176,8 +184,9 @@ def _driver_green_from_records() -> frozenset[str]:
         if not isinstance(records, dict):
             continue
         for name, row in records.items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
-                green.add(name)
+            if isinstance(row, dict) and "hash_match" in row:
+                latest[name] = row.get("hash_match") is True
+    green = {name for name, ok in latest.items() if ok}
     if not green:
         return _R1_DRIVER_GREEN | _R2_DRIVER_GREEN | _R3_DRIVER_GREEN
     return frozenset(green)

@@ -359,7 +359,12 @@ def _register_streaming_sessionize_evicting() -> None:
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
             .transform(normalize_events_ts)
-            .withWatermark("ts", "0 seconds")
+            # Nonzero delay: the stateful pre-filter drops events at/behind
+            # the watermark, so with a 0s delay a multi-microbatch source
+            # (several files, or maxFilesPerTrigger) would silently drop
+            # batch-boundary-tied events and diverge from the oracle.  1s
+            # matches the eviction property-test harness.
+            .withWatermark("ts", "1 second")
             .select(
                 "user_id",
                 "event_id",

@@ -123,11 +123,12 @@ def test_driver_green_derived_from_correctness_records():
     repo = pathlib.Path(__file__).resolve().parents[1]
     record_files = sorted(repo.glob("CORRECTNESS_r*.json"))
     assert record_files, "driver record files missing from repo root"
-    expected = set()
+    latest = {}
     for path in record_files:
         for name, row in json.loads(path.read_text()).items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
-                expected.add(name)
+            if isinstance(row, dict) and "hash_match" in row:
+                latest[name] = row.get("hash_match") is True
+    expected = {name for name, ok in latest.items() if ok}
     assert _DRIVER_GREEN == expected
     assert _driver_green_from_records() == frozenset(expected)
     # the 8 round-3-late queries have no driver record yet and so must be
@@ -147,6 +148,30 @@ def test_driver_green_derived_from_correctness_records():
             f"{never_recorded} must lead the sweep enumeration, "
             f"got head {names[: len(never_recorded)]}"
         )
+
+
+def test_driver_green_latest_round_wins(tmp_path):
+    """A green-then-red transition (regression in a later sweep) must drop
+    the query back into the pending tier so a budget-capped sweep re-checks
+    it — any-round-ever-green would hide the red row forever (round-4
+    advice).  Rows that never carry a hash verdict leave the prior verdict
+    in place (a query absent from a capped sweep stays green)."""
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        _driver_green_from_records,
+    )
+
+    r1 = {
+        "q_stays": {"hash_match": True, "err": None},
+        "q_regressed": {"hash_match": True, "err": None},
+        "q_never": {"hash_match": None, "err": "no_oracle"},
+    }
+    r2 = {
+        "q_regressed": {"hash_match": False, "err": None},
+        "q_recovered": {"hash_match": True, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(r1))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps(r2))
+    assert _driver_green_from_records(tmp_path) == {"q_stays", "q_recovered"}
 
 
 def test_skip_baselines_mode_excludes_only_tagged_baselines():

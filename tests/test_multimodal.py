@@ -359,3 +359,42 @@ def test_constructed_gif_through_sniff_and_decode_contract(spark, media):
     except ImportError:
         with pytest.raises(NotImplementedError, match="pillow"):
             decode_image(gif)
+
+
+def test_pngimage_thumbnail_nonsquare_bounds_preserve_aspect():
+    """Non-square size bounds must apply ONE scale factor to both axes
+    (round-4 advice): two independent ratios distort aspect.  A 8x4 image
+    into (4, 100): width binds, scale=1/2, -> 4x2 (not 4x50-ish or 4x?)."""
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        PngImage,
+    )
+
+    img = PngImage(8, 4, "L", bytearray(range(32)))
+    img.thumbnail((4, 100))
+    assert (img.width, img.height) == (4, 2)
+    img = PngImage(4, 8, "L", bytearray(range(32)))
+    img.thumbnail((100, 4))  # height binds for portrait
+    assert (img.width, img.height) == (2, 4)
+    # square bounds keep the historical formula: long side hits the bound
+    img = PngImage(10, 2, "L", bytearray(range(20)))
+    img.thumbnail((5, 5))
+    assert (img.width, img.height) == (5, 1)
+
+
+def test_decode_image_prefers_vendored_codec_for_png():
+    """PNG must decode via the vendored codec even when pillow is
+    importable (round-4 advice): a PIL Image has no .pixels, so the
+    registered thumbnail column would silently become b'' and pillow's
+    rounding could shift dims by 1 across environments."""
+    from flink_http_full_cache_connector_spark.functions.png_codec import (
+        encode_png,
+    )
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        PngImage,
+        decode_image,
+    )
+
+    pix = bytes(range(2 * 2 * 3))
+    img = decode_image(encode_png(2, 2, pix, mode="RGB"))
+    assert isinstance(img, PngImage)
+    assert bytes(img.pixels) == pix

@@ -130,3 +130,15 @@ def test_decode_resize_images_runs_real_codec_in_spark(spark):
         eh = h if m <= 4 else max(1, h * 4 // m)
         assert (r.width, r.height, r.mode) == (ew, eh, "RGB")
         assert bytes(r.thumbnail) == bytes(resize_nearest(pix, w, h, ew, eh, 3))
+
+
+def test_truncation_inside_crc_trailer_raises_pngerror():
+    """A chunk cut inside its 4-byte CRC trailer must still raise PngError,
+    not a raw struct.error (round-4 advice): the body slice is complete, so
+    only an explicit CRC-slice length check catches it."""
+    data, _ = _sample_png()
+    ihdr_at = data.index(b"IHDR")
+    # cut 2 bytes into IHDR's CRC: header+type (8) + body (13) + 2
+    cut = ihdr_at - 4 + 8 + 13 + 2
+    with pytest.raises(PngError, match="truncated.*CRC"):
+        decode_png(data[:cut])
