@@ -31,6 +31,37 @@ class HttpFetchError(RuntimeError):
     """Raised when all fetch attempts are exhausted (job must fail)."""
 
 
+class RequestMetrics:
+    """HTTP request observability — the reference README documents
+    "HTTP Request Metrics: Success/failure rates, response times" and
+    "Error Rates: Retry attempts and failure counts" without ever
+    registering them (``README.md:199-208``); this delivers them.
+    Mutable plain counters: attempts (every GET issued), retries
+    (attempts after the first per fetch), failures (attempts that
+    errored), and wall durations."""
+
+    __slots__ = (
+        "attempts", "retries", "failures",
+        "last_duration_s", "total_duration_s",
+    )
+
+    def __init__(self) -> None:
+        self.attempts = 0
+        self.retries = 0
+        self.failures = 0
+        self.last_duration_s = 0.0
+        self.total_duration_s = 0.0
+
+    def as_dict(self) -> dict[str, float]:
+        return {
+            "http_attempts": self.attempts,
+            "http_retries": self.retries,
+            "http_failures": self.failures,
+            "http_last_duration_s": self.last_duration_s,
+            "http_total_duration_s": self.total_duration_s,
+        }
+
+
 def fetch_with_retry(
     url: str,
     *,
@@ -40,6 +71,7 @@ def fetch_with_retry(
     retry_delay_ms: int = 1000,
     sleep: Callable[[float], None] = time.sleep,
     opener: Callable[..., Any] | None = None,
+    metrics: RequestMetrics | None = None,
 ) -> str:
     """GET ``url`` returning the response body as text.
 
@@ -60,6 +92,11 @@ def fetch_with_retry(
     last_exception: Exception | None = None
     attempt = 0
     while attempt <= max_retries:
+        t0 = time.monotonic()
+        if metrics is not None:
+            metrics.attempts += 1
+            if attempt > 0:
+                metrics.retries += 1
         try:
             req = urllib.request.Request(url, method="GET")
             with open_fn(req, timeout=timeout) as resp:
@@ -74,6 +111,9 @@ def fetch_with_retry(
                 headers = getattr(resp, "headers", None)
                 if headers is not None:
                     charset = headers.get_content_charset() or "utf-8"
+                if metrics is not None:
+                    metrics.last_duration_s = time.monotonic() - t0
+                    metrics.total_duration_s += metrics.last_duration_s
                 return body.decode(charset)
         except urllib.error.HTTPError as e:
             # urllib raises on 4xx/5xx; normalize to the reference's message.
@@ -83,6 +123,10 @@ def fetch_with_retry(
             )
         except Exception as e:  # noqa: BLE001 — any failure triggers retry
             last_exception = e
+        if metrics is not None:
+            metrics.failures += 1
+            metrics.last_duration_s = time.monotonic() - t0
+            metrics.total_duration_s += metrics.last_duration_s
         attempt += 1
         if attempt <= max_retries:
             sleep(retry_delay_ms / 1000.0)

@@ -849,7 +849,22 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup path runs MORE tables than the ANN path (recall 1-(1-p)^L ≈ 0.65
 # at L=16 vs 0.23 at the ANN default L=4) — the standard L-vs-cost knob.
 DEDUP_LSH_TABLES = 16
-DEDUP_LSH_BITS = 6
+DEDUP_LSH_BITS = 6  # floor; grows with log2(corpus) via _lsh_bits_for()
+# target mean bucket occupancy: with FIXED bits, occupancy grows linearly
+# with the corpus and same-bucket candidate pairs grow QUADRATICALLY —
+# measured 16.8x wall at 10x data (sf0.1→sf1, BENCH round-5 scaling run).
+# Growing bits with log2(n) pins occupancy ≈ DEDUP_LSH_OCCUPANCY, making
+# candidate volume ~n·L (linear).  Per-table recall shrinks by ~0.63 per
+# added bit at the 0.4 threshold — tables (cost-linear) is the knob users
+# raise to buy recall back at scale.
+DEDUP_LSH_OCCUPANCY = 32
+
+
+def _lsh_bits_for(n: int) -> int:
+    """bits = max(floor, bit_length(ceil(n/occupancy) - 1)) — pure integer
+    arithmetic so the SQL twin (length(bin(m-1))) matches exactly."""
+    m = (n + DEDUP_LSH_OCCUPANCY - 1) // DEDUP_LSH_OCCUPANCY
+    return max(DEDUP_LSH_BITS, (m - 1).bit_length() if m > 1 else 1)
 
 
 def _embedding_lsh_oracle() -> str:
@@ -858,14 +873,24 @@ def _embedding_lsh_oracle() -> str:
         LSH_PLANE_BASE,
     )
 
-    num_planes = DEDUP_LSH_TABLES * DEDUP_LSH_BITS
     return f"""
-WITH pl AS (
-    SELECT (t.p // {DEDUP_LSH_BITS}) AS table_id,
-           (1 << (t.p % {DEDUP_LSH_BITS}))::bigint AS weight,
+WITH cfg AS (
+    -- adaptive bits: integer bit-length of ceil(n/occupancy)-1, floored at
+    -- {DEDUP_LSH_BITS} — the exact integer formula of _lsh_bits_for()
+    SELECT greatest({DEDUP_LSH_BITS},
+                    CASE WHEN m <= 1 THEN 1 ELSE length(bin(m - 1)) END)::bigint
+               AS bits
+    FROM (SELECT (count(*) + {DEDUP_LSH_OCCUPANCY - 1})
+                     // {DEDUP_LSH_OCCUPANCY} AS m
+          FROM embeddings)
+),
+pl AS (
+    SELECT (t.p // cfg.bits) AS table_id,
+           (1 << (t.p % cfg.bits))::bigint AS weight,
            list_transform(range(1, len(a.embedding) + 1),
                           i -> a.embedding[i]::double - b.embedding[i]::double) AS dv
-    FROM (SELECT unnest(range(0, {num_planes})) AS p) t
+    FROM cfg,
+         unnest(range(0, {DEDUP_LSH_TABLES} * cfg.bits)) AS t(p)
     JOIN embeddings a ON a.vec_id = {LSH_PLANE_BASE} + 2 * t.p
     JOIN embeddings b ON b.vec_id = {LSH_PLANE_BASE} + 2 * t.p + 1
 ),
@@ -895,10 +920,13 @@ WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {COSINE_DUP_THRESHOLD}
     _embedding_lsh_oracle(),
     doc="Embedding near-dup at scale: random-hyperplane LSH bucketing "
     "(reuses the ANN plane/signature machinery) generates same-bucket "
-    "candidate pairs — linear in corpus size — and only candidates pay the "
-    "exact cosine verify. The O(n²) twin dedup_embedding_cosine is the "
-    "recall baseline; the signature shuffle carries one partially-"
-    "aggregated row per vector.",
+    "candidate pairs and only candidates pay the exact cosine verify. "
+    "bits grows with log2(corpus) (integer bit-length formula, SQL twin "
+    "identical) pinning mean bucket occupancy at ~32, so candidate "
+    "volume is LINEAR in corpus size — with fixed bits it was quadratic "
+    "(measured 16.8x wall at 10x data before the fix). The O(n²) twin "
+    "dedup_embedding_cosine is the recall baseline; the signature "
+    "shuffle carries one partially-aggregated row per vector.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_http_full_cache_connector_spark.functions.vectors import (
@@ -911,7 +939,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    planes = lsh_planes(emb, tables=DEDUP_LSH_TABLES, bits=DEDUP_LSH_BITS)
+    # one metadata-sized count to size the hash family (SCALE.md rule 1:
+    # driver actions are fine when the payload is O(1))
+    bits = _lsh_bits_for(emb.count())
+    planes = lsh_planes(emb, tables=DEDUP_LSH_TABLES, bits=bits)
     vecs = widen(emb).select("vec_id", as_double(F.col("embedding")).alias("v"))
     # candidate generation on IDS ONLY: carrying vectors through the L-table
     # bucket self-join would duplicate every embedding x16 through the

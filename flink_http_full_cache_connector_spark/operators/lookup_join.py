@@ -70,6 +70,43 @@ def lookup_join(
     return probe.join(dim, on=list(on), how=how)  # type: ignore[arg-type]
 
 
+_HIT_MARKER = "__lookup_hit__"
+
+
+def observed_lookup_join(
+    probe: DataFrame,
+    cache: DataFrame,
+    on: str | Column | Sequence[str] | list[tuple[str, str]],
+    how: str = "left",
+    *,
+    observation,
+    broadcast_cache: bool = True,
+) -> DataFrame:
+    """:func:`lookup_join` + cache hit-rate metrics via ``df.observe``.
+
+    The reference README documents a "Cache Hit Rate: Percentage of
+    successful cache lookups" metric it never registers
+    (``README.md:199-208``); Spark's observed-metrics channel delivers
+    it for free: ``lookup_total`` (probe rows) and ``lookup_hits``
+    (probe rows that matched the cache) are aggregated JVM-side during
+    the join's own pass — zero extra scans, zero Python.
+
+    ``observation`` is a ``pyspark.sql.Observation`` (batch: read
+    ``observation.get`` after an action) or a string name (streaming:
+    surfaces in every ``StreamingQueryProgress.observedMetrics``).
+    Hit detection uses a constant marker column on the cache side, so it
+    works for every ``on`` form and is NULL exactly on LEFT-join misses.
+    """
+    marked = cache.withColumn(_HIT_MARKER, F.lit(1))
+    joined = lookup_join(probe, marked, on, how, broadcast_cache=broadcast_cache)
+    observed = joined.observe(
+        observation,
+        F.count(F.lit(1)).alias("lookup_total"),
+        F.count(_HIT_MARKER).alias("lookup_hits"),
+    )
+    return observed.drop(_HIT_MARKER)
+
+
 def with_proc_time(df: DataFrame, col_name: str = "proc_time") -> DataFrame:
     """Computed column ``proc_time AS PROCTIME()`` (B5).
 

@@ -133,9 +133,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "split_leakage_report",
     f"""
-    WITH sh AS (
-        SELECT doc_id, unnest({_dedup._DUCK_SHINGLES}) AS s FROM documents
-    ),
+    WITH {_dedup._shingle_cte(_dedup.MAX_SHINGLE_DF)},
     sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -164,18 +162,23 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "landed in — the eval-contamination check every corpus build must "
     "run (near-identical texts carry different doc_ids, so an id-hash "
     "split happily strands copies across train and test; rows with "
-    "leaks=true are exactly that). Reuses the shingle-join pair "
-    "machinery (one uniform shingle-key shuffle) + the map-side split "
-    "assignment; output is a <=6-row split-pair matrix. The fix this "
-    "report motivates: dedup or cluster BEFORE splitting "
-    "(pipeline.build_training_corpus splits after dedup-keep-first).",
+    "leaks=true are exactly that). Pairs come from the df-CAPPED "
+    "shingle join (dedup_ngram_jaccard_capped, max_df="
+    f"{_dedup.MAX_SHINGLE_DF}) — the uncapped source scaled as Σdf² "
+    "(measured 11x wall at 10x data, round-5 scaling run) and the "
+    "pairs it adds over the capped form share only boilerplate "
+    "shingles, which is not leakage. One uniform shingle-key shuffle "
+    "+ map-side split assignment; output is a <=6-row split-pair "
+    "matrix. The fix this report motivates: dedup or cluster BEFORE "
+    "splitting (pipeline.build_training_corpus splits after "
+    "dedup-keep-first).",
 )
 def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_http_full_cache_connector_spark.operators.dedup import (
-        dedup_ngram_jaccard,
+        dedup_ngram_jaccard_capped,
     )
 
-    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dedup_ngram_jaccard_capped(spark, sf_dir).select("doc_a", "doc_b")
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     split = docs.select("doc_id", split_column(F.col("doc_id")).alias("sp"))
     sx = split.select(F.col("doc_id").alias("doc_a"), F.col("sp").alias("sp_a"))

@@ -19,25 +19,50 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from dataclasses import field as dataclass_field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-from flink_http_full_cache_connector_spark.http_client import fetch_with_retry, parse_payload
+from flink_http_full_cache_connector_spark.http_client import (
+    RequestMetrics,
+    fetch_with_retry,
+    parse_payload,
+)
 from flink_http_full_cache_connector_spark.options import HttpLookupOptions, validate_options
 from flink_http_full_cache_connector_spark.rows import deserialize_nodes
 
 
 @dataclass
 class FetchStats:
-    """Observability for tests (≙ integration-test HTTP call counting)."""
+    """Cache observability — the metric families the reference README
+    documents but never registers (``README.md:199-208``): refresh
+    durations, row counts, and (via ``http``) request/retry/failure
+    counts and response times."""
 
     fetch_count: int = 0
     last_fetch_duration_s: float = 0.0
+    total_fetch_duration_s: float = 0.0
     last_row_count: int = 0
+    http: RequestMetrics = dataclass_field(default_factory=RequestMetrics)
+
+    def as_dict(self) -> dict[str, float]:
+        """Flat metric map, reference-README naming."""
+        return {
+            "refresh_count": self.fetch_count,
+            "last_refresh_duration_s": self.last_fetch_duration_s,
+            "total_refresh_duration_s": self.total_fetch_duration_s,
+            "cached_row_count": self.last_row_count,
+            **self.http.as_dict(),
+        }
 
 
-def fetch_rows(opts: HttpLookupOptions, schema: StructType) -> list[tuple]:
+def fetch_rows(
+    opts: HttpLookupOptions,
+    schema: StructType,
+    *,
+    http_metrics: RequestMetrics | None = None,
+) -> list[tuple]:
     """One full scan: GET → parse → pointer → fan-out → typed rows."""
     body = fetch_with_retry(
         opts.url,
@@ -45,6 +70,7 @@ def fetch_rows(opts: HttpLookupOptions, schema: StructType) -> list[tuple]:
         read_timeout_seconds=opts.read_timeout_seconds,
         max_retries=opts.max_retries,
         retry_delay_ms=opts.retry_delay_ms,
+        metrics=http_metrics,
     )
     nodes = parse_payload(body, opts.xpath)
     return deserialize_nodes(nodes, schema)
@@ -90,10 +116,13 @@ def create_lookup_df(
         schema = StructType.fromDDL(schema)
     opts = options if isinstance(options, HttpLookupOptions) else validate_options(options)
     t0 = time.monotonic()
-    rows = fetch_rows(opts, schema)
+    rows = fetch_rows(
+        opts, schema, http_metrics=stats.http if stats is not None else None
+    )
     df = _local_relation(spark, rows, schema)
     if stats is not None:
         stats.fetch_count += 1
         stats.last_fetch_duration_s = time.monotonic() - t0
+        stats.total_fetch_duration_s += stats.last_fetch_duration_s
         stats.last_row_count = len(rows)
     return df

@@ -57,6 +57,14 @@ class RefreshingLookupCache:
         assert self._snapshot is not None
         return self._snapshot
 
+    def metrics(self) -> dict[str, float]:
+        """The metric families the reference README documents but never
+        registers (``README.md:199-208``), actually delivered: refresh
+        count/durations, cached row count, HTTP attempt/retry/failure
+        counts and response times.  Cache hit-rate lives on the join side —
+        see :func:`operators.lookup_join.observed_lookup_join`."""
+        return self.stats.as_dict()
+
     def due(self) -> bool:
         """FIXED_DELAY: next reload is timed from *completion* of the last."""
         if self._last_load_end is None:

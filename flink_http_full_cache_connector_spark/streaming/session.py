@@ -143,7 +143,12 @@ def _register_streaming_sessionize() -> None:
         "equals the batch lag/cumsum oracle (sessionize_events twin); "
         "cross-batch session continuation and gap-split are pinned by "
         "unit test. The streaming answer to the batch shape — same "
-        "integer-microsecond gap arithmetic.",
+        "integer-microsecond gap arithmetic. BASELINE of "
+        "streaming_sessionize_evicting: NoTimeout state never evicts, so "
+        "state grows with keys-EVER-seen — at 100 TB the evicting "
+        "variant (EventTimeTimeout + state.remove) is the production "
+        "path and scale-mode sweeps run it alone (round-4 verdict #4).",
+        baseline=True,
     )
     def streaming_sessionize(spark, sf_dir):
         load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf

@@ -188,6 +188,9 @@ def test_skip_baselines_mode_excludes_only_tagged_baselines():
         "dedup_ngram_jaccard",
         "dedup_containment",
         "sim_topk_cosine",
+        # NoTimeout sessionizer: state grows with keys-ever-seen; the
+        # evicting variant is the production path at scale (r4 verdict #4)
+        "streaming_sessionize",
     }
     kept = {n: qd for n, qd in q_all.items() if not qd.baseline}
     assert set(kept) == set(q_all) - tagged
@@ -197,5 +200,6 @@ def test_skip_baselines_mode_excludes_only_tagged_baselines():
         "dedup_ngram_jaccard_capped",
         "dedup_containment_capped",
         "sim_ann_ivf",
+        "streaming_sessionize_evicting",
     ):
         assert twin in kept

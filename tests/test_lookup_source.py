@@ -200,3 +200,75 @@ def test_create_lookup_df_accepts_ddl_schema(spark, http_server):
     assert [f.name for f in cache.schema.fields] == [
         "id", "name", "username", "email",
     ]
+
+
+def test_observed_lookup_join_hit_rate_batch(spark, http_server):
+    """Cache hit-rate via Spark observed metrics (r4 verdict #7): the
+    reference README documents 'Cache Hit Rate' without registering it;
+    observed_lookup_join aggregates lookup_total/lookup_hits JVM-side
+    during the join's own pass.  7 probe rows, 2 aimed past the 10-user
+    cache -> total=7, hits=5, and the marker column never leaks."""
+    from pyspark.sql import Observation
+
+    from flink_http_full_cache_connector_spark.operators.lookup_join import (
+        observed_lookup_join,
+    )
+
+    cache = create_lookup_df(spark, {"url": http_server.url}, USERS_SCHEMA)
+    probe = spark.createDataFrame(
+        [Row(order_id=i, user_id=(i % 5) + 1 if i < 5 else 99) for i in range(7)]
+    )
+    obs = Observation("http_lookup")
+    joined = observed_lookup_join(
+        probe, cache, on=[("user_id", "id")], how="left", observation=obs
+    )
+    assert "__lookup_hit__" not in joined.columns
+    assert joined.count() == 7
+    assert obs.get == {"lookup_total": 7, "lookup_hits": 5}
+    # inner join drops the misses, and the hit count tracks the output
+    obs2 = Observation("http_lookup_inner")
+    inner = observed_lookup_join(
+        probe, cache, on=[("user_id", "id")], how="inner", observation=obs2
+    )
+    assert inner.count() == 5
+    assert obs2.get == {"lookup_total": 5, "lookup_hits": 5}
+
+
+def test_observed_lookup_join_streaming_progress(spark, http_server, tmp_path):
+    """String-named observation on a streaming probe: lookup_total/
+    lookup_hits surface in StreamingQueryProgress.observedMetrics — the
+    monitoring-system channel the reference README points users at."""
+    from flink_http_full_cache_connector_spark.operators.lookup_join import (
+        observed_lookup_join,
+    )
+
+    cache = create_lookup_df(spark, {"url": http_server.url}, USERS_SCHEMA)
+    src = str(tmp_path / "probe")
+    spark.createDataFrame(
+        [Row(order_id=i, user_id=(i % 12) + 1) for i in range(12)]
+    ).write.parquet(src)
+    probe = spark.readStream.schema("order_id long, user_id long").parquet(src)
+    enriched = observed_lookup_join(
+        probe, cache, on=[("user_id", "id")], how="left",
+        observation="lookup_metrics",
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("observed_lookup_sink")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+        # recentProgress carries the observed metrics of the finished batch
+        rows = [
+            p.observedMetrics["lookup_metrics"]
+            for p in q.recentProgress
+            if "lookup_metrics" in (p.observedMetrics or {})
+        ]
+    finally:
+        spark.catalog.dropTempView("observed_lookup_sink")
+    assert rows, "no observedMetrics surfaced in StreamingQueryProgress"
+    total = sum(r["lookup_total"] for r in rows)
+    hits = sum(r["lookup_hits"] for r in rows)
+    assert total == 12 and hits == 10  # user_ids 11,12 miss the 10-user cache
