@@ -981,3 +981,152 @@ def wav_pipeline(docs: DataFrame) -> DataFrame:
 )
 def multimodal_wav_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup: REAL decode → 8x8 aHash → exact-hash clusters
+# (the image-content twin of exact text dedup — near-dup banding is
+# demonstrated on text by dedup_simhash_pairs; the same banding applies to
+# these 4x16-bit hash columns unchanged)
+# ---------------------------------------------------------------------------
+
+PHASH_MOD = 256  # image content repeats every PHASH_MOD doc_ids → real
+#                  duplicate payloads exist at every scale factor
+PHASH_SIDE = 8  # aHash thumbnail side (64 bits → 4 x 16-bit band columns)
+
+PHASH_SCHEMA = "doc_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def phash_signatures(docs: DataFrame) -> DataFrame:
+    """Per doc: synthesize the content image (identical for doc_ids
+    congruent mod PHASH_MOD), PNG-encode, DECODE with the vendored codec,
+    NN-resize the decoded pixels to 8x8, and compute the average-hash:
+    bit i = (64·gray_i >= Σ gray) — the mean comparison cross-multiplied
+    so it stays in exact integers.  Emitted as four 16-bit band columns
+    (SimHash-style), join-ready for banded near-dup search."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from flink_http_full_cache_connector_spark.functions.png_codec import (
+            decode_png,
+            encode_png,
+            resize_nearest,
+        )
+
+        side = PHASH_SIDE
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                e = d % PHASH_MOD
+                w, h = 16 + e % PNG_W_MOD, 16 + e % PNG_H_MOD
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                r = (xs * 3 + ys * 5 + e) % 256
+                g = (xs * 7 + ys * 11 + e * 13) % 256
+                b = (xs * 17 + ys * 23 + e * 29) % 256
+                pix = np.stack(
+                    np.broadcast_arrays(r, g, b), axis=2
+                ).astype(np.uint8).tobytes()
+                payload = encode_png(
+                    w, h, pix, mode="RGB", filter_fn=lambda y: (y + e) % 5
+                )
+                dw, dh, _, raw = decode_png(payload)
+                thumb = resize_nearest(raw, dw, dh, side, side, 3)
+                gray = (
+                    np.frombuffer(bytes(thumb), np.uint8)
+                    .reshape(side * side, 3)
+                    .astype(np.int64)
+                    .sum(axis=1)
+                )
+                total = int(gray.sum())
+                bits = (side * side * gray >= total).astype(np.int64)
+                bands = [
+                    int((bits[k * 16 : (k + 1) * 16] << np.arange(16)).sum())
+                    for k in range(4)
+                ]
+                rows.append((d, *bands))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "b0", "b1", "b2", "b3"]
+            )
+
+    return widen(docs).select("doc_id").mapInPandas(batches, PHASH_SCHEMA)
+
+
+def _phash_oracle() -> str:
+    side = PHASH_SIDE
+    gray = (
+        "(((sx*3 + sy*5 + e) % 256) + ((sx*7 + sy*11 + e*13) % 256)"
+        " + ((sx*17 + sy*23 + e*29) % 256))"
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id, doc_id % {PHASH_MOD} AS e,
+               (16 + (doc_id % {PHASH_MOD}) % {PNG_W_MOD})::bigint AS w,
+               (16 + (doc_id % {PHASH_MOD}) % {PNG_H_MOD})::bigint AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, i, {gray} AS gray
+        FROM (
+            SELECT doc_id, e, ty * {side} + tx AS i,
+                   tx * w // {side} AS sx, ty * h // {side} AS sy
+            FROM d, unnest(range(0, {side})) AS utx(tx),
+                    unnest(range(0, {side})) AS uty(ty)
+        )
+    ),
+    bits AS (
+        SELECT doc_id, i,
+               CASE WHEN {side * side} * gray >=
+                        sum(gray) OVER (PARTITION BY doc_id)
+                    THEN 1 ELSE 0 END AS bit
+        FROM px
+    ),
+    sig AS (
+        SELECT doc_id,
+               sum(CASE WHEN i // 16 = 0 THEN bit << (i % 16) ELSE 0 END)::bigint AS b0,
+               sum(CASE WHEN i // 16 = 1 THEN bit << (i % 16) ELSE 0 END)::bigint AS b1,
+               sum(CASE WHEN i // 16 = 2 THEN bit << (i % 16) ELSE 0 END)::bigint AS b2,
+               sum(CASE WHEN i // 16 = 3 THEN bit << (i % 16) ELSE 0 END)::bigint AS b3
+        FROM bits GROUP BY doc_id
+    )
+    SELECT b0, b1, b2, b3,
+           count(*)::bigint AS n_members,
+           min(doc_id) AS canonical_doc,
+           max(doc_id) AS max_doc
+    FROM sig
+    GROUP BY b0, b1, b2, b3
+    HAVING count(*) > 1
+    """
+
+
+@register(
+    "multimodal_phash_clusters",
+    _phash_oracle(),
+    doc="Image dedup on DECODED CONTENT: per doc a synthesized image "
+    "(content repeats every doc_id % 256, planting real duplicate "
+    "payloads) is PNG-encoded, decoded by the vendored codec, NN-reduced "
+    "to 8x8, and average-hashed (bit = 64·gray >= Σgray, exact integer "
+    "cross-multiplication) into four 16-bit band columns. Exact-hash "
+    "clusters (>1 member) are the duplicate-image groups — byte-level "
+    "md5 dedup would MISS these if the payloads differed in encoding "
+    "(filter choice, compression level) while the pixels matched; "
+    "hashing decoded content is the point. Shape: one mapInPandas "
+    "decode pass, ONE uniform hash-key shuffle (partial-agg), linear "
+    "output; the 4x16-bit bands are SimHash-banding-ready for hamming "
+    "near-dup search (dedup_simhash_pairs pattern). Oracle recomputes "
+    "the hash closed-form from pixel arithmetic — a hash match proves "
+    "decode+resize+threshold bit-exactly.",
+)
+def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = phash_signatures(load_table(spark, sf_dir, "documents"))
+    return (
+        sigs.groupBy("b0", "b1", "b2", "b3")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .where(F.col("n_members") > 1)
+    )

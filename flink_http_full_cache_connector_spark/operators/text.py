@@ -1189,3 +1189,66 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(lift).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus n-gram novelty — how much of a document exists nowhere else
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_novelty",
+    """
+    WITH sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                   i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                        string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '\\s+')[i+2]))) AS s
+        FROM documents
+    ),
+    df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           count(*)::bigint AS n_shingles,
+           sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END)::bigint AS n_unique,
+           (sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000
+               // count(*))::bigint AS novelty_ppm
+    FROM sh JOIN df ON sh.s = df.s
+    GROUP BY sh.doc_id
+    """,
+    doc="Cross-corpus novelty per document: the fraction (exact integer "
+    "ppm) of its distinct 3-gram shingles that occur in NO other document "
+    "— the inverse of the boilerplate/repetition signals, scoring how "
+    "much unique content a document contributes to the corpus (dedup "
+    "survivors score high; templated copies score near zero). Dataflow: "
+    "the shingle explode is map-side, document frequency is ONE "
+    "partially-aggregated uniform shingle-key shuffle, and the per-doc "
+    "rollup reuses the same relation with a doc_id-keyed aggregation — "
+    "the repetition_signals shuffle discipline, df computed corpus-wide "
+    "instead of within-doc. Integer division (Spark div == DuckDB // on "
+    "bigints) keeps the ppm partitioning-invariant.",
+)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        _shingle_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the shingle relation feeds both the df aggregation and the per-doc
+    # rollup join; persist so the explode runs once
+    sh = _shingle_table(docs).select("doc_id", "s").persist()
+    df = sh.groupBy("s").agg(F.count("*").alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        sh.join(df, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            uniq.alias("n_unique"),
+        )
+        .withColumn(
+            "novelty_ppm",
+            F.expr("CAST((n_unique * 1000000) DIV n_shingles AS BIGINT)"),
+        )
+        .select("doc_id", "n_shingles", "n_unique", "novelty_ppm")
+    )

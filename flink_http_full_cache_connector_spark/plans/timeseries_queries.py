@@ -447,3 +447,101 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(in_window, F.col("us") - F.col("touch_us")).alias("lag_us"),
         in_window.alias("attributed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mergeable histogram quantiles — the fixed-state production variant the
+# winsorize docstring points at: exact percentiles shuffle fact rows onto
+# few segment keys, but a 100 TB pipeline wants quantiles from a bounded
+# sketch.  A fixed-width histogram IS the simplest mergeable quantile
+# sketch: per-partition bin counts partial-aggregate map-side, the shuffle
+# carries <= HQ_BINS rows total, and the quantile extraction runs on the
+# metadata-sized bin relation.  Bin edges are integer multiples of
+# HQ_WIDTH, ranks are exact integers — no float comparisons cross-engine.
+# ---------------------------------------------------------------------------
+
+HQ_BINS = 1000
+HQ_WIDTH = 500  # o_totalprice < 500_000 ⇒ bins 0..999 cover the domain
+HQ_QUANTILES = (25, 50, 75, 90, 99)
+
+
+@register(
+    "histogram_quantiles",
+    f"""
+    WITH bins AS (
+        SELECT LEAST({HQ_BINS - 1}, floor(o_totalprice / {HQ_WIDTH}))::bigint
+                   AS bin,
+               count(*)::bigint AS cnt
+        FROM orders GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+               sum(cnt) OVER () AS total
+        FROM bins
+    ),
+    qs AS (SELECT unnest(ARRAY{list(HQ_QUANTILES)}) AS q)
+    SELECT qs.q::int AS q,
+           min(cum.bin)::bigint AS bin,
+           (min(cum.bin) * {HQ_WIDTH})::bigint AS lo_edge,
+           ((min(cum.bin) + 1) * {HQ_WIDTH})::bigint AS hi_edge,
+           min((qs.q * cum.total + 99) // 100)::bigint AS rank,
+           min(cum.total)::bigint AS total
+    FROM qs JOIN cum
+      ON cum.c >= (qs.q * cum.total + 99) // 100
+    GROUP BY qs.q
+    """,
+    doc=f"Quantiles from a {HQ_BINS}-bin fixed-width histogram — the "
+    "mergeable-sketch production path for percentiles at scale: bin "
+    "assignment is map-side, partial aggregation collapses each "
+    "partition to <= bins rows before the ONE tiny shuffle, and rank "
+    "extraction (ceil(q·total/100), exact integer) walks the "
+    "metadata-sized cumulative bin relation. Contrast "
+    "winsorize_prices' exact-percentile pass, which must shuffle fact "
+    "rows onto segment keys. Resolution is the bin width (edges "
+    "reported, never interpolated floats), total/rank are exact.",
+)
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bins = (
+        orders.groupBy(
+            F.least(
+                F.lit(HQ_BINS - 1), F.floor(F.col("o_totalprice") / HQ_WIDTH)
+            )
+            .cast("long")
+            .alias("bin")
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("c"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    qs = spark.range(0, len(HQ_QUANTILES)).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in HQ_QUANTILES]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("q")
+    )
+    # ceil(q·total/100) as floor((q·total+99)/100): operands < 2^47, so the
+    # double division is exact-enough for a correctly-rounded floor
+    rank = F.floor((F.col("q") * F.col("total") + 99) / 100).cast("long")
+    return (
+        qs.join(cum, F.col("c") >= rank)
+        .groupBy("q")
+        .agg(
+            F.min("bin").alias("bin"),
+            (F.min("bin") * HQ_WIDTH).cast("long").alias("lo_edge"),
+            ((F.min("bin") + 1) * HQ_WIDTH).cast("long").alias("hi_edge"),
+            F.min(rank).alias("rank"),
+            F.min("total").alias("total"),
+        )
+        .select("q", "bin", "lo_edge", "hi_edge", "rank", "total")
+    )

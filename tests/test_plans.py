@@ -625,3 +625,59 @@ def test_scd2_apply_windows_delta_only(spark):
     plan = plan_of(df)
     assert plan.count("Window [") == 2, plan
     assert "user_id" in plan, plan
+
+
+def test_histogram_quantiles_partial_aggregates_before_tiny_shuffle(spark):
+    """The bin assignment must partial-aggregate map-side (HashAggregate →
+    Exchange → HashAggregate on the bin key): the one shuffle carries
+    <= HQ_BINS rows per partition, never fact rows.  The rank-extraction
+    window and the 5-row quantile join run AFTER the aggregation — any
+    fact-sized window or sort-merge join here breaks the mergeable-sketch
+    posture."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["histogram_quantiles"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "SortMergeJoin" not in plan, plan
+    # exactly ONE data-sized exchange: the bin-key hashpartitioning
+    # (Catalyst inlines the bin expression as _groupingexpression)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 1, plan
+    # map-side partial aggregation feeds it: the shuffle carries bin
+    # counts, never order rows
+    assert "partial_count" in plan, plan
+    # the cumulative/rank machinery runs AFTER aggregation — its
+    # SinglePartition exchange moves <= HQ_BINS rows, and the scan reads
+    # only the binned column
+    assert "ReadSchema: struct<o_totalprice:double>" in plan, plan
+
+
+def test_text_novelty_shuffles_only_on_shingle_and_doc_keys(spark):
+    """Corpus-wide df + per-doc rollup: every data exchange keys on the
+    uniform shingle value or doc_id — no global sorts, no broadcast of the
+    corpus-sized relation."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["text_novelty"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert exchanges, plan
+    for ln in exchanges:
+        assert ("s#" in ln) or ("doc_id" in ln), ln
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_phash_clusters_single_hash_key_shuffle(spark):
+    """Decode + hash are one mapInPandas pass; the ONLY data shuffle is the
+    partial-aggregated 64-bit-hash groupBy (uniform key).  No joins at all
+    — exact-hash clustering is a pure aggregation."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["multimodal_phash_clusters"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 1 and all(
+        "b0" in ln and "b3" in ln for ln in exchanges
+    ), plan
