@@ -465,6 +465,48 @@ HQ_WIDTH = 500  # o_totalprice < 500_000 ⇒ bins 0..999 cover the domain
 HQ_QUANTILES = (25, 50, 75, 90, 99)
 
 
+def _quantiles_from_bins(
+    spark: SparkSession, bins: DataFrame, quantiles: tuple[int, ...], width: int
+) -> DataFrame:
+    """(bin, cnt) → (q, bin, lo_edge, hi_edge, rank, total) — the rank
+    extraction half of the histogram sketch, shared by the batch and
+    streaming variants.  Runs entirely on the metadata-sized bin relation
+    (cumulative windows + a #quantiles-row nested-loop join)."""
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w).alias("c"),
+        F.sum("cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    qs = spark.range(0, len(quantiles)).select(
+        F.element_at(
+            F.array(*[F.lit(q) for q in quantiles]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("q")
+    )
+    # ceil(q·total/100) as floor((q·total+99)/100): operands < 2^47, so the
+    # double division is exact-enough for a correctly-rounded floor
+    rank = F.floor((F.col("q") * F.col("total") + 99) / 100).cast("long")
+    return (
+        qs.join(cum, F.col("c") >= rank)
+        .groupBy("q")
+        .agg(
+            F.min("bin").alias("bin"),
+            (F.min("bin") * width).cast("long").alias("lo_edge"),
+            ((F.min("bin") + 1) * width).cast("long").alias("hi_edge"),
+            F.min(rank).alias("rank"),
+            F.min("total").alias("total"),
+        )
+        .select("q", "bin", "lo_edge", "hi_edge", "rank", "total")
+    )
+
+
+
 @register(
     "histogram_quantiles",
     f"""
@@ -513,35 +555,90 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("cnt"))
     )
-    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    cum = bins.select(
-        "bin",
-        "cnt",
-        F.sum("cnt").over(w).alias("c"),
-        F.sum("cnt").over(
-            Window.orderBy(F.lit(1)).rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total"),
+    return _quantiles_from_bins(spark, bins, HQ_QUANTILES, HQ_WIDTH)
+
+
+# streaming twin: the histogram's scale claim is that bin counts MERGE —
+# per-microbatch partial counts fold into running state of fixed size.
+# Proof by construction: the streaming aggregation consumes the events
+# stream in arbitrary microbatch slices and must hash-match the BATCH SQL
+# oracle exactly — any slice-order sensitivity would break the gate.
+
+SHQ_BINS = 700  # events.value ~ Exp(50): P(value >= 699) < 1e-6, LEAST caps
+SHQ_WIDTH = 1
+
+
+@register(
+    "streaming_histogram_quantiles",
+    f"""
+    WITH bins AS (
+        SELECT LEAST({SHQ_BINS - 1}, floor(value / {SHQ_WIDTH}))::bigint
+                   AS bin,
+               count(*)::bigint AS cnt
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, cnt,
+               sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS c,
+               sum(cnt) OVER () AS total
+        FROM bins
+    ),
+    qs AS (SELECT unnest(ARRAY{list(HQ_QUANTILES)}) AS q)
+    SELECT qs.q::int AS q,
+           min(cum.bin)::bigint AS bin,
+           (min(cum.bin) * {SHQ_WIDTH})::bigint AS lo_edge,
+           ((min(cum.bin) + 1) * {SHQ_WIDTH})::bigint AS hi_edge,
+           min((qs.q * cum.total + 99) // 100)::bigint AS rank,
+           min(cum.total)::bigint AS total
+    FROM qs JOIN cum
+      ON cum.c >= (qs.q * cum.total + 99) // 100
+    GROUP BY qs.q
+    """,
+    doc=f"Streaming percentiles from the mergeable {SHQ_BINS}-bin histogram "
+    "sketch: the events stream aggregates per-bin counts incrementally "
+    "(complete mode, O(bins) state regardless of stream volume — the "
+    "telemetry-percentile pattern), then the shared rank extraction runs "
+    "on the final bin relation. The oracle is the BATCH histogram SQL: a "
+    "hash match proves the sketch merges associatively across whatever "
+    "microbatch slicing the source produced — the property that makes it "
+    "a sketch. Same integer rank arithmetic as histogram_quantiles.",
+)
+def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        normalize_events_ts,
     )
-    qs = spark.range(0, len(HQ_QUANTILES)).select(
-        F.element_at(
-            F.array(*[F.lit(q) for q in HQ_QUANTILES]),
-            (F.col("id") + 1).cast("int"),
-        ).alias("q")
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
     )
-    # ceil(q·total/100) as floor((q·total+99)/100): operands < 2^47, so the
-    # double division is exact-enough for a correctly-rounded floor
-    rank = F.floor((F.col("q") * F.col("total") + 99) / 100).cast("long")
-    return (
-        qs.join(cum, F.col("c") >= rank)
-        .groupBy("q")
-        .agg(
-            F.min("bin").alias("bin"),
-            (F.min("bin") * HQ_WIDTH).cast("long").alias("lo_edge"),
-            ((F.min("bin") + 1) * HQ_WIDTH).cast("long").alias("hi_edge"),
-            F.min(rank).alias("rank"),
-            F.min("total").alias("total"),
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(normalize_events_ts)
+    )
+    bins = (
+        stream.groupBy(
+            F.least(F.lit(SHQ_BINS - 1), F.floor(F.col("value") / SHQ_WIDTH))
+            .cast("long")
+            .alias("bin")
         )
-        .select("q", "bin", "lo_edge", "hi_edge", "rank", "total")
+        .agg(F.count("*").alias("cnt"))
     )
+    name = f"stream_hist_{uuid.uuid4().hex[:12]}"
+    query = (
+        bins.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    out = _quantiles_from_bins(
+        spark, spark.table(name), HQ_QUANTILES, SHQ_WIDTH
+    )
+    return finalize_memory_sink(out, name)
