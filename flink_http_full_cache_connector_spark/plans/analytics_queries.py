@@ -1119,3 +1119,144 @@ def abc_analysis_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("C"))
         .alias("abc_class"),
     )
+
+
+@register(
+    "skyline_pareto",
+    """
+    WITH by_size AS (
+        SELECT p_size, min(p_retailprice) AS size_min_price
+        FROM part GROUP BY p_size
+    ),
+    aug AS (
+        SELECT p_size, size_min_price,
+               min(size_min_price) OVER (ORDER BY p_size DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS larger_min_price
+        FROM by_size
+    )
+    SELECT p.p_partkey, p.p_size, p.p_retailprice
+    FROM part p JOIN aug a USING (p_size)
+    WHERE p.p_retailprice <= a.size_min_price
+      AND (a.larger_min_price IS NULL
+           OR p.p_retailprice < a.larger_min_price)
+    """,
+    doc="Skyline / Pareto-frontier query (maximize p_size, minimize "
+    "p_retailprice, strict dominance in >= 1 dimension): a part survives "
+    "iff no other part is at least as large AND at least as cheap with "
+    "one strict.  The naive skyline is an O(n^2) self-join; this plan is "
+    "the scale shape: one partial-agg shuffle to the per-size min-price "
+    "relation (|distinct sizes| rows), the running-min-over-larger-sizes "
+    "window on THAT metadata-sized relation only, then a broadcast join "
+    "back — the fact table is never globally sorted.  Tie semantics are "
+    "classical: equal (size, price) rows all stay on the frontier (no "
+    "strict dominator).  Float comparisons are deterministic because both "
+    "engines compare the same bit-identical parquet doubles.",
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    by_size = part.groupBy("p_size").agg(
+        F.min("p_retailprice").alias("size_min_price")
+    )
+    # metadata-sized relation (one row per distinct size): the single
+    # unpartitioned window below sorts ~50 rows, never the part table
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    aug = by_size.select(
+        "p_size",
+        "size_min_price",
+        F.min("size_min_price").over(w).alias("larger_min_price"),
+    )
+    return (
+        part.join(F.broadcast(aug), "p_size")
+        .where(
+            (F.col("p_retailprice") <= F.col("size_min_price"))
+            & (
+                F.col("larger_min_price").isNull()
+                | (F.col("p_retailprice") < F.col("larger_min_price"))
+            )
+        )
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+ZORDER_BITS = 8  # 8 bits per dimension -> 16-bit z-value
+ZORDER_FILE_SHIFT = 8  # z >> 8 -> 256 target files
+
+
+def _zorder_expr(ub: str, vb: str, shift_op: tuple[str, str]) -> str:
+    """16-bit Morton interleave of two 8-bit bucket expressions, emitted
+    for either dialect (``shift_op = ("<<", ">>")`` for DuckDB,
+    ``("shiftleft", "shiftright")`` handled by the caller for Spark via the
+    same infix operators, which Spark SQL 4.x also parses).  Disjoint bits
+    mean ``+`` is exactly bitwise OR, so the expression stays pure integer
+    arithmetic both engines fold identically."""
+    shl, shr = shift_op
+    terms = []
+    for i in range(ZORDER_BITS):
+        terms.append(f"((({ub} {shr} {i}) & 1) {shl} {2 * i + 1})")
+        terms.append(f"((({vb} {shr} {i}) & 1) {shl} {2 * i})")
+    return " + ".join(terms)
+
+
+_Z_DUCK = _zorder_expr("ub", "vb", ("<<", ">>"))
+
+
+@register(
+    "zorder_layout",
+    f"""
+    WITH bucketed AS (
+        SELECT (user_id & 255)::bigint AS ub,
+               least(255, floor(value)::bigint) AS vb
+        FROM events
+    ),
+    z AS (SELECT ub, vb, ({_Z_DUCK})::bigint AS zval FROM bucketed)
+    SELECT (zval >> {ZORDER_FILE_SHIFT})::bigint AS file_id,
+           count(*)::bigint AS cnt,
+           min(ub)::bigint AS min_ub, max(ub)::bigint AS max_ub,
+           min(vb)::bigint AS min_vb, max(vb)::bigint AS max_vb,
+           ((max(ub) - min(ub) + 1) * (max(vb) - min(vb) + 1))::bigint
+               AS prune_surface
+    FROM z GROUP BY 1
+    """,
+    doc="Z-order (Morton) clustering layout — the Delta/Iceberg OPTIMIZE "
+    "ZORDER primitive that makes multi-column min/max file pruning work at "
+    "100 TB: interleave 8-bit buckets of (user_id, value) into a 16-bit "
+    "z-value, assign each row to one of 256 z-contiguous target files, and "
+    "report per-file min/max envelopes for BOTH dimensions plus the "
+    "prune_surface (envelope area a scan predicate must intersect; "
+    "z-clustered files keep it near |file| while linear layouts stretch "
+    "one dimension to the full domain).  The interleave is pure integer "
+    "shift/mask arithmetic inside whole-stage codegen (one expression, no "
+    "UDF), and the layout stats need exactly one partial-agg shuffle on "
+    "256 file keys.  Writing the files themselves is `df.repartitionByRange"
+    "(n, zval)` + sortWithinPartitions — this query is the stats/plan half "
+    "an optimizer would inspect.",
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucketed = events.select(
+        F.expr("cast(user_id & 255 as bigint)").alias("ub"),
+        F.least(F.lit(255), F.floor(F.col("value")).cast("long")).alias("vb"),
+    )
+    zval = F.expr(_zorder_expr("ub", "vb", ("<<", ">>"))).cast("long")
+    z = bucketed.select("ub", "vb", zval.alias("zval"))
+    return (
+        z.groupBy(
+            F.shiftright(F.col("zval"), ZORDER_FILE_SHIFT)
+            .cast("long")
+            .alias("file_id")
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("ub").alias("min_ub"),
+            F.max("ub").alias("max_ub"),
+            F.min("vb").alias("min_vb"),
+            F.max("vb").alias("max_vb"),
+            (
+                (F.max("ub") - F.min("ub") + 1)
+                * (F.max("vb") - F.min("vb") + 1)
+            ).alias("prune_surface"),
+        )
+    )

@@ -800,3 +800,71 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+@register(
+    "rollup_incremental_merge",
+    """
+    SELECT date_trunc('month', ts)::TIMESTAMP AS month,
+           event_type,
+           count(*)::bigint AS cnt,
+           sum(floor(value * 1000000))::bigint AS sum_micro,
+           min(floor(value * 1000000))::bigint AS min_micro,
+           max(floor(value * 1000000))::bigint AS max_micro,
+           (sum(floor(value * 1000000))::bigint // count(*)::bigint)
+               AS avg_micro
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Incremental-rollup state merge — the materialized-view-maintenance "
+    "pattern that makes daily 100 TB rollups affordable: each day "
+    "contributes a PARTIAL aggregate state row (cnt, sum, min, max per "
+    "(day, event_type)); month-level results are produced by merging the "
+    "stored day states (sum-of-sums, sum-of-cnts, min-of-mins), never by "
+    "re-scanning history.  avg is derived as sum div cnt AT MERGE TIME — "
+    "avg-of-avgs is the classic wrong answer this decomposition exists to "
+    "avoid.  The oracle computes month directly from the raw events, so a "
+    "hash match proves the day->month state merge is lossless (the "
+    "algebraic-aggregate property).  Values accumulate in exact integer "
+    "micro-units (floor(value*1e6), order-independent bigint sums).  Plan: "
+    "the (day, type) shuffle is the only data-sized exchange; the merge "
+    "re-agg moves one state row per day-type.",
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    micro = F.floor(F.col("value") * 1_000_000)
+    # stage 1 — the per-day state table an incremental pipeline would
+    # persist (one row per (day, event_type)); at 100 TB each NEW day is
+    # aggregated alone and appended
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.sum(micro).alias("sum_micro"),
+        F.min(micro).alias("min_micro"),
+        F.max(micro).alias("max_micro"),
+    )
+    # stage 2 — merge stored day states to month grain: pure state
+    # algebra, no raw-event access
+    return (
+        daily.groupBy(
+            F.date_trunc("month", F.col("day")).alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum_micro").alias("sum_micro"),
+            F.min("min_micro").alias("min_micro"),
+            F.max("max_micro").alias("max_micro"),
+        )
+        .select(
+            "month",
+            "event_type",
+            "cnt",
+            "sum_micro",
+            "min_micro",
+            "max_micro",
+            F.expr("sum_micro div cnt").alias("avg_micro"),
+        )
+    )

@@ -681,3 +681,50 @@ def test_phash_clusters_single_hash_key_shuffle(spark):
     assert len(exchanges) == 1 and all(
         "b0" in ln and "b3" in ln for ln in exchanges
     ), plan
+
+
+def test_skyline_pareto_broadcasts_frontier_never_sorts_fact(spark):
+    """The per-size min-price relation (|distinct sizes| rows) carries the
+    window; the part table joins it via broadcast — no SortMergeJoin, and
+    exactly one data-sized hashpartitioning exchange (the partial_min on
+    p_size)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["skyline_pareto"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 1, plan
+    assert "partial_min" in plan, plan
+
+
+def test_zorder_layout_is_codegen_with_one_tiny_shuffle(spark):
+    """The Morton interleave must stay a pure JVM integer expression (no
+    Python eval), feeding ONE partial-agged shuffle on the 256 file keys;
+    the scan reads only the two clustered columns."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["zorder_layout"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 1, plan
+    assert "partial_count" in plan, plan
+    assert "ReadSchema: struct<user_id:bigint,value:double>" in plan, plan
+
+
+def test_rollup_incremental_merge_reaggregates_day_states_only(spark):
+    """Two-level rollup: the (day, type) exchange is the only one fed by
+    event rows; the month merge exchanges pre-aggregated day-state rows
+    (both stages partial-aggregate map-side first)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["rollup_incremental_merge"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 2, plan
+    assert "partial_count" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string,value:double>" in plan, plan
