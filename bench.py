@@ -135,31 +135,33 @@ def main() -> None:
             indent=1,
         )
 
-    def machine_line(decimals: int) -> str:
+    def machine_line(decimals: int, keymap: bool = True) -> str:
         q = {skey[n]: round(t, decimals) for n, t in timings.items()}
         # value recomputed FROM the emitted per-query values so the line is
         # internally consistent at any rounding (value == sum(queries))
-        return json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": round(sum(q.values()), decimals),
-                "unit": "sec",
-                "queries": q,
-                "sf": sf,
-                "cpus": cpus,
-                "keymap": "BENCH_KEYS.json",
-            },
-            separators=(",", ":"),
-        )
+        payload = {
+            "metric": "total_query_wall_seconds",
+            "value": round(sum(q.values()), decimals),
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+            "cpus": cpus,
+        }
+        if keymap:
+            payload["keymap"] = "BENCH_KEYS.json"
+        return json.dumps(payload, separators=(",", ":"))
 
     # never hand the driver a head-truncatable line (it keeps only the last
     # 2000 stdout bytes): drop per-query precision until the line fits —
-    # full 3-decimal timings always live in BENCH_FULL.json
+    # full 3-decimal timings always live in BENCH_FULL.json.  The keymap
+    # pointer is shed before the final precision drop: 1-decimal timings
+    # are worth more than 27 bytes of self-description (the mapping still
+    # lives in BENCH_KEYS.json either way).
     line = machine_line(3)
-    for decimals in (2, 1, 0):
+    for decimals, keymap in ((2, True), (1, True), (1, False), (0, False)):
         if len(line) <= 1900:
             break
-        line = machine_line(decimals)
+        line = machine_line(decimals, keymap)
     print(line)
     spark.stop()
 

@@ -802,51 +802,23 @@ def scd2_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rollup_incremental_merge",
-    """
-    SELECT date_trunc('month', ts)::TIMESTAMP AS month,
-           event_type,
-           count(*)::bigint AS cnt,
-           sum(floor(value * 1000000))::bigint AS sum_micro,
-           min(floor(value * 1000000))::bigint AS min_micro,
-           max(floor(value * 1000000))::bigint AS max_micro,
-           (sum(floor(value * 1000000))::bigint // count(*)::bigint)
-               AS avg_micro
-    FROM events
-    GROUP BY 1, 2
-    """,
-    doc="Incremental-rollup state merge — the materialized-view-maintenance "
-    "pattern that makes daily 100 TB rollups affordable: each day "
-    "contributes a PARTIAL aggregate state row (cnt, sum, min, max per "
-    "(day, event_type)); month-level results are produced by merging the "
-    "stored day states (sum-of-sums, sum-of-cnts, min-of-mins), never by "
-    "re-scanning history.  avg is derived as sum div cnt AT MERGE TIME — "
-    "avg-of-avgs is the classic wrong answer this decomposition exists to "
-    "avoid.  The oracle computes month directly from the raw events, so a "
-    "hash match proves the day->month state merge is lossless (the "
-    "algebraic-aggregate property).  Values accumulate in exact integer "
-    "micro-units (floor(value*1e6), order-independent bigint sums).  Plan: "
-    "the (day, type) shuffle is the only data-sized exchange; the merge "
-    "re-agg moves one state row per day-type.",
-)
-def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+def _day_state_aggs() -> list:
+    """The algebraic state row one day contributes: (cnt, sum, min, max)
+    in exact integer micro-units — shared by the batch build and the
+    streaming maintenance of the day-state table."""
     micro = F.floor(F.col("value") * 1_000_000)
-    # stage 1 — the per-day state table an incremental pipeline would
-    # persist (one row per (day, event_type)); at 100 TB each NEW day is
-    # aggregated alone and appended
-    daily = events.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day"),
-        "event_type",
-    ).agg(
+    return [
         F.count("*").alias("cnt"),
         F.sum(micro).alias("sum_micro"),
         F.min(micro).alias("min_micro"),
         F.max(micro).alias("max_micro"),
-    )
-    # stage 2 — merge stored day states to month grain: pure state
-    # algebra, no raw-event access
+    ]
+
+
+def _merge_day_states(daily: DataFrame) -> DataFrame:
+    """Merge stored (day, event_type) states to month grain: pure state
+    algebra (sum-of-sums, min-of-mins), no raw-event access; avg derived
+    sum div cnt at merge time."""
     return (
         daily.groupBy(
             F.date_trunc("month", F.col("day")).alias("month"),
@@ -868,3 +840,96 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum_micro div cnt").alias("avg_micro"),
         )
     )
+
+
+ROLLUP_MERGE_ORACLE = """
+    SELECT date_trunc('month', ts)::TIMESTAMP AS month,
+           event_type,
+           count(*)::bigint AS cnt,
+           sum(floor(value * 1000000))::bigint AS sum_micro,
+           min(floor(value * 1000000))::bigint AS min_micro,
+           max(floor(value * 1000000))::bigint AS max_micro,
+           (sum(floor(value * 1000000))::bigint // count(*)::bigint)
+               AS avg_micro
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "rollup_incremental_merge",
+    ROLLUP_MERGE_ORACLE,
+    doc="Incremental-rollup state merge — the materialized-view-maintenance "
+    "pattern that makes daily 100 TB rollups affordable: each day "
+    "contributes a PARTIAL aggregate state row (cnt, sum, min, max per "
+    "(day, event_type)); month-level results are produced by merging the "
+    "stored day states (sum-of-sums, sum-of-cnts, min-of-mins), never by "
+    "re-scanning history.  avg is derived as sum div cnt AT MERGE TIME — "
+    "avg-of-avgs is the classic wrong answer this decomposition exists to "
+    "avoid.  The oracle computes month directly from the raw events, so a "
+    "hash match proves the day->month state merge is lossless (the "
+    "algebraic-aggregate property).  Values accumulate in exact integer "
+    "micro-units (floor(value*1e6), order-independent bigint sums).  Plan: "
+    "the (day, type) shuffle is the only data-sized exchange; the merge "
+    "re-agg moves one state row per day-type.",
+)
+def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # stage 1 — the per-day state table an incremental pipeline would
+    # persist (one row per (day, event_type)); at 100 TB each NEW day is
+    # aggregated alone and appended
+    daily = events.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(*_day_state_aggs())
+    # stage 2 — merge stored day states to month grain
+    return _merge_day_states(daily)
+
+
+@register(
+    "streaming_rollup_incremental",
+    ROLLUP_MERGE_ORACLE,
+    doc="Streamed maintenance of the incremental-rollup day-state table: the "
+    "events stream updates (day, event_type) partial-aggregate states "
+    "in-place (complete mode — state is O(days x types) rows, never "
+    "O(events)), and the month merge runs on the maintained state "
+    "relation.  The oracle is the DIRECT month aggregate over raw events, "
+    "so a hash match proves the streamed state fold is associative and "
+    "lossless under whatever microbatch slicing the source produced — the "
+    "same algebraic-aggregate property the batch twin "
+    "(rollup_incremental_merge) pins for the day->month merge, extended "
+    "here to per-microbatch day-state updates.  Integer micro-unit sums "
+    "make the fold order-independent by construction.",
+)
+def streaming_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        normalize_events_ts,
+    )
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(normalize_events_ts)
+    )
+    daily = stream.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(*_day_state_aggs())
+    name = f"stream_rollup_{uuid.uuid4().hex[:12]}"
+    query = (
+        daily.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return finalize_memory_sink(_merge_day_states(spark.table(name)), name)

@@ -523,3 +523,118 @@ def test_kafka_real_broker_roundtrip(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "KAFKA_ROUNDTRIP_OK" in proc.stdout
+
+
+def test_streaming_rollup_day_states_fold_across_microbatches(spark, tmp_path):
+    """The (day, type) state rows must fold across microbatch slices: the
+    merged month output over a 2-file source (maxFilesPerTrigger=1) equals
+    the batch day-state build + merge over the union — the algebraic
+    (cnt, sum, min, max) decomposition is slice-order independent."""
+    import pandas as pd
+
+    from flink_http_full_cache_connector_spark.plans.warehouse_queries import (
+        _day_state_aggs,
+        _merge_day_states,
+    )
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "rollup_src"
+    src.mkdir()
+    # same day split across two batches; a second month in batch 2
+    b1 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2025-03-01 10:00", "2025-03-01 11:00", "2025-03-02 09:00"]
+            ),
+            "event_type": ["a", "a", "b"],
+            "value": [1.25, 2.5, 10.0],
+        }
+    )
+    b2 = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2025-03-01 12:00", "2025-04-05 00:30"]),
+            "event_type": ["a", "b"],
+            "value": [4.75, 0.5],
+        }
+    )
+    b1 = b1.astype({"ts": "datetime64[us]"})
+    b2 = b2.astype({"ts": "datetime64[us]"})
+    b1.to_parquet(src / "b1.parquet")
+    b2.to_parquet(src / "b2.parquet")
+
+    def day_states(df):
+        return df.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        ).agg(*_day_state_aggs())
+
+    stream = (
+        spark.readStream.schema("ts timestamp_ntz, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        day_states(stream)
+        .writeStream.format("memory")
+        .queryName("rollup_fold_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        streamed = sorted(
+            _merge_day_states(spark.table("rollup_fold_test")).collect(),
+            key=lambda r: (r.month, r.event_type),
+        )
+    finally:
+        spark.catalog.dropTempView("rollup_fold_test")
+    batch_union = spark.createDataFrame(pd.concat([b1, b2]))
+    expected = sorted(
+        _merge_day_states(day_states(batch_union)).collect(),
+        key=lambda r: (r.month, r.event_type),
+    )
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in expected]
+    # the March/'a' group spans both batches: 2+1 events, avg over all three
+    march_a = [r for r in streamed if r.event_type == "a"][0]
+    assert march_a.cnt == 3
+    assert march_a.sum_micro == 1_250_000 + 2_500_000 + 4_750_000
+    assert march_a.avg_micro == march_a.sum_micro // 3
+
+
+def test_streaming_histogram_bins_fold_across_microbatches(spark, tmp_path):
+    """Per-bin counts are a mergeable sketch: bin counts over a 2-file
+    source (maxFilesPerTrigger=1, complete mode) equal the batch bin counts
+    of the union, whatever slice each row arrived in."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "hist_src"
+    src.mkdir()
+    pd.DataFrame({"value": [0.5, 1.5, 1.9, 720.0]}).to_parquet(src / "b1.parquet")
+    pd.DataFrame({"value": [1.2, 0.1, 699.5]}).to_parquet(src / "b2.parquet")
+
+    def bins(df):
+        return df.groupBy(
+            F.least(F.lit(699), F.floor(F.col("value"))).cast("long").alias("bin")
+        ).agg(F.count("*").alias("cnt"))
+
+    stream = (
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        bins(stream)
+        .writeStream.format("memory")
+        .queryName("hist_fold_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        streamed = {r.bin: r.cnt for r in spark.table("hist_fold_test").collect()}
+    finally:
+        spark.catalog.dropTempView("hist_fold_test")
+    assert streamed == {0: 2, 1: 3, 699: 2}  # 720 and 699.5 both cap at bin 699
