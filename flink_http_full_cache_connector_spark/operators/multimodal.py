@@ -1130,3 +1130,144 @@ def multimodal_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_members") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# energy-based voice-activity detection over REAL-decoded PCM: frame
+# energies from decode_audio, gaps-and-islands segmentation in DataFrame ops
+# ---------------------------------------------------------------------------
+
+VAD_FRAME = 50  # samples per analysis frame (fixed-size, last frame partial)
+
+VAD_FRAMES_SCHEMA = "doc_id long, frame long, energy long"
+
+
+def vad_frame_energies(docs: DataFrame) -> DataFrame:
+    """Per doc: synthesize the deterministic int16 PCM, round-trip it
+    through the stdlib RIFF-WAVE writer and :func:`decode_audio`, then
+    emit one row per VAD_FRAME-sample analysis frame with its integer
+    energy (sum of squared DECODED samples).  The frame relation is
+    ~n_samples/VAD_FRAME rows per doc — the Arrow pass shrinks audio to
+    frame metadata before anything shuffles."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 200 + d % WAV_N_MOD
+                rate = WAV_RATES[d % len(WAV_RATES)]
+                i = np.arange(n, dtype=np.int64)
+                samples = ((i * i * 31 + i * 7 * d + d * d) % 4001) - 2000
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(rate)
+                    w.writeframes(samples.astype("<i2").tobytes())
+                data, _ = decode_audio(buf.getvalue())
+                arr = np.asarray(data, dtype=np.int64)
+                sq = arr * arr
+                for f in range(0, arr.size, VAD_FRAME):
+                    rows.append((d, f // VAD_FRAME, int(sq[f : f + VAD_FRAME].sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame", "energy"])
+
+    return widen(docs).select("doc_id").mapInPandas(batches, VAD_FRAMES_SCHEMA)
+
+
+@register(
+    "multimodal_audio_vad",
+    f"""
+    WITH d AS (
+        SELECT doc_id, (200 + doc_id % {WAV_N_MOD})::bigint AS n
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               (i // {VAD_FRAME})::bigint AS frame,
+               ((i*i*31 + i*7*doc_id + doc_id*doc_id) % 4001) - 2000 AS v
+        FROM d, unnest(range(0, n)) AS u(i)
+    ),
+    fe AS (
+        SELECT doc_id, frame, sum(v * v)::bigint AS energy
+        FROM s GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT doc_id, frame, energy,
+               sum(energy) OVER (PARTITION BY doc_id) AS total,
+               count(*) OVER (PARTITION BY doc_id) AS n_frames
+        FROM fe
+    ),
+    act AS (
+        SELECT doc_id, n_frames, total,
+               frame - row_number() OVER (PARTITION BY doc_id ORDER BY frame)
+                   AS isl
+        FROM tot WHERE energy * n_frames >= total
+    ),
+    seg AS (
+        SELECT doc_id, isl, count(*)::bigint AS run,
+               min(n_frames)::bigint AS n_frames,
+               min(total)::bigint AS total_energy
+        FROM act GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           min(n_frames)::bigint AS n_frames,
+           sum(run)::bigint AS n_active,
+           count(*)::bigint AS n_segments,
+           max(run)::bigint AS longest_run,
+           min(total_energy)::bigint AS total_energy
+    FROM seg GROUP BY doc_id
+    """,
+    doc="Energy-threshold voice-activity detection over REAL-decoded PCM: "
+    f"the Arrow pass round-trips each doc's int16 samples through the "
+    "stdlib WAV writer and decode_audio, reduces the DECODED samples to "
+    f"{VAD_FRAME}-sample frame energies (exact integer sum of squares), "
+    "and the segmentation is pure DataFrame algebra — a frame is active "
+    "iff energy*n_frames >= total (the mean test cross-multiplied, no "
+    "float ever decides), active runs become segments via the "
+    "gaps-and-islands frame - row_number() trick, per doc: frame count, "
+    "active frames, segment count, longest run, total energy.  The oracle "
+    "regenerates the samples closed-form and replays the identical "
+    "integer pipeline in SQL, so a hash match proves both the PCM "
+    "round-trip AND the segmentation algebra.  Scale: audio shrinks to "
+    "O(frames) metadata inside the Arrow pass (never shuffles as samples); "
+    "every exchange after that is keyed on doc_id.",
+)
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    fe = vad_frame_energies(load_table(spark, sf_dir, "documents"))
+    wdoc = Window.partitionBy("doc_id")
+    tot = fe.select(
+        "doc_id",
+        "frame",
+        "energy",
+        F.sum("energy").over(wdoc).alias("total"),
+        F.count("*").over(wdoc).alias("n_frames"),
+    )
+    act = tot.where(F.col("energy") * F.col("n_frames") >= F.col("total")).select(
+        "doc_id",
+        "n_frames",
+        "total",
+        (
+            F.col("frame")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("frame"))
+        ).alias("isl"),
+    )
+    seg = act.groupBy("doc_id", "isl").agg(
+        F.count("*").alias("run"),
+        F.min("n_frames").alias("n_frames"),
+        F.min("total").alias("total_energy"),
+    )
+    return seg.groupBy("doc_id").agg(
+        F.min("n_frames").alias("n_frames"),
+        F.sum("run").alias("n_active"),
+        F.count("*").alias("n_segments"),
+        F.max("run").alias("longest_run"),
+        F.min("total_energy").alias("total_energy"),
+    )

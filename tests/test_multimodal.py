@@ -432,3 +432,51 @@ def test_decode_image_prefers_vendored_codec_for_png():
     img = decode_image(encode_png(2, 2, pix, mode="RGB"))
     assert isinstance(img, PngImage)
     assert bytes(img.pixels) == pix
+
+
+def test_vad_segmentation_matches_numpy_reference(spark):
+    """The full VAD query must agree with a plain-numpy replay of the
+    pipeline (synthesize → frame energies → mean threshold → run-length
+    segments) for every doc at sf0.001 — pins the frame slicing, the
+    cross-multiplied threshold, and the islands algebra independently of
+    the DuckDB oracle."""
+    import numpy as np
+
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        VAD_FRAME,
+        WAV_N_MOD,
+    )
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    rows = {
+        r.doc_id: r
+        for r in all_queries()["multimodal_audio_vad"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert len(rows) == 500
+    for d in list(rows):
+        n = 200 + d % WAV_N_MOD
+        i = np.arange(n, dtype=np.int64)
+        v = ((i * i * 31 + i * 7 * d + d * d) % 4001) - 2000
+        sq = v * v
+        energies = [
+            int(sq[f : f + VAD_FRAME].sum()) for f in range(0, n, VAD_FRAME)
+        ]
+        total, nf = sum(energies), len(energies)
+        active = [e * nf >= total for e in energies]
+        runs, cur = [], 0
+        for a in active:
+            if a:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        r = rows[d]
+        assert r.n_frames == nf
+        assert r.n_active == sum(active)
+        assert r.n_segments == len(runs)
+        assert r.longest_run == max(runs)
+        assert r.total_energy == total
