@@ -297,6 +297,14 @@ def short_keys(names: list[str]) -> dict[str, str]:
     Independent of input order (widening applies to whole colliding groups
     at once), so the mapping depends only on the SET of registered names.
     Full mapping is written to BENCH_KEYS.json next to the bench output.
+
+    When the word-compressed keys can no longer fit a 1-decimal line in the
+    driver's 2000-byte window (the registry crossed that point at 168
+    names), the scheme switches WHOLESALE to dense base36 codes assigned by
+    sorted name — still a pure function of the name set, ~2 bytes/key, good
+    to 1296 names.  Readability lives in BENCH_KEYS.json / BENCH_FULL.json
+    either way; the machine line's job is to survive the stdout window with
+    per-query precision intact.
     """
 
     def key(name: str, k: int) -> str:
@@ -324,6 +332,22 @@ def short_keys(names: list[str]) -> dict[str, str]:
             break
         remaining = next_round
         k += 1
+    # budget check: fixed JSON overhead ~135 B + per entry quotes/colon/
+    # comma + a typical 3-char 1-decimal value.  Past the window, dense
+    # codes keep per-query precision where the word keys would force the
+    # 0-decimal fallback.
+    est = 135 + sum(len(s) + 7 for s in out.values())
+    if est > 1900:
+        digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+        code_len = 1 if len(names) <= 36 else 2
+        ordered = sorted(names)
+        if len(ordered) > 36 * 36:
+            raise ValueError("short_keys: > 1296 names")
+        codes = {
+            n: (digits[i // 36] + digits[i % 36])[-code_len:]
+            for i, n in enumerate(ordered)
+        }
+        return {n: codes[n] for n in names}
     return {n: out[n] for n in names}
 
 

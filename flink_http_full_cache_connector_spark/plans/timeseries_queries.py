@@ -642,3 +642,86 @@ def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         spark, spark.table(name), HQ_QUANTILES, SHQ_WIDTH
     )
     return finalize_memory_sink(out, name)
+
+
+AC_LAG_HOURS = 24  # daily-seasonality probe: count(t) vs count(t+24h)
+
+
+@register(
+    "event_autocorr",
+    f"""
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(ts::TIMESTAMP) // {HOUR_US} AS hour_idx,
+               count(*)::bigint AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type, a.cnt AS x, b.cnt AS y
+        FROM hourly a
+        JOIN hourly b ON b.event_type = a.event_type
+                     AND b.hour_idx = a.hour_idx + {AC_LAG_HOURS}
+    )
+    SELECT event_type,
+           count(*)::bigint AS n_pairs,
+           sum(x)::bigint AS sum_x,
+           sum(y)::bigint AS sum_y,
+           sum(x * y)::bigint AS sum_xy,
+           sum(x * x)::bigint AS sum_x2,
+           sum(y * y)::bigint AS sum_y2,
+           (count(*) * sum(x * y) - sum(x) * sum(y))::bigint AS autocov_num,
+           (count(*) * sum(x * y) - sum(x) * sum(y) > 0) AS positive_autocorr
+    FROM pairs GROUP BY event_type
+    """,
+    doc=f"Daily-seasonality autocorrelation probe: per event type, pair each "
+    f"observed hour's count with the count {AC_LAG_HOURS} hours later "
+    "(equi-join on hour_idx + lag over the HOURLY relation — gaps simply "
+    "contribute no pair, the deterministic observed-pairs semantics) and "
+    "report the exact integer Pearson building blocks (n, Σx, Σy, Σxy, "
+    "Σx², Σy²) plus the autocovariance numerator n·Σxy − Σx·Σy and its "
+    "sign.  No sqrt, no float: counts are integers, so seasonality "
+    "detection is exact and partitioning-independent — a monitoring stack "
+    "computes r from the six sums if it wants the normalized value.  "
+    "Plan: the fact shuffles ONCE to (type, hour) partial-agg counts; the "
+    "lag join and final agg run on the metadata-sized hourly relation "
+    "(hours x types rows).",
+)
+def event_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {HOUR_US}").alias("hour_idx"),
+    ).agg(F.count("*").alias("cnt"))
+    lagged = hourly.select(
+        "event_type",
+        (F.col("hour_idx") + AC_LAG_HOURS).alias("hour_join"),
+        F.col("cnt").alias("x"),
+    )
+    pairs = lagged.join(
+        hourly.select(
+            "event_type",
+            F.col("hour_idx").alias("hour_join"),
+            F.col("cnt").alias("y"),
+        ),
+        ["event_type", "hour_join"],
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sum_x"),
+        F.sum("y").alias("sum_y"),
+        F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).alias("sum_x2"),
+        F.sum(F.col("y") * F.col("y")).alias("sum_y2"),
+    )
+    num = F.col("n_pairs") * F.col("sum_xy") - F.col("sum_x") * F.col("sum_y")
+    return agg.select(
+        "event_type",
+        "n_pairs",
+        "sum_x",
+        "sum_y",
+        "sum_xy",
+        "sum_x2",
+        "sum_y2",
+        num.alias("autocov_num"),
+        (num > 0).alias("positive_autocorr"),
+    )

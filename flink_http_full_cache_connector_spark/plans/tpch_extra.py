@@ -636,3 +636,139 @@ def fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dist") <= FZ_MAX_DIST)
         .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+# Q5: one region, one order year, customer and supplier in the SAME nation.
+# The year constraint is expressed as a half-open timestamp RANGE (not
+# year(o_orderdate) = Y) so the predicate reaches the parquet scan as a
+# min/max-prunable filter — year() of a column is opaque to pushdown.
+LSV_REGION = "EUROPE"
+LSV_LO = "1996-01-01 00:00:00"
+LSV_HI = "1997-01-01 00:00:00"
+
+# Q10: returned items in one quarter, top-K customers by lost revenue.
+RIR_LO = "1996-10-01 00:00:00"
+RIR_HI = "1997-01-01 00:00:00"
+RIR_K = 20
+
+
+@register(
+    "local_supplier_volume",
+    f"""
+    SELECT n.n_name AS nation,
+           sum({_DUCK_REVENUE})::DOUBLE AS revenue,
+           count(*)::bigint AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = '{LSV_REGION}'
+      AND o.o_orderdate >= TIMESTAMP '{LSV_LO}'
+      AND o.o_orderdate <  TIMESTAMP '{LSV_HI}'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5-flavor local supplier volume: revenue per nation where "
+    "the CUSTOMER and SUPPLIER share the nation (the local-fulfilment "
+    "report), one region, one order year. The region filter lands on the "
+    "broadcast nation dim BEFORE any fact join, so only same-region "
+    "suppliers survive into the fact stream; the same-nation predicate "
+    "rides the supplier equi-join as a residual condition (no extra "
+    "shuffle); order-year predicate prunes orders at its scan. Fact-side "
+    "joins (orderkey, custkey, suppkey) are uniform-key shuffles AQE can "
+    "re-plan; money stays DECIMAL to the final cast.",
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(LSV_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(LSV_HI).cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == LSV_REGION
+    )
+    local_nations = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", F.col("n_name").alias("nation")
+        )
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(local_nations, supp.s_nationkey == F.col("n_nationkey"))
+    )
+    return joined.groupBy("nation").agg(
+        F.sum(_revenue_dec()).cast("double").alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "returned_item_report",
+    f"""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+           c.c_acctbal::DOUBLE AS acctbal,
+           sum({_DUCK_REVENUE})::DOUBLE AS lost_revenue,
+           count(*)::bigint AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{RIR_LO}'
+      AND o.o_orderdate <  TIMESTAMP '{RIR_HI}'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY sum({_DUCK_REVENUE}) DESC, c.c_custkey
+    LIMIT {RIR_K}
+    """,
+    doc=f"TPC-H Q10-flavor returned-item report: the top {RIR_K} customers "
+    "by revenue lost to returns in one quarter. The returnflag and "
+    "order-date predicates push to their scans (the 'R' filter prunes "
+    "~2/3 of lineitem before any join); per-customer aggregation is one "
+    "custkey-grouped partial agg, and the top-K is TakeOrderedAndProject "
+    "on the customer-sized aggregate — never a global sort of the fact. "
+    "Ranking compares the exact DECIMAL revenue with a custkey tie-break "
+    "(no float ever orders the cut), then the output casts to DOUBLE.",
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(RIR_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(RIR_HI).cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "nation", "c_acctbal")
+        .agg(
+            F.sum(_revenue_dec()).alias("rev_dec"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    return (
+        agg.orderBy(F.col("rev_dec").desc(), "c_custkey")
+        .limit(RIR_K)
+        .select(
+            "c_custkey",
+            "c_name",
+            "nation",
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("rev_dec").cast("double").alias("lost_revenue"),
+            "n_lines",
+        )
+    )

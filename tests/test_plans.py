@@ -728,3 +728,46 @@ def test_rollup_incremental_merge_reaggregates_day_states_only(spark):
     assert "partial_count" in plan, plan
     assert "partial_sum" in plan, plan
     assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string,value:double>" in plan, plan
+
+
+def test_local_supplier_volume_pushes_range_and_broadcasts_dims(spark):
+    """Q5 flavor: the order-date RANGE must reach the orders parquet scan
+    (year(col) = Y would be opaque to pushdown), and the region-filtered
+    nation dim must broadcast — never shuffle."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["local_supplier_volume"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "o_orderdate" in ln]
+    assert any("GreaterThanOrEqual(o_orderdate" in ln for ln in pushed), plan
+    assert "partial_sum" in plan, plan
+
+
+def test_returned_item_report_pushes_flag_and_takes_ordered(spark):
+    """Q10 flavor: the returnflag filter prunes lineitem AT THE SCAN, and
+    the top-K is TakeOrderedAndProject over the customer-sized aggregate —
+    no global Sort of fact rows."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["returned_item_report"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln and "l_returnflag" in ln]
+    assert any("EqualTo(l_returnflag,R)" in ln for ln in pushed), plan
+    # no standalone global Sort operator outside the TakeOrdered top-k
+    assert "Sort [" not in plan or "TakeOrderedAndProject" in plan, plan
+
+
+def test_event_autocorr_aggregates_hours_before_lag_join(spark):
+    """The fact stream must shrink to (type, hour) counts before the
+    24-hour lag self-join — the first exchange carries partial counts, the
+    join input is the metadata-sized hourly relation, and the scan reads
+    only (ts, event_type)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["event_autocorr"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "ReadSchema: struct<ts:timestamp_ntz,event_type:string>" in plan, plan
