@@ -1380,3 +1380,87 @@ def embedding_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flat.join(F.broadcast(stats), "dim").select(
         "vec_id", F.col("dim").cast("int").alias("dim"), scaled.alias("scaled")
     )
+
+
+# ---------------------------------------------------------------------------
+# kNN label agreement — neighbor-vote mislabel detection over the ANN index
+# (the confident-learning-style label QA pass a training pipeline runs
+# before trusting a labeled embedding corpus)
+# ---------------------------------------------------------------------------
+
+
+def _knn_label_oracle() -> str:
+    return f"""
+WITH nb AS ({_ivf_oracle()}),
+lab AS (SELECT vec_id, label FROM embeddings),
+votes AS (
+    SELECT nb.query_id, l.label AS n_label, count(*)::bigint AS cnt
+    FROM nb JOIN lab l ON l.vec_id = nb.neighbor_id
+    GROUP BY 1, 2
+),
+maj AS (
+    SELECT query_id, n_label, cnt,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY cnt DESC, n_label) AS rn,
+           sum(cnt) OVER (PARTITION BY query_id) AS n_neighbors
+    FROM votes
+)
+SELECT m.query_id,
+       q.label::int AS own_label,
+       m.n_label::int AS majority_label,
+       m.cnt AS votes,
+       m.n_neighbors::bigint AS n_neighbors,
+       (q.label = m.n_label) AS agree
+FROM maj m JOIN lab q ON q.vec_id = m.query_id
+WHERE m.rn = 1
+"""
+
+
+@register(
+    "knn_label_agreement",
+    _knn_label_oracle(),
+    doc=f"Neighbor-vote label QA over the IVF ANN index: for each query "
+    f"vector, its top-{TOP_K} approximate neighbors (the sim_ann_ivf "
+    "path — seeded centroids, SQL-replayable end to end) vote with their "
+    "labels; the report carries the majority label (count-desc, "
+    "label-asc tie-break — no nondeterministic mode()), vote count, and "
+    "an agree flag against the vector's own label — the "
+    "confident-learning-style mislabel screen run before trusting a "
+    "labeled corpus.  Scale: candidate generation is the ANN index's one "
+    "cell_id shuffle (never all-pairs); everything after the top-k is "
+    "queries x k rows of metadata.  The oracle replays the identical "
+    "index, votes, and tie-break in SQL — exact hash gate, no contract "
+    "booleans needed.",
+)
+def knn_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nb = sim_ann_ivf(spark, sf_dir)
+    labels = emb.select("vec_id", "label")
+    votes = (
+        nb.join(
+            labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+        )
+        .groupBy("query_id", F.col("label").alias("n_label"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("n_label")
+    )
+    maj = votes.select(
+        "query_id",
+        "n_label",
+        "cnt",
+        F.row_number().over(wq).alias("rn"),
+        F.sum("cnt").over(Window.partitionBy("query_id")).alias("n_neighbors"),
+    ).where(F.col("rn") == 1)
+    own = labels.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("own_label")
+    )
+    return maj.join(own, "query_id").select(
+        "query_id",
+        F.col("own_label").cast("int").alias("own_label"),
+        F.col("n_label").cast("int").alias("majority_label"),
+        F.col("cnt").alias("votes"),
+        "n_neighbors",
+        (F.col("own_label") == F.col("n_label")).alias("agree"),
+    )
