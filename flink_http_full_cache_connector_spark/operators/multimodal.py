@@ -273,8 +273,10 @@ def decode_image(payload: bytes) -> Any:
     widths, heights, and thumbnail bytes are bit-identical across
     environments (a PIL Image has no ``.pixels`` and its ``thumbnail()``
     rounds differently, so the pillow path would silently change
-    registered query output).  Other formats (JPEG, ...) fall back to
-    pillow when importable, else fail loudly."""
+    registered query output).  Baseline grayscale JPEG decodes via the
+    vendored ``functions/jpeg_codec.py`` under the same policy; color /
+    progressive JPEG (and anything else) falls back to pillow when
+    importable, else fails loudly."""
     raw = bytes(payload)
     fmt = sniff_format_bytes(raw)
     if fmt == "png":
@@ -289,6 +291,20 @@ def decode_image(payload: bytes) -> Any:
         )
 
         return PngImage(*decode_gif(raw))
+    if fmt == "jpeg":
+        # vendored baseline-grayscale decode first (bit-identical across
+        # environments, same policy as PNG/GIF); color / progressive JPEGs
+        # fall through to pillow when importable
+        from flink_http_full_cache_connector_spark.functions.jpeg_codec import (
+            JpegError,
+            decode_jpeg_gray,
+        )
+
+        try:
+            w, h, pix = decode_jpeg_gray(raw)
+            return PngImage(w, h, "L", bytearray(pix))
+        except JpegError:
+            pass
     try:
         import io
 
@@ -1271,3 +1287,98 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run").alias("longest_run"),
         F.min("total_energy").alias("total_energy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline-JPEG round-trip: vendored grayscale DCT codec
+# (functions/jpeg_codec.py) — closes the round-4 "JPEG stays pillow-gated"
+# gap with a provable-tolerance contract (JPEG is lossy, so unlike the
+# PNG/GIF pipelines the decoded pixels have no closed-form SQL replay; the
+# flat-quant codec's documented JPEG_MAX_ERR bound is the checkable fact)
+# ---------------------------------------------------------------------------
+
+JPEG_PIPELINE_SCHEMA = (
+    "doc_id long, width long, height long, n_pixels long, "
+    "roundtrip_ok boolean, mean_err_ok boolean"
+)
+
+
+def jpeg_pipeline(docs: DataFrame) -> DataFrame:
+    """Per doc: synthesize the closed-form grayscale image, ENCODE it as a
+    spec-valid baseline JFIF JPEG (vendored codec, flat quant tables),
+    DECODE it back, and report the reconstruction-contract columns: exact
+    dimensions, and error bounds against the original (max |err| <=
+    JPEG_MAX_ERR, mean |err| <= 1 gray level) computed from the DECODED
+    pixels.  One mapInPandas pass, zero shuffles."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from flink_http_full_cache_connector_spark.functions.jpeg_codec import (
+            JPEG_MAX_ERR,
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % PNG_W_MOD, 16 + d % PNG_H_MOD
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                gray = ((xs * 3 + ys * 5 + d * 7) % 256).astype(np.uint8)
+                payload = encode_jpeg_gray(w, h, gray.tobytes())
+                dw, dh, pix = decode_jpeg_gray(payload)
+                dec = np.frombuffer(pix, np.uint8).reshape(dh, dw)
+                err = np.abs(dec.astype(np.int64) - gray.astype(np.int64))
+                rows.append(
+                    (
+                        d,
+                        dw,
+                        dh,
+                        dw * dh,
+                        bool(err.max() <= JPEG_MAX_ERR),
+                        bool(int(err.sum()) <= dw * dh),  # mean err <= 1
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "roundtrip_ok", "mean_err_ok",
+                ],
+            )
+
+    return widen(docs).select("doc_id").mapInPandas(batches, JPEG_PIPELINE_SCHEMA)
+
+
+@register(
+    "multimodal_jpeg_pipeline",
+    f"""
+    SELECT doc_id,
+           (16 + doc_id % {PNG_W_MOD})::bigint AS width,
+           (16 + doc_id % {PNG_H_MOD})::bigint AS height,
+           ((16 + doc_id % {PNG_W_MOD}) * (16 + doc_id % {PNG_H_MOD}))::bigint
+               AS n_pixels,
+           TRUE AS roundtrip_ok,
+           TRUE AS mean_err_ok
+    FROM documents
+    """,
+    doc="REAL baseline-JPEG round-trip (no pillow): vendored grayscale DCT "
+    "codec (functions/jpeg_codec.py — SOI/DQT/SOF0/DHT/SOS marker "
+    "stream, canonical in-code Huffman tables, flat all-ones quant, "
+    "hardcoded DCT basis constants).  JPEG is LOSSY, so the decoded "
+    "pixels have no closed-form SQL replay (unlike the PNG/GIF "
+    "pipelines); what IS provable is the flat-quant error bound, and the "
+    "contract pins exactly that: the oracle recomputes the closed-form "
+    "dimensions/pixel counts and expects the per-doc max-error "
+    "(<= JPEG_MAX_ERR gray levels) and mean-error (<= 1) booleans TRUE — "
+    "computed Spark-side from DECODED vs original pixels, so a wrong "
+    "scan order, dropped block, or broken Huffman table flips them.  "
+    "One Arrow pass, zero shuffles; codec validity is additionally "
+    "pinned by fail-fast tests and a transpose/corruption test in "
+    "tests/test_jpeg_codec.py.",
+)
+def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jpeg_pipeline(load_table(spark, sf_dir, "documents"))

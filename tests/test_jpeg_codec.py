@@ -1,0 +1,138 @@
+"""Vendored baseline-JPEG codec: round-trip tolerance property, marker
+stream validity, and fail-fast error paths."""
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_http_full_cache_connector_spark.functions.jpeg_codec import (
+    JPEG_MAX_ERR,
+    JpegError,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_within_documented_tolerance(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    dw, dh, pix = decode_jpeg_gray(encode_jpeg_gray(w, h, img.tobytes()))
+    assert (dw, dh) == (w, h)
+    dec = np.frombuffer(pix, np.uint8).reshape(h, w)
+    err = np.abs(dec.astype(int) - img.astype(int)).max()
+    assert err <= JPEG_MAX_ERR, err
+
+
+def test_flat_and_gradient_images_roundtrip_exactly():
+    flat = np.full((16, 16), 200, np.uint8)
+    _, _, pix = decode_jpeg_gray(encode_jpeg_gray(16, 16, flat.tobytes()))
+    assert pix == flat.tobytes()
+    grad = ((np.arange(24)[:, None] * 5 + np.arange(16)[None, :] * 3) % 256).astype(
+        np.uint8
+    )
+    dw, dh, pix = decode_jpeg_gray(encode_jpeg_gray(16, 24, grad.tobytes()))
+    assert (dw, dh) == (16, 24)
+    dec = np.frombuffer(pix, np.uint8).reshape(24, 16)
+    assert np.abs(dec.astype(int) - grad.astype(int)).max() <= JPEG_MAX_ERR
+
+
+def test_pixel_order_is_pinned_not_just_histogram():
+    """An asymmetric image must come back in scan order: comparing against
+    its transpose-flattened twin must show large error while the true
+    round-trip stays within tolerance — a decoder that mixed up block or
+    raster order could never pass."""
+    img = ((np.arange(16)[None, :] * 16) * np.ones((16, 1))).astype(np.uint8)
+    _, _, pix = decode_jpeg_gray(encode_jpeg_gray(16, 16, img.tobytes()))
+    dec = np.frombuffer(pix, np.uint8).reshape(16, 16)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= JPEG_MAX_ERR
+    transposed_err = np.abs(dec.astype(int) - img.T.astype(int)).max()
+    assert transposed_err > 100
+
+
+def test_marker_stream_is_spec_shaped():
+    """SOI, JFIF APP0, DQT, SOF0, two DHTs, SOS, EOI — in order, with
+    self-consistent segment lengths (what any third-party decoder parses)."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = encode_jpeg_gray(8, 8, img.tobytes())
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    pos, seen = 2, []
+    while pos < len(data) - 2:
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        seen.append(marker)
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker == 0xDA:
+            break
+        pos += 2 + length
+    assert seen[0] == 0xE0 and data[6:11] == b"JFIF\x00"
+    assert seen.count(0xC4) == 2 and 0xDB in seen and 0xC0 in seen
+    assert seen[-1] == 0xDA
+
+
+def test_malformed_payloads_fail_fast():
+    img = np.zeros((8, 8), np.uint8)
+    good = encode_jpeg_gray(8, 8, img.tobytes())
+    cases = {
+        "not jpeg": b"\x89PNG\r\n",
+        "truncated header": good[:8],
+        "truncated scan": good[: len(good) // 2],
+        "missing EOI": good[:-2],
+        "garbage marker": good[:2] + b"\x00\x01" + good[2:],
+    }
+    for name, payload in cases.items():
+        with pytest.raises(JpegError):
+            decode_jpeg_gray(payload)
+    with pytest.raises(JpegError):
+        encode_jpeg_gray(4, 4, b"\x00" * 7)  # buffer/dims mismatch
+    with pytest.raises(JpegError):
+        encode_jpeg_gray(0, 4, b"")
+
+
+def test_progressive_and_multicomponent_rejected():
+    img = np.zeros((8, 8), np.uint8)
+    good = bytearray(encode_jpeg_gray(8, 8, img.tobytes()))
+    # flip SOF0 -> SOF2 (progressive): find the C0 marker and rewrite it
+    idx = bytes(good).find(b"\xff\xc0")
+    assert idx > 0
+    bad = bytes(good[:idx]) + b"\xff\xc2" + bytes(good[idx + 2 :])
+    with pytest.raises(JpegError):
+        decode_jpeg_gray(bad)
+
+
+def test_jpeg_pipeline_contract_holds_in_spark(spark):
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["multimodal_jpeg_pipeline"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 500
+    assert all(r.roundtrip_ok and r.mean_err_ok for r in rows)
+    assert all(r.n_pixels == r.width * r.height for r in rows)
+
+
+def test_decode_image_uses_vendored_jpeg_codec():
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        PngImage,
+        decode_image,
+    )
+
+    img = ((np.arange(16)[None, :] * 3 + np.arange(16)[:, None] * 5) % 256).astype(
+        np.uint8
+    )
+    payload = encode_jpeg_gray(16, 16, img.tobytes())
+    out = decode_image(payload)
+    assert isinstance(out, PngImage)
+    assert (out.width, out.height, out.mode) == (16, 16, "L")
+    dec = np.frombuffer(bytes(out.pixels), np.uint8).reshape(16, 16)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= JPEG_MAX_ERR
