@@ -1,16 +1,21 @@
-"""Vendored baseline-JPEG codec (grayscale, stdlib + numpy — no pillow).
+"""Vendored baseline-JPEG codec (grayscale + color, stdlib + numpy — no
+pillow).
 
 Completes the real-codec family next to ``png_codec`` / ``gif_codec``
 (round-4 verdict "What's missing" #1: JPEG decode was pillow-gated).  The
-scope is the subset a training pipeline's synthetic-fixture path needs,
-chosen so every choice stays ITU T.81 spec-valid and third-party decoders
-(pillow, libjpeg) can read our files:
+scope is chosen so every choice stays ITU T.81 spec-valid and third-party
+decoders (pillow, libjpeg) can read our files:
 
-- baseline DCT (SOF0), 8-bit, single component (grayscale, no subsampling);
+- baseline DCT (SOF0), 8-bit; 1-component grayscale, or 3-component YCbCr
+  at 4:4:4 (no subsampling) or 4:2:0 (2x2 chroma subsampling, the
+  real-world default) — the decoder accepts all three, the encoder emits
+  grayscale, 4:4:4, or 4:2:0 on request;
 - FLAT all-ones quantization tables: the quantizer is plain ``round`` on
-  DCT coefficients, so reconstruction error comes only from the
+  DCT coefficients, so luma reconstruction error comes only from the
   rounding + float DCT/IDCT pair and stays within a few gray levels —
-  a provable-tolerance contract where lossy-table JPEG would have none;
+  a provable-tolerance contract where lossy-table JPEG would have none
+  (4:2:0 additionally loses chroma detail by construction — its contract
+  is on smooth-chroma content);
 - canonical fixed-length Huffman tables built in-code (DC: 12 symbols at
   4 bits; AC: 162 symbols at 8 bits).  Self-made tables are spec-valid
   (they ride in the DHT segment like any optimized table) and remove the
@@ -26,7 +31,9 @@ reference's own tests vendor their fixtures rather than reading user data.
 
 Error contract (pinned by tests and the ``multimodal_jpeg_pipeline``
 oracle): for any 8-bit grayscale image, ``decode(encode(img))`` returns
-identical dimensions and pixels within ``JPEG_MAX_ERR`` gray levels.
+identical dimensions and pixels within ``JPEG_MAX_ERR`` gray levels; for
+4:4:4 color the same bound holds per RGB channel within
+``JPEG_MAX_ERR_COLOR`` (color transform rounding adds ~2 levels).
 """
 
 from __future__ import annotations
@@ -39,7 +46,10 @@ import numpy as np
 __all__ = [
     "JpegError",
     "JPEG_MAX_ERR",
+    "JPEG_MAX_ERR_COLOR",
     "encode_jpeg_gray",
+    "encode_jpeg_rgb",
+    "decode_jpeg",
     "decode_jpeg_gray",
 ]
 
@@ -48,10 +58,13 @@ class JpegError(ValueError):
     """Malformed or unsupported JPEG payload (fail-fast, no stale output)."""
 
 
-#: guaranteed round-trip tolerance in gray levels (flat quant tables:
+#: guaranteed grayscale round-trip tolerance in gray levels (flat quant:
 #: coefficient rounding ±0.5 × 64 basis functions × 1/8 gain ≈ 4, plus
 #: float DCT/IDCT noise ≪ 1; 6 carries margin)
 JPEG_MAX_ERR = 6
+#: 4:4:4 color round-trip tolerance per RGB channel (adds the forward +
+#: inverse color transform rounding on top of the grayscale bound)
+JPEG_MAX_ERR_COLOR = 9
 
 _N = 8
 
@@ -82,9 +95,6 @@ def _zigzag_order() -> list[int]:
 
 
 _ZIGZAG = _zigzag_order()
-_UNZIGZAG = [0] * 64
-for _i, _z in enumerate(_ZIGZAG):
-    _UNZIGZAG[_z] = _i
 
 # --- canonical fixed-length Huffman tables -------------------------------
 # DC: categories 0..11, all 4-bit codes.  AC: the 162 standard symbols
@@ -182,60 +192,91 @@ def _extend(bits: int, size: int) -> int:
     return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
 
 
-def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
-    """Encode an 8-bit grayscale image as a baseline JFIF JPEG."""
-    if width <= 0 or height <= 0:
-        raise JpegError("empty image")
-    if len(pixels) != width * height:
-        raise JpegError("pixel buffer does not match dimensions")
-    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
-    # edge-replicate pad to 8-multiples (the spec's implied sample extension)
-    ph = (height + 7) // 8 * 8
-    pw = (width + 7) // 8 * 8
-    padded = np.pad(
-        img, ((0, ph - height), (0, pw - width)), mode="edge"
+def _encode_block(w: _BitWriter, block: np.ndarray, prev_dc: int) -> int:
+    """DCT + flat-quantize + huffman-encode one level-shifted 8x8 block;
+    returns the new DC predictor."""
+    coeffs = _COS @ block @ _COS.T
+    quant = np.rint(coeffs).astype(np.int64)  # flat all-ones tables
+    zz = [int(quant.flat[idx]) for idx in _ZIGZAG]
+    diff = zz[0] - prev_dc
+    size = _category(diff)
+    code, nbits = _DC_ENC[size]
+    w.write(code, nbits)
+    if size:
+        w.write(_amplitude_bits(diff, size), size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, nbits = _AC_ENC[0xF0]  # ZRL
+            w.write(code, nbits)
+            run -= 16
+        size = _category(zz[i])
+        if size > 10:
+            raise JpegError("coefficient out of baseline range")
+        code, nbits = _AC_ENC[(run << 4) | size]
+        w.write(code, nbits)
+        w.write(_amplitude_bits(zz[i], size), size)
+        run = 0
+    if last_nz != 63:
+        code, nbits = _AC_ENC[0x00]  # EOB
+        w.write(code, nbits)
+    return zz[0]
+
+
+def _decode_block(
+    r: _BitReader,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    prev_dc: int,
+    qt: np.ndarray,
+) -> tuple[np.ndarray, int]:
+    """Huffman-decode + dequantize + IDCT one block; returns (spatial
+    block still level-shifted, new DC predictor)."""
+    zz = [0] * 64
+    size = _read_symbol(r, dc_tab)
+    prev_dc += _extend(r.read(size), size) if size else 0
+    zz[0] = prev_dc
+    i = 1
+    while i < 64:
+        sym = _read_symbol(r, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, size = sym >> 4, sym & 0x0F
+        i += run
+        if i >= 64:
+            raise JpegError("AC index out of range")
+        zz[i] = _extend(r.read(size), size)
+        i += 1
+    block = np.zeros(64, dtype=np.float64)
+    for i, idx in enumerate(_ZIGZAG):
+        block[idx] = zz[i]
+    coeffs = block.reshape(8, 8) * qt
+    return _COS.T @ coeffs @ _COS, prev_dc
+
+
+def _pad_to(plane: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """Edge-replicate pad to the target block/MCU grid and level-shift."""
+    h, w = plane.shape
+    return np.pad(
+        plane, ((0, ph - h), (0, pw - w)), mode="edge"
     ).astype(np.float64) - 128.0
 
-    w = _BitWriter()
-    prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            block = padded[by : by + 8, bx : bx + 8]
-            coeffs = _COS @ block @ _COS.T
-            quant = np.rint(coeffs).astype(np.int64)  # flat all-ones tables
-            zz = [int(quant.flat[idx]) for idx in _ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            size = _category(diff)
-            code, nbits = _DC_ENC[size]
-            w.write(code, nbits)
-            if size:
-                w.write(_amplitude_bits(diff, size), size)
-            run = 0
-            last_nz = 0
-            for i in range(63, 0, -1):
-                if zz[i]:
-                    last_nz = i
-                    break
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run >= 16:
-                    code, nbits = _AC_ENC[0xF0]  # ZRL
-                    w.write(code, nbits)
-                    run -= 16
-                size = _category(zz[i])
-                if size > 10:
-                    raise JpegError("coefficient out of baseline range")
-                code, nbits = _AC_ENC[(run << 4) | size]
-                w.write(code, nbits)
-                w.write(_amplitude_bits(zz[i], size), size)
-                run = 0
-            if last_nz != 63:
-                code, nbits = _AC_ENC[0x00]  # EOB
-                w.write(code, nbits)
-    w.flush()
+
+def _headers(
+    height: int, width: int, components: list[tuple[int, int, int]]
+) -> bytes:
+    """SOI..SOS marker stream for the given (id, h, v) component list."""
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
@@ -243,15 +284,105 @@ def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, b"\x00" + bytes([1] * 64))  # DQT id0, flat
-    out += seg(
-        0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
-    )  # SOF0: 1 component, no subsampling, quant table 0
+    sof = struct.pack(">BHHB", 8, height, width, len(components))
+    for cid, ch, cv in components:
+        sof += bytes([cid, (ch << 4) | cv, 0])  # all use quant table 0
+    out += seg(0xC0, sof)
     out += seg(0xC4, _dht_payload(0, 0, _DC_SYMBOLS, _DC_LEN))
     out += seg(0xC4, _dht_payload(1, 0, _AC_SYMBOLS, _AC_LEN))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
-    out += w.out
-    out += b"\xff\xd9"  # EOI
+    sos = bytes([len(components)])
+    for cid, _, _ in components:
+        sos += bytes([cid, 0x00])  # DC table 0, AC table 0 for every comp
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
     return bytes(out)
+
+
+def encode_jpeg_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Encode an 8-bit grayscale image as a baseline JFIF JPEG."""
+    if width <= 0 or height <= 0:
+        raise JpegError("empty image")
+    if len(pixels) != width * height:
+        raise JpegError("pixel buffer does not match dimensions")
+    img = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width)
+    ph, pw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+    padded = _pad_to(img, ph, pw)
+    w = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            prev_dc = _encode_block(w, padded[by : by + 8, bx : bx + 8], prev_dc)
+    w.flush()
+    return _headers(height, width, [(1, 1, 1)]) + bytes(w.out) + b"\xff\xd9"
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def encode_jpeg_rgb(
+    width: int, height: int, pixels: bytes, *, subsample: bool = False
+) -> bytes:
+    """Encode 8-bit RGB as baseline YCbCr JPEG — 4:4:4, or 4:2:0 with
+    ``subsample=True`` (2x2-mean chroma, the real-world default layout)."""
+    if width <= 0 or height <= 0:
+        raise JpegError("empty image")
+    if len(pixels) != width * height * 3:
+        raise JpegError("pixel buffer does not match dimensions")
+    rgb = np.frombuffer(bytes(pixels), dtype=np.uint8).reshape(height, width, 3)
+    y, cb, cr = _rgb_to_ycbcr(rgb)
+    w = _BitWriter()
+    if not subsample:
+        ph, pw = (height + 7) // 8 * 8, (width + 7) // 8 * 8
+        planes = [_pad_to(p, ph, pw) for p in (y, cb, cr)]
+        prev = [0, 0, 0]
+        for by in range(0, ph, 8):
+            for bx in range(0, pw, 8):
+                for c, plane in enumerate(planes):
+                    prev[c] = _encode_block(
+                        w, plane[by : by + 8, bx : bx + 8], prev[c]
+                    )
+        comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+    else:
+        ph, pw = (height + 15) // 16 * 16, (width + 15) // 16 * 16
+        ylut = _pad_to(y, ph, pw)
+        # 2x2-mean chroma on the padded-to-even planes, then pad to the
+        # chroma MCU grid
+        che, cwe = (height + 1) // 2 * 2, (width + 1) // 2 * 2
+        sub = []
+        for p in (cb, cr):
+            pe = np.pad(p, ((0, che - height), (0, cwe - width)), mode="edge")
+            s = (
+                pe.reshape(che // 2, 2, cwe // 2, 2).mean(axis=(1, 3))
+            )
+            sub.append(
+                _pad_to(
+                    np.clip(np.rint(s), 0, 255).astype(np.uint8),
+                    ph // 2,
+                    pw // 2,
+                )
+            )
+        prev = [0, 0, 0]
+        for my in range(0, ph, 16):
+            for mx in range(0, pw, 16):
+                for by in range(2):  # 4 Y blocks, row-major per T.81 A.2.3
+                    for bx in range(2):
+                        yy, xx = my + by * 8, mx + bx * 8
+                        prev[0] = _encode_block(
+                            w, ylut[yy : yy + 8, xx : xx + 8], prev[0]
+                        )
+                cy, cx = my // 2, mx // 2
+                prev[1] = _encode_block(w, sub[0][cy : cy + 8, cx : cx + 8], prev[1])
+                prev[2] = _encode_block(w, sub[1][cy : cy + 8, cx : cx + 8], prev[2])
+        comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+    w.flush()
+    return _headers(height, width, comps) + bytes(w.out) + b"\xff\xd9"
 
 
 def _parse_dht(payload: bytes) -> dict[int, dict[tuple[int, int], int]]:
@@ -290,14 +421,19 @@ def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
     raise JpegError("invalid huffman code")
 
 
-def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
-    """Decode a baseline grayscale JPEG; returns (width, height, pixels)."""
+def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
+    """Decode a baseline JPEG; returns (width, height, mode, pixels) with
+    mode "L" (grayscale) or "RGB".  Supports 1-component, and 3-component
+    YCbCr at 4:4:4 or 4:2:0 (nearest-neighbor chroma upsampling)."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, dict[tuple[int, int], int]] = {}
     width = height = 0
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
+    scan_order: list[int] = []
     scan_start = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -322,58 +458,103 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
                 p += 65
         elif marker == 0xC0:
             precision, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
-            if precision != 8 or ncomp != 1:
-                raise JpegError("only 8-bit single-component baseline supported")
-            if payload[7] != 0x11:
-                raise JpegError("subsampling unsupported")
+            if precision != 8:
+                raise JpegError("only 8-bit baseline supported")
+            if ncomp not in (1, 3):
+                raise JpegError("only 1- or 3-component images supported")
+            for c in range(ncomp):
+                cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
             raise JpegError("non-baseline SOF unsupported")
         elif marker == 0xC4:
             htables.update(_parse_dht(payload))
         elif marker == 0xDA:
+            ns = payload[0]
+            for c in range(ns):
+                cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
+                scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
+                scan_order.append(cid)
             scan_start = pos + 2 + length
             break
         pos += 2 + length
-    if scan_start is None or not width or not height:
+    if scan_start is None or not width or not height or not comps:
         raise JpegError("missing SOF/SOS")
-    if 0x00 not in htables or 0x10 not in htables:
-        raise JpegError("missing huffman tables")
-    if 0 not in qtables:
-        raise JpegError("missing quant table")
+    if len(scan_order) != len(comps):
+        raise JpegError("progressive/multi-scan streams unsupported")
+    samplings = sorted((h, v) for _, h, v, _ in comps)
+    if len(comps) == 3 and samplings not in (
+        [(1, 1), (1, 1), (1, 1)],
+        [(1, 1), (1, 1), (2, 2)],
+    ):
+        raise JpegError("only 4:4:4 and 4:2:0 sampling supported")
+    hmax = max(h for _, h, v, _ in comps)
+    vmax = max(v for _, h, v, _ in comps)
     end = data.rfind(b"\xff\xd9")
     if end < 0:
         raise JpegError("missing EOI")
     r = _BitReader(data[scan_start:end])
-    dc_tab, ac_tab = htables[0x00], htables[0x10]
-    qt = qtables[0].reshape(8, 8)
-    ph = (height + 7) // 8 * 8
-    pw = (width + 7) // 8 * 8
-    out = np.empty((ph, pw), dtype=np.float64)
-    prev_dc = 0
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            zz = [0] * 64
-            size = _read_symbol(r, dc_tab)
-            prev_dc += _extend(r.read(size), size) if size else 0
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = _read_symbol(r, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                i += run
-                if i >= 64:
-                    raise JpegError("AC index out of range")
-                zz[i] = _extend(r.read(size), size)
-                i += 1
-            block = np.zeros(64, dtype=np.float64)
-            for i, idx in enumerate(_ZIGZAG):
-                block[idx] = zz[i]
-            coeffs = block.reshape(8, 8) * qt
-            out[by : by + 8, bx : bx + 8] = _COS.T @ coeffs @ _COS
-    pixels = np.clip(np.rint(out[:height, :width] + 128.0), 0, 255).astype(np.uint8)
-    return width, height, pixels.tobytes()
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    planes: dict[int, np.ndarray] = {}
+    meta: dict[int, tuple[int, int, np.ndarray, dict, dict]] = {}
+    for cid, ch, cv, tq in comps:
+        if tq not in qtables:
+            raise JpegError("missing quant table")
+        dc_id, ac_id = scan_tabs.get(cid, (None, None))
+        dc_tab = htables.get(0x00 | (dc_id or 0))
+        ac_tab = htables.get(0x10 | (ac_id or 0))
+        if dc_tab is None or ac_tab is None:
+            raise JpegError("missing huffman tables")
+        planes[cid] = np.empty((mcus_y * cv * 8, mcus_x * ch * 8), dtype=np.float64)
+        meta[cid] = (ch, cv, qtables[tq].reshape(8, 8), dc_tab, ac_tab)
+    prev_dc = {cid: 0 for cid, *_ in comps}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid in scan_order:
+                ch, cv, qt, dc_tab, ac_tab = meta[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        block, prev_dc[cid] = _decode_block(
+                            r, dc_tab, ac_tab, prev_dc[cid], qt
+                        )
+                        yy = (my * cv + by) * 8
+                        xx = (mx * ch + bx) * 8
+                        planes[cid][yy : yy + 8, xx : xx + 8] = block
+    if len(comps) == 1:
+        cid = comps[0][0]
+        pix = np.clip(
+            np.rint(planes[cid][:height, :width] + 128.0), 0, 255
+        ).astype(np.uint8)
+        return width, height, "L", pix.tobytes()
+    # upsample each component to full resolution (nearest neighbor)
+    full = {}
+    for cid, ch, cv, _ in comps:
+        sx, sy = hmax // ch, vmax // cv
+        p = planes[cid]
+        if sx > 1 or sy > 1:
+            p = np.repeat(np.repeat(p, sy, axis=0), sx, axis=1)
+        full[cid] = p[:height, :width] + 128.0
+    ids = [cid for cid, *_ in comps]
+    y, cb, cr = full[ids[0]], full[ids[1]] - 128.0, full[ids[2]] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    pix = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return width, height, "RGB", pix.tobytes()
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, bytes]:
+    """Decode a baseline grayscale JPEG; returns (width, height, pixels).
+    Fails fast on color payloads — callers wanting either use
+    :func:`decode_jpeg`."""
+    w, h, mode, pix = decode_jpeg(data)
+    if mode != "L":
+        raise JpegError("not a grayscale JPEG")
+    return w, h, pix

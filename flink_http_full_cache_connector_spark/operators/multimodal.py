@@ -1353,6 +1353,111 @@ def jpeg_pipeline(docs: DataFrame) -> DataFrame:
     return widen(docs).select("doc_id").mapInPandas(batches, JPEG_PIPELINE_SCHEMA)
 
 
+JPEG_COLOR_PIPELINE_SCHEMA = (
+    "doc_id long, width long, height long, n_pixels long, "
+    "roundtrip_444_ok boolean, mean_err_444_ok boolean, roundtrip_420_ok boolean"
+)
+
+
+def jpeg_color_pipeline(docs: DataFrame) -> DataFrame:
+    """Per doc, exercise BOTH color layouts of the vendored codec: a
+    full-color deterministic RGB image encoded at 4:4:4 (provable
+    per-channel bound JPEG_MAX_ERR_COLOR), and a constant-chroma image
+    encoded at 4:2:0 — constant chroma makes the 2x2-mean subsample +
+    nearest-neighbor upsample lossless by construction, so even the
+    subsampled layout gets a provable bound instead of a hand-wave.
+    Contract columns are computed Spark-side from DECODED pixels.  One
+    mapInPandas Arrow pass, zero shuffles."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from flink_http_full_cache_connector_spark.functions.jpeg_codec import (
+            JPEG_MAX_ERR_COLOR,
+            decode_jpeg,
+            encode_jpeg_rgb,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % PNG_W_MOD, 16 + d % PNG_H_MOD
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                rgb = np.stack(
+                    [((xs * 3 + ys * 5 + d * 7 + c * 11) % 256) for c in range(3)],
+                    axis=2,
+                ).astype(np.uint8)
+                dw, dh, mode, pix = decode_jpeg(
+                    encode_jpeg_rgb(w, h, rgb.tobytes())
+                )
+                dec = np.frombuffer(pix, np.uint8).reshape(dh, dw, 3)
+                err = np.abs(dec.astype(np.int64) - rgb.astype(np.int64))
+                ok444 = bool(
+                    (dw, dh, mode) == (w, h, "RGB")
+                    and err.max() <= JPEG_MAX_ERR_COLOR
+                )
+                mean444 = bool(int(err.sum()) <= dw * dh * 3)  # mean err <= 1
+                # constant-chroma twin: gray in [32,223], offsets in [-32,32]
+                # keep every channel unclipped, so Cb/Cr are exactly constant
+                gray = 32 + (xs * 3 + ys * 5 + d * 7) % 192
+                rofs, bofs = (d % 65) - 32, ((d * 3) % 65) - 32
+                rgb2 = np.stack(
+                    [gray + rofs, gray, gray + bofs], axis=2
+                ).astype(np.uint8)
+                dw2, dh2, mode2, pix2 = decode_jpeg(
+                    encode_jpeg_rgb(w, h, rgb2.tobytes(), subsample=True)
+                )
+                dec2 = np.frombuffer(pix2, np.uint8).reshape(dh2, dw2, 3)
+                err2 = np.abs(dec2.astype(np.int64) - rgb2.astype(np.int64))
+                ok420 = bool(
+                    (dw2, dh2, mode2) == (w, h, "RGB")
+                    and err2.max() <= JPEG_MAX_ERR_COLOR
+                )
+                rows.append((d, w, h, w * h, ok444, mean444, ok420))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_pixels",
+                    "roundtrip_444_ok", "mean_err_444_ok", "roundtrip_420_ok",
+                ],
+            )
+
+    return widen(docs).select("doc_id").mapInPandas(
+        batches, JPEG_COLOR_PIPELINE_SCHEMA
+    )
+
+
+@register(
+    "multimodal_jpeg_color_pipeline",
+    f"""
+    SELECT doc_id,
+           (16 + doc_id % {PNG_W_MOD})::bigint AS width,
+           (16 + doc_id % {PNG_H_MOD})::bigint AS height,
+           ((16 + doc_id % {PNG_W_MOD}) * (16 + doc_id % {PNG_H_MOD}))::bigint
+               AS n_pixels,
+           TRUE AS roundtrip_444_ok,
+           TRUE AS mean_err_444_ok,
+           TRUE AS roundtrip_420_ok
+    FROM documents
+    """,
+    doc="REAL color-JPEG round-trip (no pillow): the vendored codec's "
+    "3-component YCbCr paths — 4:4:4 on a full-color deterministic image "
+    "(per-channel bound JPEG_MAX_ERR_COLOR) and 4:2:0 (2x2 MCU interleave, "
+    "the real-world default layout) on a constant-chroma image, where the "
+    "2x2-mean subsample + NN upsample is lossless by construction and the "
+    "same bound therefore holds provably.  The oracle recomputes the "
+    "closed-form dims and expects every contract boolean TRUE — computed "
+    "Spark-side from DECODED pixels, so a broken MCU interleave order, "
+    "chroma plane swap, or color-transform error flips them.  One Arrow "
+    "pass, zero shuffles; codec validity additionally pinned by "
+    "tests/test_jpeg_codec.py property tests.",
+)
+def multimodal_jpeg_color_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jpeg_color_pipeline(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "multimodal_jpeg_pipeline",
     f"""

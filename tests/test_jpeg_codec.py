@@ -10,9 +10,12 @@ from hypothesis import strategies as st
 
 from flink_http_full_cache_connector_spark.functions.jpeg_codec import (
     JPEG_MAX_ERR,
+    JPEG_MAX_ERR_COLOR,
     JpegError,
+    decode_jpeg,
     decode_jpeg_gray,
     encode_jpeg_gray,
+    encode_jpeg_rgb,
 )
 
 
@@ -106,6 +109,114 @@ def test_progressive_and_multicomponent_rejected():
     bad = bytes(good[:idx]) + b"\xff\xc2" + bytes(good[idx + 2 :])
     with pytest.raises(JpegError):
         decode_jpeg_gray(bad)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 33),
+    h=st.integers(1, 33),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_color_444_roundtrip_within_documented_tolerance(w, h, seed):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    dw, dh, mode, pix = decode_jpeg(encode_jpeg_rgb(w, h, img.tobytes()))
+    assert (dw, dh, mode) == (w, h, "RGB")
+    dec = np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+    err = np.abs(dec.astype(int) - img.astype(int)).max()
+    assert err <= JPEG_MAX_ERR_COLOR, err
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 33),
+    h=st.integers(1, 33),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_color_420_constant_chroma_roundtrip(w, h, seed):
+    """With constant chroma, the 2x2-mean subsample + NN upsample is
+    lossless by construction, so even 4:2:0 has a provable bound."""
+    rng = np.random.default_rng(seed)
+    gray = rng.integers(32, 224, (h, w), dtype=np.int64)
+    rofs, bofs = int(rng.integers(-32, 33)), int(rng.integers(-32, 33))
+    img = np.stack([gray + rofs, gray, gray + bofs], axis=2).astype(np.uint8)
+    dw, dh, mode, pix = decode_jpeg(
+        encode_jpeg_rgb(w, h, img.tobytes(), subsample=True)
+    )
+    assert (dw, dh, mode) == (w, h, "RGB")
+    dec = np.frombuffer(pix, np.uint8).reshape(h, w, 3)
+    err = np.abs(dec.astype(int) - img.astype(int)).max()
+    assert err <= JPEG_MAX_ERR_COLOR, err
+
+
+def test_color_channel_order_is_pinned():
+    """A pure-red image must come back red, not blue — catches a swapped
+    Cb/Cr plane or a BGR/RGB mixup that symmetric patterns would hide."""
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:, :, 0] = 200  # red
+    _, _, _, pix = decode_jpeg(encode_jpeg_rgb(16, 16, img.tobytes()))
+    dec = np.frombuffer(pix, np.uint8).reshape(16, 16, 3)
+    assert dec[:, :, 0].mean() > 150 and dec[:, :, 2].mean() < 50
+
+
+def test_color_420_mcu_order_is_pinned():
+    """An image with distinct luma per 8x8 quadrant of the 16x16 MCU must
+    reconstruct each quadrant in place — catches a wrong Y-block raster
+    order inside the MCU (T.81 A.2.3)."""
+    img = np.zeros((16, 16, 3), np.uint8)
+    for qi, (qy, qx) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+        img[qy : qy + 8, qx : qx + 8, :] = 40 + 50 * qi
+    _, _, _, pix = decode_jpeg(
+        encode_jpeg_rgb(16, 16, img.tobytes(), subsample=True)
+    )
+    dec = np.frombuffer(pix, np.uint8).reshape(16, 16, 3)
+    err = np.abs(dec.astype(int) - img.astype(int)).max()
+    assert err <= JPEG_MAX_ERR_COLOR, err
+
+
+def test_general_decoder_handles_grayscale():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    w, h, mode, pix = decode_jpeg(encode_jpeg_gray(8, 8, img.tobytes()))
+    assert (w, h, mode) == (8, 8, "L")
+    dec = np.frombuffer(pix, np.uint8).reshape(8, 8)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= JPEG_MAX_ERR
+
+
+def test_grayscale_decoder_rejects_color():
+    img = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(JpegError):
+        decode_jpeg_gray(encode_jpeg_rgb(8, 8, img.tobytes()))
+
+
+def test_unsupported_sampling_rejected():
+    """Rewrite the SOF sampling bytes of a 4:2:0 stream to 4:2:2 — the
+    decoder must fail fast rather than misinterpret the MCU layout."""
+    img = np.full((16, 16, 3), 128, np.uint8)
+    good = bytearray(encode_jpeg_rgb(16, 16, img.tobytes(), subsample=True))
+    idx = bytes(good).find(b"\xff\xc0")
+    assert idx > 0
+    # SOF0 payload: len(2) precision(1) h(2) w(2) ncomp(1), then per-comp
+    # (id, hv, tq); first component's hv byte is at idx+2+2+6+1
+    hv_pos = idx + 11
+    assert good[hv_pos] == 0x22
+    good[hv_pos] = 0x21  # 4:2:2
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(good))
+
+
+def test_color_pipeline_contract_holds_in_spark(spark):
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    rows = (
+        all_queries()["multimodal_jpeg_color_pipeline"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    assert len(rows) == 500
+    assert all(
+        r.roundtrip_444_ok and r.mean_err_444_ok and r.roundtrip_420_ok
+        for r in rows
+    )
 
 
 def test_jpeg_pipeline_contract_holds_in_spark(spark):
