@@ -28,6 +28,8 @@ bit-for-bit against DuckDB) — never engine-private hashes.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1094,3 +1096,162 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _containment(spark, sf_dir, max_df=MAX_SHINGLE_DF)
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: cluster-bounded representative selection (SemDeDup-style)
+# ---------------------------------------------------------------------------
+
+#: within-cluster near-dup threshold.  Lower than COSINE_DUP_THRESHOLD on
+#: purpose: semantic dedup prunes *redundant* examples (same region of
+#: embedding space), not just verbatim twins — the published recipe
+#: (Abbas et al. 2023, "SemDeDup") uses an aggressive in-cluster epsilon.
+SEMANTIC_DUP_THRESHOLD = 0.3
+SEMANTIC_MIN_CELLS = 16
+
+
+def semantic_cells_for(n: int) -> int:
+    """cells = max(min_cells, isqrt(n)).
+
+    √n balances the two cost terms of flat cluster-bounded dedup —
+    assignment is n·C cosines, in-cell pair checking is n·(n/C) — at the
+    optimal n^1.5 total; growing C any slower makes pair volume blow up
+    quadratically, any faster and assignment does.  ``math.isqrt`` is
+    exact; the SQL twin floors ``sqrt(n::double)`` and then corrects the
+    ±1 double-rounding cases with integer comparisons, so both engines
+    compute the identical cell count for every n.
+    """
+    return max(SEMANTIC_MIN_CELLS, math.isqrt(n))
+
+
+def _semantic_oracle() -> str:
+    sim_uv = duck_cosine("u.v", "v.v")
+    return f"""
+WITH params AS (
+    -- exact integer sqrt: floor(sqrt) corrected for double rounding
+    SELECT greatest({SEMANTIC_MIN_CELLS},
+                    s - CASE WHEN s * s > n THEN 1 ELSE 0 END
+                      + CASE WHEN (s + 1) * (s + 1) <= n THEN 1 ELSE 0 END
+           )::bigint AS c
+    FROM (SELECT n, floor(sqrt(n::double))::bigint AS s
+          FROM (SELECT count(*) AS n FROM embeddings))
+),
+cent AS (
+    SELECT vec_id AS cent_id, embedding AS cv
+    FROM embeddings, params WHERE vec_id < params.c
+),
+scored AS (
+    SELECT e.vec_id, c.cent_id, e.embedding AS v,
+           {duck_cosine('e.embedding', 'c.cv')} AS sim
+    FROM embeddings e CROSS JOIN cent c
+),
+assign AS MATERIALIZED (
+    SELECT vec_id, cent_id AS cell_id, v, sim AS cent_sim FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY sim DESC, cent_id) AS rn
+        FROM scored) WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT v.vec_id
+    FROM assign u JOIN assign v
+      ON u.cell_id = v.cell_id
+     AND (u.cent_sim < v.cent_sim
+          OR (u.cent_sim = v.cent_sim AND u.vec_id < v.vec_id))
+    WHERE {sim_uv} >= {SEMANTIC_DUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cell_id::int AS cell_id,
+       {duck_trunc6('a.cent_sim')} AS cent_sim,
+       (d.vec_id IS NULL) AS is_kept
+FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
+@register(
+    "dedup_semantic",
+    _semantic_oracle(),
+    doc="Semantic dedup (SemDeDup, Abbas et al. 2023, arXiv:2303.09540): "
+    "k-means-style cells bound the pairwise search, then within each cell "
+    "an example is dropped when a LOWER-ordered clustermate sits within "
+    "epsilon cosine — order is (centroid_sim ASC, vec_id), so the kept "
+    "representative of every redundancy group is the one FARTHEST from "
+    "the centroid, the paper's best-performing keep policy.  Cell count "
+    "= isqrt(n) (exact integer sqrt, same value in the SQL twin), which "
+    "balances the n·C assignment term against the n·(n/C) in-cell pair "
+    "term at the optimal n^1.5 flat-clustering total — never all-pairs; "
+    "a two-level (coarse-quantizer) assignment is the documented "
+    "extension that takes the assignment term to n·√C at extreme "
+    "corpus sizes.  Plan: broadcast centroid "
+    "assignment with a map-side max_by partial agg (one shuffle per "
+    "vector); candidate generation self-joins SLIM rows (ids + the "
+    "ordering double, never vectors — wide rows through the pair shuffle "
+    "sort is the exact memory anti-pattern dedup_embedding_lsh documents), "
+    "then two uniform vec_id joins re-attach each vector once for the "
+    "epsilon check.  Reference has no dedup surface (SURVEY.md §2.C); "
+    "this is §2.D scope.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one metadata-sized count to size the cell grid (SCALE.md rule 1)
+    cells = semantic_cells_for(emb.count())
+    cent = emb.where(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    # SLIM assignment: unlike ivf_assign (whose max_by struct carries the
+    # vector, forcing a SORT aggregate over the n×C expansion — fine at
+    # C=16, deadly when C grows with the corpus), every aggregated value
+    # here is scalar, so Spark hash-aggregates with map-side combine and
+    # the shuffle carries ONE (vec_id, cell_id, cent_sim) row per vector
+    v = widen(emb).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    sim = cosine_with_norms(F.col("v"), F.col("cv"), F.col("nv"), norm(F.col("cv")))
+    order = F.struct(F.col("sim"), (-F.col("cent_id")).alias("neg"))
+    assign = (
+        v.join(F.broadcast(cent))
+        .select("vec_id", "cent_id", sim.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(F.col("cent_id"), order).alias("cell_id"),
+            F.max(F.col("sim")).alias("cent_sim"),
+        )
+        .persist()  # feeds both self-join sides + the output
+    )
+    u = assign.select(
+        "cell_id", F.col("vec_id").alias("uid"), F.col("cent_sim").alias("us")
+    )
+    v = assign.select(
+        "cell_id", F.col("vec_id").alias("vid"), F.col("cent_sim").alias("vs")
+    )
+    earlier = (F.col("us") < F.col("vs")) | (
+        (F.col("us") == F.col("vs")) & (F.col("uid") < F.col("vid"))
+    )
+    pairs = u.join(v, "cell_id").where(earlier).select("uid", "vid")
+    ea = emb.select(
+        F.col("vec_id").alias("uid"), as_double(F.col("embedding")).alias("uv")
+    ).withColumn("un", norm(F.col("uv")))
+    eb = emb.select(
+        F.col("vec_id").alias("vid"), as_double(F.col("embedding")).alias("vv")
+    ).withColumn("vn", norm(F.col("vv")))
+    pair_sim = cosine_with_norms(F.col("uv"), F.col("vv"), F.col("un"), F.col("vn"))
+    dropped = (
+        pairs.join(ea, "uid")
+        .join(eb, "vid")
+        .where(pair_sim >= SEMANTIC_DUP_THRESHOLD)
+        .select(F.col("vid").alias("vec_id"))
+        .distinct()
+        .withColumn("is_kept", F.lit(False))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell_id").cast("int").alias("cell_id"),
+            trunc6(F.col("cent_sim")).alias("cent_sim"),
+            F.coalesce(F.col("is_kept"), F.lit(True)).alias("is_kept"),
+        )
+    )
