@@ -725,3 +725,104 @@ def event_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.alias("autocov_num"),
         (num > 0).alias("positive_autocorr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift: two-sample Kolmogorov–Smirnov per event type
+# ---------------------------------------------------------------------------
+
+#: asymptotic two-sample KS critical coefficient c(alpha) at alpha = 0.05
+KS_CRIT_C = 1.358
+
+
+@register(
+    "split_drift_ks",
+    f"""
+    WITH base AS (
+        SELECT event_type,
+               floor(value * 1e6)::bigint AS v,
+               CASE WHEN isodow(ts::TIMESTAMP) >= 6 THEN 1 ELSE 0 END AS wk
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, v,
+               sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END)::bigint AS c0,
+               sum(wk)::bigint AS c1
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, v,
+               sum(c0) OVER (PARTITION BY event_type ORDER BY v) AS f0,
+               sum(c1) OVER (PARTITION BY event_type ORDER BY v) AS f1,
+               sum(c0) OVER (PARTITION BY event_type) AS n0,
+               sum(c1) OVER (PARTITION BY event_type) AS n1
+        FROM counts
+    ),
+    agg AS (
+        SELECT event_type,
+               max(abs(f0 * n1 - f1 * n0))::bigint AS ks_num,
+               min(n0)::bigint AS n_weekday,
+               min(n1)::bigint AS n_weekend
+        FROM cum GROUP BY 1
+    )
+    SELECT event_type, n_weekday, n_weekend, ks_num,
+           {duck_trunc6('ks_num / (n_weekday * n_weekend)')} AS ks_stat,
+           (ks_num / (n_weekday * n_weekend)) >
+               {KS_CRIT_C} * sqrt((n_weekday + n_weekend)
+                                  / (n_weekday * n_weekend)) AS drifted
+    FROM agg
+    """,
+    doc="Two-sample Kolmogorov–Smirnov drift test per event type (weekday "
+    "vs weekend value distributions) — the distribution-shift monitor a "
+    "training pipeline runs between data snapshots or corpus splits.  "
+    "Exactness: the empirical CDFs are compared by integer "
+    "cross-multiplication max|F0·n1 − F1·n0| over micro-unit value keys — "
+    "no float CDF whose summation order could differ between engines; the "
+    "KS statistic and the c(0.05)=1.358 critical gate divide/sqrt the "
+    "same exact integers in the same order on both engines.  Scale: one "
+    "shuffle on (event_type, value-key) with map-side partial counts; the "
+    "cumulative window runs over the PRE-AGGREGATED distinct-value rows "
+    "(bounded by metric resolution, not event volume) — the same "
+    "pre-agg-then-window shape as event_anomaly_zscore.",
+)
+def split_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1e6).cast("long").alias("v"),
+        (F.weekday(F.col("ts")) >= 5).cast("int").alias("wk"),
+    )
+    counts = base.groupBy("event_type", "v").agg(
+        F.sum(F.when(F.col("wk") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum("wk").cast("long").alias("c1"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        F.sum("c0").over(w).alias("f0"),
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c0").over(wt).alias("n0"),
+        F.sum("c1").over(wt).alias("n1"),
+    )
+    diff = F.abs(F.col("f0") * F.col("n1") - F.col("f1") * F.col("n0"))
+    agg = cum.groupBy("event_type").agg(
+        F.max(diff).alias("ks_num"),
+        F.min("n0").alias("n_weekday"),
+        F.min("n1").alias("n_weekend"),
+    )
+    nn = F.col("n_weekday") * F.col("n_weekend")
+    ks = F.col("ks_num") / nn
+    crit = F.lit(KS_CRIT_C) * F.sqrt((F.col("n_weekday") + F.col("n_weekend")) / nn)
+    return agg.select(
+        "event_type",
+        "n_weekday",
+        "n_weekend",
+        "ks_num",
+        trunc6(ks).alias("ks_stat"),
+        (ks > crit).alias("drifted"),
+    )
