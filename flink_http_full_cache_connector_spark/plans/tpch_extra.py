@@ -772,3 +772,165 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lines",
         )
     )
+
+
+# Q21: the one supplier who held up a multi-supplier order.  The slimmed
+# schema has no commit/receipt dates, so "failed its line" is marked by
+# l_returnflag = 'R' on a finished ('F') order — same EXISTS / NOT EXISTS
+# composition as the original.
+WS_NATION = "NATION_3"
+
+
+@register(
+    "waiting_suppliers",
+    f"""
+    SELECT s.s_name, count(*)::bigint AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+                 AND n.n_name = '{WS_NATION}'
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21-flavor (suppliers who kept orders waiting): the oracle "
+    "runs the classic EXISTS + NOT EXISTS self-subquery pair literally; "
+    "the Spark plan runs its algebraic collapse — per-order "
+    "count(DISTINCT suppkey) and count(DISTINCT suppkey) over the 'R' "
+    "lines, where EXISTS-another-supplier ⟺ nsupp >= 2 and "
+    "NOT-EXISTS-another-faulting-supplier ⟺ nsupp_r = 1 (the probe row "
+    "itself is an 'R' line).  That is ONE orderkey-keyed aggregation "
+    "instead of two fact-sized sort-merge self-joins — the first cut "
+    "used LEFT SEMI + LEFT ANTI, which pipelines three sorted fact-sized "
+    "inputs per task (measured sf1 OOM on a small-heap rig); the hash "
+    "match against the "
+    "textbook form proves the rewrite.  Orders status filter joins "
+    "before grouping-by-supplier; nation prune broadcasts.  No "
+    "commit/receipt dates in the slimmed schema, so the fault marker is "
+    "l_returnflag='R' on finished orders.",
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(F.col("n_name") == WS_NATION)
+
+    ord_stats = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("nsupp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("nsupp_r"),
+    )
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_suppkey").alias("sk1"),
+        )
+        .join(orders, F.col("k1") == F.col("o_orderkey"))
+        .drop("o_orderkey")
+    )
+    waited = l1.join(ord_stats, F.col("k1") == F.col("l_orderkey")).where(
+        (F.col("nsupp") >= 2) & (F.col("nsupp_r") == 1)
+    )
+    sn = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "s_name")
+    return (
+        waited.join(F.broadcast(sn), F.col("sk1") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+# Q2: the minimum-cost regional offer per part.  No partsupp table in the
+# slimmed schema — the lineitem fact is the part↔supplier link, and a
+# (part, supplier) pair's "offer" is its minimum extended price.
+MO_REGION = "EUROPE"
+MO_PART_TYPE = "PROMO"
+
+
+@register(
+    "regional_min_offer",
+    f"""
+    WITH offers AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               min(l.l_extendedprice::DECIMAL(18,2)) AS offer
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+                     AND r.r_name = '{MO_REGION}'
+        GROUP BY 1, 2
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+           s.s_acctbal::DOUBLE AS s_acctbal, o.offer::DOUBLE AS offer
+    FROM offers o
+    JOIN part p ON p.p_partkey = o.l_partkey AND p.p_type = '{MO_PART_TYPE}'
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE o.offer = (SELECT min(o2.offer) FROM offers o2
+                     WHERE o2.l_partkey = o.l_partkey)
+    """,
+    doc="TPC-H Q2-flavor (minimum-cost supplier): the correlated scalar "
+    "MIN subquery — the oracle runs it literally; the Spark plan uses "
+    "the idiomatic translation, a min window over the partkey partition "
+    "followed by an equality filter, which reuses the offer aggregation's "
+    "own partitioning (no second scan of the fact, no self-join).  "
+    "Offers aggregate exact DECIMAL money (min is order-independent), "
+    "region prune broadcasts through supplier⋈nation BEFORE the fact "
+    "aggregation, part-type filter pushed to the part scan.  Ties at the "
+    "minimum keep every witness on both engines.",
+)
+def regional_min_offer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == MO_REGION
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == MO_PART_TYPE
+    )
+    rn = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    rs = supp.join(F.broadcast(rn), supp.s_nationkey == F.col("n_nationkey"))
+    offers = (
+        li.join(
+            F.broadcast(rs.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(_dec("l_extendedprice")).alias("offer"))
+    )
+    best = F.min("offer").over(Window.partitionBy("l_partkey"))
+    winners = offers.withColumn("best", best).where(
+        F.col("offer") == F.col("best")
+    )
+    return (
+        winners.join(part, winners.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(rs.select("s_suppkey", "s_name", "s_acctbal", "n_name")),
+            winners.l_suppkey == F.col("s_suppkey"),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+            F.col("offer").cast("double").alias("offer"),
+        )
+    )
