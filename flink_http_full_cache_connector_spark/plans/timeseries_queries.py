@@ -787,15 +787,27 @@ KS_CRIT_C = 1.358
 )
 def split_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    base = ev.select(
+    counts = _ks_group_counts(ev).groupBy("event_type", "v").agg(
+        F.sum(F.when(F.col("wk") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum("wk").cast("long").alias("c1"),
+    )
+    return _ks_from_counts(counts)
+
+
+def _ks_group_counts(ev: DataFrame) -> DataFrame:
+    """(event_type, micro-unit value key, weekend flag) — the KS monitor's
+    map-side projection, shared by the batch and streaming twins."""
+    return ev.select(
         "event_type",
         F.floor(F.col("value") * 1e6).cast("long").alias("v"),
         (F.weekday(F.col("ts")) >= 5).cast("int").alias("wk"),
     )
-    counts = base.groupBy("event_type", "v").agg(
-        F.sum(F.when(F.col("wk") == 0, 1).otherwise(0)).alias("c0"),
-        F.sum("wk").cast("long").alias("c1"),
-    )
+
+
+def _ks_from_counts(counts: DataFrame) -> DataFrame:
+    """KS statistic + critical gate from a (event_type, v, c0, c1) count
+    relation — integer cross-multiplied ECDF comparison, then one double
+    division/sqrt of exact integers (identical order on both engines)."""
     w = (
         Window.partitionBy("event_type")
         .orderBy("v")
@@ -826,3 +838,85 @@ def split_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         trunc6(ks).alias("ks_stat"),
         (ks > crit).alias("drifted"),
     )
+
+
+@register(
+    "streaming_drift_ks",
+    f"""
+    WITH base AS (
+        SELECT event_type,
+               floor(value * 1e6)::bigint AS v,
+               CASE WHEN isodow(ts::TIMESTAMP) >= 6 THEN 1 ELSE 0 END AS wk
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, v,
+               sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END)::bigint AS c0,
+               sum(wk)::bigint AS c1
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, v,
+               sum(c0) OVER (PARTITION BY event_type ORDER BY v) AS f0,
+               sum(c1) OVER (PARTITION BY event_type ORDER BY v) AS f1,
+               sum(c0) OVER (PARTITION BY event_type) AS n0,
+               sum(c1) OVER (PARTITION BY event_type) AS n1
+        FROM counts
+    ),
+    agg AS (
+        SELECT event_type,
+               max(abs(f0 * n1 - f1 * n0))::bigint AS ks_num,
+               min(n0)::bigint AS n_weekday,
+               min(n1)::bigint AS n_weekend
+        FROM cum GROUP BY 1
+    )
+    SELECT event_type, n_weekday, n_weekend, ks_num,
+           {duck_trunc6('ks_num / (n_weekday * n_weekend)')} AS ks_stat,
+           (ks_num / (n_weekday * n_weekend)) >
+               {KS_CRIT_C} * sqrt((n_weekday + n_weekend)
+                                  / (n_weekday * n_weekend)) AS drifted
+    FROM agg
+    """,
+    doc="The KS drift monitor maintained BY THE STREAM: per-(type, value, "
+    "group) counts aggregate incrementally in complete mode — state is "
+    "O(types × distinct metric values), bounded by metric resolution "
+    "regardless of stream volume (the streaming_histogram_quantiles "
+    "pattern) — then the shared integer KS extraction runs on the "
+    "maintained relation.  The oracle is the BATCH KS SQL: a hash match "
+    "proves the count fold is associative across whatever microbatch "
+    "slicing the source produced, i.e. the monitor can run continuously "
+    "and always agree with a from-scratch recomputation.",
+)
+def streaming_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        normalize_events_ts,
+    )
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(normalize_events_ts)
+    )
+    counts = _ks_group_counts(stream).groupBy("event_type", "v").agg(
+        F.sum(F.when(F.col("wk") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum("wk").cast("long").alias("c1"),
+    )
+    name = f"stream_ks_{uuid.uuid4().hex[:12]}"
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    out = _ks_from_counts(spark.table(name))
+    return finalize_memory_sink(out, name)

@@ -638,3 +638,72 @@ def test_streaming_histogram_bins_fold_across_microbatches(spark, tmp_path):
     finally:
         spark.catalog.dropTempView("hist_fold_test")
     assert streamed == {0: 2, 1: 3, 699: 2}  # 720 and 699.5 both cap at bin 699
+
+
+def test_streaming_ks_counts_fold_across_microbatches(spark, tmp_path):
+    """The KS monitor's (type, value, group) counts are a mergeable sketch:
+    counts over a 2-file source (maxFilesPerTrigger=1, complete mode) equal
+    the batch counts of the union, and the KS extraction on the maintained
+    relation equals the batch query on the concatenated data."""
+    import pandas as pd
+
+    from flink_http_full_cache_connector_spark.plans.timeseries_queries import (
+        _ks_from_counts,
+        _ks_group_counts,
+    )
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ks_src"
+    src.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def frame(rows):
+        df = pd.DataFrame(rows, columns=cols)
+        df["ts"] = df["ts"].astype("datetime64[us]")  # TIMESTAMP(MICROS)
+        return df
+
+    # Sat 2024-01-06 is weekend, Mon 2024-01-08 weekday
+    sat, mon = pd.Timestamp("2024-01-06 12:00"), pd.Timestamp("2024-01-08 12:00")
+    frame(
+        [(1, sat, 1, "a", 5.0, "{}"), (2, mon, 1, "a", 5.0, "{}"),
+         (3, sat, 2, "a", 9.0, "{}")]
+    ).to_parquet(src / "b1.parquet")
+    frame(
+        [(4, mon, 2, "a", 1.0, "{}"), (5, sat, 3, "a", 5.0, "{}"),
+         (6, mon, 3, "a", 9.0, "{}")]
+    ).to_parquet(src / "b2.parquet")
+
+    def counts(df):
+        return _ks_group_counts(df).groupBy("event_type", "v").agg(
+            F.sum(F.when(F.col("wk") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum("wk").cast("long").alias("c1"),
+        )
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        counts(stream)
+        .writeStream.format("memory")
+        .queryName("ks_fold_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        streamed = _ks_from_counts(spark.table("ks_fold_test")).collect()
+    finally:
+        spark.catalog.dropTempView("ks_fold_test")
+    batch = _ks_from_counts(counts(spark.read.parquet(str(src)))).collect()
+    assert [tuple(r) for r in streamed] == [tuple(r) for r in batch]
+    r = streamed[0]
+    # weekend sample {5, 9, 5}, weekday {5, 1, 9}: ECDF gap peaks at v < 5
+    # where weekday has seen 1 of 3 and weekend 0 of 3 -> ks_num = |1*3-0*3|
+    assert (r.n_weekday, r.n_weekend, r.ks_num) == (3, 3, 3)
