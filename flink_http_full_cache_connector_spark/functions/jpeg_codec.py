@@ -435,12 +435,22 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
     scan_tabs: dict[int, tuple[int, int]] = {}  # cid -> (dc_id, ac_id)
     scan_order: list[int] = []
     scan_start = None
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise JpegError("marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(data):
+            raise JpegError("truncated marker")
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: standalone
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise JpegError("truncated segment header")
         (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         payload = data[pos + 4 : pos + 2 + length]
         if len(payload) != length - 2:
@@ -454,7 +464,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
                 q = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
                 if q.size != 64:
                     raise JpegError("truncated DQT")
-                qtables[pq_tq & 0x0F] = q.astype(np.float64)
+                # DQT elements ride in ZIGZAG order (T.81 B.2.4.1); store in
+                # natural order so _decode_block's elementwise multiply lines
+                # up — invisible with flat tables, silently wrong pixels on
+                # any third-party stream with real tables
+                nat = np.empty(64, dtype=np.float64)
+                nat[_ZIGZAG] = q.astype(np.float64)
+                qtables[pq_tq & 0x0F] = nat
                 p += 65
         elif marker == 0xC0:
             precision, height, width, ncomp = struct.unpack(">BHHB", payload[:6])

@@ -94,15 +94,52 @@ def observed_lookup_join(
     ``observation`` is a ``pyspark.sql.Observation`` (batch: read
     ``observation.get`` after an action) or a string name (streaming:
     surfaces in every ``StreamingQueryProgress.observedMetrics``).
-    Hit detection uses a constant marker column on the cache side, so it
-    works for every ``on`` form and is NULL exactly on LEFT-join misses.
+
+    Both metrics count PROBE rows (lookup requests), not join output
+    rows: a cache with duplicate join keys fans one probe row out to
+    several matches, and counting output rows would inflate the hit
+    rate.  Observed metrics forbid DISTINCT aggregates, so dedup is
+    done structurally: exactly ONE cache row per join key carries
+    marker=1 (``row_number`` on the metadata-sized cache side — never
+    on the probe), duplicates carry 0, and a LEFT miss surfaces as the
+    single NULL-marker row — so ``sum(marker==1)`` counts hitting probe
+    rows once each and ``sum(marker==1 or marker is null)`` counts
+    every probe row once.  For a raw ``Column`` condition the cache key
+    is not derivable; there the marker is constant 1 and the metrics
+    degrade to output-row counts (exact whenever the condition matches
+    at most one cache row per probe row).
     """
-    marked = cache.withColumn(_HIT_MARKER, F.lit(1))
+    if isinstance(on, str):
+        key_cols: list[str] | None = [on]
+    elif isinstance(on, Column):
+        key_cols = None
+    elif on and isinstance(on[0], tuple):
+        key_cols = [c for _, c in on]  # type: ignore[misc]
+    else:
+        key_cols = list(on)  # type: ignore[arg-type]
+    if key_cols is not None:
+        from pyspark.sql import Window
+
+        # orderBy the keys themselves: which duplicate gets the marker is
+        # irrelevant (exactly one per key either way), and key columns —
+        # unlike monotonically_increasing_id() — stay legal when the joined
+        # plan is a stream (Spark rejects nondeterministic expressions
+        # anywhere in a streaming plan, even on the batch cache side)
+        w = Window.partitionBy(*key_cols).orderBy(*key_cols)
+        marked = cache.withColumn(
+            _HIT_MARKER, (F.row_number().over(w) == 1).cast("int")
+        )
+    else:
+        marked = cache.withColumn(_HIT_MARKER, F.lit(1))
     joined = lookup_join(probe, marked, on, how, broadcast_cache=broadcast_cache)
+    hit = F.when(F.col(_HIT_MARKER) == 1, 1).otherwise(0)
+    probe_row = F.when(
+        (F.col(_HIT_MARKER) == 1) | F.col(_HIT_MARKER).isNull(), 1
+    ).otherwise(0)
     observed = joined.observe(
         observation,
-        F.count(F.lit(1)).alias("lookup_total"),
-        F.count(_HIT_MARKER).alias("lookup_hits"),
+        F.coalesce(F.sum(probe_row), F.lit(0)).alias("lookup_total"),
+        F.coalesce(F.sum(hit), F.lit(0)).alias("lookup_hits"),
     )
     return observed.drop(_HIT_MARKER)
 

@@ -273,9 +273,10 @@ def decode_image(payload: bytes) -> Any:
     widths, heights, and thumbnail bytes are bit-identical across
     environments (a PIL Image has no ``.pixels`` and its ``thumbnail()``
     rounds differently, so the pillow path would silently change
-    registered query output).  Baseline grayscale JPEG decodes via the
-    vendored ``functions/jpeg_codec.py`` under the same policy; color /
-    progressive JPEG (and anything else) falls back to pillow when
+    registered query output).  Baseline JPEG — grayscale AND 3-component
+    YCbCr at 4:4:4 / 4:2:0 — decodes via the vendored
+    ``functions/jpeg_codec.py`` under the same policy; progressive /
+    exotic-sampling JPEG (and anything else) falls back to pillow when
     importable, else fails loudly."""
     raw = bytes(payload)
     fmt = sniff_format_bytes(raw)
@@ -292,17 +293,18 @@ def decode_image(payload: bytes) -> Any:
 
         return PngImage(*decode_gif(raw))
     if fmt == "jpeg":
-        # vendored baseline-grayscale decode first (bit-identical across
-        # environments, same policy as PNG/GIF); color / progressive JPEGs
-        # fall through to pillow when importable
+        # vendored baseline decode first — ONE decode call covering both
+        # grayscale and color (bit-identical across environments, same
+        # policy as PNG/GIF); only progressive / unsupported-sampling
+        # streams fall through to pillow when importable
         from flink_http_full_cache_connector_spark.functions.jpeg_codec import (
             JpegError,
-            decode_jpeg_gray,
+            decode_jpeg,
         )
 
         try:
-            w, h, pix = decode_jpeg_gray(raw)
-            return PngImage(w, h, "L", bytearray(pix))
+            w, h, mode, pix = decode_jpeg(raw)
+            return PngImage(w, h, mode, bytearray(pix))
         except JpegError:
             pass
     try:

@@ -247,3 +247,53 @@ def test_decode_image_uses_vendored_jpeg_codec():
     assert (out.width, out.height, out.mode) == (16, 16, "L")
     dec = np.frombuffer(bytes(out.pixels), np.uint8).reshape(16, 16)
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= JPEG_MAX_ERR
+
+
+def test_dqt_bytes_are_dezigzagged():
+    """T.81 B.2.4.1: DQT elements ride in zigzag order.  Craft an image
+    whose DCT energy sits at natural position (2,0) — zigzag index 3, which
+    a natural-order reader would misfile at (0,3) — then patch that DQT
+    byte to 2: the correctly-dezigzagged decoder must scale the actual
+    coefficient (pixels ~double); a natural-order reader would scale a
+    zero coefficient and return the unscaled image."""
+    from flink_http_full_cache_connector_spark.functions.jpeg_codec import (
+        _COS,
+        _ZIGZAG,
+        decode_jpeg_gray,
+    )
+
+    coeffs = np.zeros((8, 8))
+    coeffs[2, 0] = 40.0  # natural flat index 16
+    block = _COS.T @ coeffs @ _COS  # spatial pattern, level-shifted domain
+    img = np.clip(np.rint(block + 128.0), 0, 255).astype(np.uint8)
+    # the coefficient the encoder actually quantizes (clip/rint noise)
+    q20 = round(float((_COS @ (img.astype(float) - 128.0) @ _COS.T)[2, 0]))
+    data = bytearray(encode_jpeg_gray(8, 8, img.tobytes()))
+    idx = bytes(data).find(b"\xff\xdb")
+    assert idx > 0
+    # DQT payload: len(2) pq_tq(1) then 64 ZIGZAG-ordered bytes; (2,0)'s
+    # zigzag position differs from its natural position, so a natural-order
+    # reader scales the wrong (zero) coefficient
+    zz = idx + 4 + 1 + _ZIGZAG.index(16)
+    assert _ZIGZAG.index(16) != 16 and data[zz] == 1
+    data[zz] = 2
+    _, _, pix = decode_jpeg_gray(bytes(data))
+    dec = np.frombuffer(pix, np.uint8).reshape(8, 8).astype(float) - 128.0
+    # projection of the decoded block onto the (2,0) basis function must be
+    # ~2x the quantized coefficient (scaled by Q=2); a natural-order reader
+    # leaves it at ~1x
+    proj = (_COS @ dec @ _COS.T)[2, 0]
+    assert abs(proj - 2 * q20) < 3.0, (proj, q20)
+
+
+def test_fill_bytes_and_standalone_markers_tolerated():
+    """T.81 B.1.1.2 allows 0xFF fill bytes before any marker, and TEM
+    (0xFF01) is a standalone zero-payload marker — both must parse."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    good = encode_jpeg_gray(8, 8, img.tobytes())
+    idx = good.find(b"\xff\xdb")
+    padded = good[:idx] + b"\xff\xff\xff" + b"\xff\x01" + good[idx:]
+    w, h, pix = decode_jpeg_gray(padded)
+    assert (w, h) == (8, 8)
+    dec = np.frombuffer(pix, np.uint8).reshape(8, 8)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= JPEG_MAX_ERR

@@ -272,3 +272,29 @@ def test_observed_lookup_join_streaming_progress(spark, http_server, tmp_path):
     total = sum(r["lookup_total"] for r in rows)
     hits = sum(r["lookup_hits"] for r in rows)
     assert total == 12 and hits == 10  # user_ids 11,12 miss the 10-user cache
+
+
+def test_observed_lookup_join_counts_probe_rows_not_output_rows(spark):
+    """A cache with DUPLICATE join keys fans one probe row out to several
+    output rows; the hit metrics must still count lookup REQUESTS (probe
+    rows), like the reference's cache-hit-rate definition.  3 probe rows:
+    A matches a duplicated key (2 output rows), B matches a unique key,
+    C misses -> output 4 rows but total=3, hits=2."""
+    from pyspark.sql import Observation, Row
+
+    from flink_http_full_cache_connector_spark.operators.lookup_join import (
+        observed_lookup_join,
+    )
+
+    cache = spark.createDataFrame(
+        [Row(id=1, tag="x"), Row(id=1, tag="y"), Row(id=2, tag="z")]
+    )
+    probe = spark.createDataFrame(
+        [Row(k=1, n="A"), Row(k=2, n="B"), Row(k=9, n="C")]
+    )
+    obs = Observation("dup_keys")
+    joined = observed_lookup_join(
+        probe, cache, on=[("k", "id")], how="left", observation=obs
+    )
+    assert joined.count() == 4  # the join output itself keeps every match
+    assert obs.get == {"lookup_total": 3, "lookup_hits": 2}
