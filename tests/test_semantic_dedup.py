@@ -81,3 +81,45 @@ def test_cell_sizing_formula():
     for n in [0, 1, 15, 16, 255, 256, 257, 10_000, 123_456,
               99_980_001, 99_980_002]:  # 9999^2 and 9999^2+1
         assert semantic_cells_for(n) == max(SEMANTIC_MIN_CELLS, math.isqrt(n))
+
+
+def _write_embeddings(tmpdir, vecs):
+    import pyarrow as pa
+
+    n = len(vecs)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, f"{tmpdir}/embeddings.parquet")
+    return str(tmpdir)
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# integer-valued components 1..8: every dot product / norm² is an exact
+# small integer, so cosine doubles are bit-identical under ANY summation
+# order — numpy model, Spark fold, and DuckDB fold can never disagree by
+# an ulp, making ordering and threshold comparisons deterministic
+_vec = st.lists(st.integers(1, 8), min_size=3, max_size=3)
+_corpus = st.lists(_vec, min_size=1, max_size=32)
+
+
+@settings(max_examples=10, deadline=None)
+@given(vecs=_corpus)
+def test_property_matches_numpy_model_on_generated_corpora(
+    spark, tmp_path_factory, vecs
+):
+    d = _write_embeddings(tmp_path_factory.mktemp("sem"), vecs)
+    rows = all_queries()["dedup_semantic"].spark(spark, d).collect()
+    model, _ = _model(d)
+    assert len(rows) == len(model)
+    for r in rows:
+        mc, mk = model[r.vec_id]
+        assert (r.cell_id, r.is_kept) == (mc, mk), (r.vec_id, vecs)
