@@ -501,3 +501,84 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dropped.select(*out_cols))
         .unionByName(resolved.select(*out_cols))
     )
+
+
+# ---------------------------------------------------------------------------
+# curriculum ordering: the global training-order materializer
+# ---------------------------------------------------------------------------
+
+CURRICULUM_PARTITIONS = 32  # range-partition width of the ordinal assignment
+
+
+@register(
+    "corpus_curriculum",
+    """
+    SELECT doc_id,
+           (length(bin(n_chars)) - 1)::int AS tier,
+           (row_number() OVER (
+               ORDER BY (length(bin(n_chars)) - 1),
+                        md5(doc_id::varchar),
+                        doc_id) - 1)::bigint AS ordinal
+    FROM documents
+    """,
+    doc="Curriculum training order: documents ascend difficulty tiers "
+    "(integer log2 of n_chars — short/easy examples first), shuffled "
+    "WITHIN each tier by md5(doc_id) so the order is epoch-stable and "
+    "engine-reproducible where rand() never is.  The oracle's global "
+    "row_number() is the semantic; the Spark plan refuses the "
+    "1-partition window it implies and materializes the SAME total "
+    "order scale-correctly: repartitionByRange on the sort key + "
+    "sortWithinPartitions (Spark's distributed total-order sort), one "
+    "metadata-sized per-partition count collect, then each partition "
+    "stamps ordinal = broadcast_offset[pid] + local position inside a "
+    "single Arrow pass.  The ordinal depends only on the (unique) sort "
+    "key, never on where range boundaries fall, so the result is "
+    "partitioning-invariant.  Complements corpus_token_budget (global "
+    "CUT without global order) with the global ORDER a training "
+    "dataloader manifest needs.",
+)
+def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flink_http_full_cache_connector_spark.plans.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        (F.length(F.bin(F.col("n_chars"))) - 1).cast("int").alias("tier"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    arranged = keyed.repartitionByRange(
+        CURRICULUM_PARTITIONS, "tier", "h", "doc_id"
+    ).sortWithinPartitions("tier", "h", "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    arranged = arranged.persist()
+    # metadata-sized collect: one (pid, count) row per partition
+    sizes = dict(
+        arranged.groupBy("pid").count().collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+
+    def stamp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["pid"].iloc[0])]
+            n = len(pdf)
+            out = pdf[["doc_id", "tier"]].copy()
+            out["ordinal"] = range(pos, pos + n)
+            pos += n
+            yield out
+
+    return arranged.mapInPandas(
+        stamp, "doc_id long, tier int, ordinal long"
+    )

@@ -859,3 +859,31 @@ def test_bpe_encode_matches_python_tokenizer(spark, tmp_path):
         assert got[i].n_subwords == expect
         chars_level = sum(len(w) + 1 for w in ws)
         assert got[i].n_subwords < chars_level  # merges actually shrink
+
+
+def test_corpus_curriculum_total_order_and_determinism(spark):
+    """The distributed ordinal assignment (range partition + offset stamp)
+    must equal the oracle's conceptual global row_number: ordinals are a
+    permutation of 0..n-1, ordered by (tier, md5(doc_id), doc_id), and
+    identical across executions (partitioning-invariant)."""
+    import hashlib
+
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    fn = all_queries()["corpus_curriculum"].spark
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert sorted(r.ordinal for r in rows) == list(range(n))
+    key = {
+        r.doc_id: (r.tier, hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id)
+        for r in rows
+    }
+    by_ordinal = sorted(rows, key=lambda r: r.ordinal)
+    assert [r.doc_id for r in by_ordinal] == [
+        d for d, _ in sorted(key.items(), key=lambda kv: kv[1])
+    ]
+    # tiers never descend along the curriculum
+    tiers = [r.tier for r in by_ordinal]
+    assert tiers == sorted(tiers)
+    again = fn(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
