@@ -582,3 +582,97 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arranged.mapInPandas(
         stamp, "doc_id long, tier int, ordinal long"
     )
+
+
+# ---------------------------------------------------------------------------
+# shard manifest: token-balanced output shards over a global hash order
+# ---------------------------------------------------------------------------
+
+SHARD_TOKEN_BUDGET = 2048  # tokens per output shard
+SHARD_SORT_PARTITIONS = 32  # range-partition width of the global sort
+
+
+@register(
+    "corpus_shard_manifest",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, md5(doc_id::varchar) AS h,
+               len(string_split_regex(trim(text), '\\s+'))::bigint AS n_tokens
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY h, doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS prefix_tokens
+        FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           (prefix_tokens // {SHARD_TOKEN_BUDGET})::bigint AS shard_id,
+           (prefix_tokens % {SHARD_TOKEN_BUDGET})::bigint AS shard_offset
+    FROM ordered
+    """,
+    doc=f"Token-balanced shard manifest: every output shard carries "
+    f"~{SHARD_TOKEN_BUDGET} tokens, docs assigned in md5(doc_id) order so "
+    "shards are content-shuffled (no topical clumping from ingest order). "
+    "The semantic is a GLOBAL token prefix-sum — the oracle's "
+    "one-partition window — which the Spark plan refuses to serialize: "
+    "repartitionByRange(h, doc_id) + sortWithinPartitions gives the "
+    "distributed total order, ONE metadata-sized collect fetches per-"
+    "partition token subtotals, and a single Arrow pass stamps "
+    "shard_id = (offset[pid] + local_prefix) div budget.  Prefix depends "
+    "only on the unique sort key, never on range boundaries, so the "
+    "manifest is partitioning-invariant and exactly reproducible — the "
+    "property a resumable dataloader needs.  Completes the manifest "
+    "family: pack_sequences (bucketed local prefix), corpus_token_budget "
+    "(global cut), corpus_curriculum (global order), this (global "
+    "balance).",
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flink_http_full_cache_connector_spark.operators.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    arranged = (
+        toks.repartitionByRange(SHARD_SORT_PARTITIONS, "h", "doc_id")
+        .sortWithinPartitions("h", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    # metadata-sized collect: one (pid, token subtotal) row per partition
+    subtotal = {
+        r["pid"]: r["toks"]
+        for r in arranged.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("toks"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(subtotal):
+        offsets[pid] = acc
+        acc += subtotal[pid]
+
+    def stamp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["pid"].iloc[0])]
+            out = pdf[["doc_id", "n_tokens"]].copy()
+            prefix = pdf["n_tokens"].cumsum().shift(fill_value=0) + pos
+            out["shard_id"] = prefix // SHARD_TOKEN_BUDGET
+            out["shard_offset"] = prefix % SHARD_TOKEN_BUDGET
+            pos = int(prefix.iloc[-1]) + int(pdf["n_tokens"].iloc[-1])
+            yield out
+
+    return arranged.mapInPandas(
+        stamp, "doc_id long, n_tokens long, shard_id long, shard_offset long"
+    )

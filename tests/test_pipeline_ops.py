@@ -887,3 +887,44 @@ def test_corpus_curriculum_total_order_and_determinism(spark):
     assert tiers == sorted(tiers)
     again = fn(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_corpus_shard_manifest_balance_and_invariance(spark, monkeypatch):
+    """Shard assignment is a global token prefix-sum in md5(doc_id) order:
+    every shard except the last must be 'full' (its docs' tokens reach the
+    budget before the next shard starts), shard_offset is the exact running
+    position inside the shard, and the manifest is identical when the range
+    sort runs at a different partition width (partitioning-invariant)."""
+    import hashlib
+
+    from flink_http_full_cache_connector_spark.operators import pipeline as P
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    fn = all_queries()["corpus_shard_manifest"].spark
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    # recompute the semantic serially from the rows themselves
+    order = sorted(
+        rows,
+        key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id),
+    )
+    prefix = 0
+    for r in order:
+        assert r.shard_id == prefix // P.SHARD_TOKEN_BUDGET, r
+        assert r.shard_offset == prefix % P.SHARD_TOKEN_BUDGET, r
+        prefix += r.n_tokens
+    # every shard but the last crosses the budget boundary
+    last = max(r.shard_id for r in rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard_id, 0)
+        by_shard[r.shard_id] += r.n_tokens
+    for sid, tok in by_shard.items():
+        if sid < last:
+            # the shard plus the first doc of the next shard spans the budget
+            assert tok + min(
+                x.shard_offset + 1 for x in rows if x.shard_id == sid + 1
+            ) > P.SHARD_TOKEN_BUDGET - max(r.n_tokens for r in rows)
+    # partitioning invariance: a much narrower sort must not move anything
+    monkeypatch.setattr(P, "SHARD_SORT_PARTITIONS", 3)
+    narrow = fn(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, narrow)) == sorted(map(tuple, rows))
