@@ -565,3 +565,140 @@ def json_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("p.value") == F.col("orig_value"))
         ).alias("roundtrip_ok"),
     )
+
+
+@register(
+    "http_datasource_scan",
+    "SELECT n_nationkey, n_name FROM nation",
+    doc="A3+A4 through the REGISTERED FORMAT: spark.dataSource.register("
+    "HttpLookupDataSource) then spark.read.format('http-lookup-full-cache') "
+    "— the Python Data Source API twin of the reference's SPI factory "
+    "lookup (factoryIdentifier + META-INF/services, "
+    "HttpLookupTableSourceFactory.scala:125).  The declared schema is "
+    "NARROWED to 2 of nation's 3 served fields, so the oracle match also "
+    "proves schema-driven projection: deserialization drops n_regionkey "
+    "(applyProjection parity, HttpLookupTableSource.scala:26-34).  The "
+    "format scan fetches lazily on the executor, so the plan is pinned "
+    "with localCheckpoint while the transient server is still up; the "
+    "checkpointed relation is dimension-sized by contract.",
+)
+def http_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.sources.datasource import (
+        HttpLookupDataSource,
+    )
+
+    spark.dataSource.register(HttpLookupDataSource)
+    records = parquet_as_records(f"{sf_dir}/nation.parquet")
+    with serve_json(records) as url:
+        df = (
+            spark.read.format("http-lookup-full-cache")
+            .schema("n_nationkey INT, n_name STRING")
+            .option("url", url)
+            .load()
+        )
+        # executor-side lazy fetch: materialize before the server shuts down
+        return df.localCheckpoint(eager=True)
+
+
+@register(
+    "http_cache_refresh",
+    """
+    SELECT g AS generation,
+           (SELECT count(*) FROM nation)::bigint AS n_rows,
+           (SELECT sum(n_nationkey) FROM nation)::bigint AS key_sum,
+           3::bigint AS refresh_count
+    FROM (VALUES (1::bigint), (2::bigint), (3::bigint)) AS t(g)
+    """,
+    doc="A5 driver-gated: FIXED_DELAY full-cache reload with atomic swap "
+    "(FullCachingLookupProvider + PeriodicCacheReloadTrigger, "
+    "HttpLookupTableSource.scala:36-54).  The endpoint stamps every row "
+    "with the 1-based fetch number, so three reload cycles must observe "
+    "generations exactly 1, 2, 3 — proving each cycle re-fetched AND "
+    "swapped in fresh data (a stale cache would repeat a generation; a "
+    "lost swap would skip one).  Each snapshot aggregates to one "
+    "(generation, n_rows, key_sum) row; the refresh_count column pins the "
+    "delivered metrics (reference README.md:199-208 documents these but "
+    "never registers them) inside the oracle gate.",
+)
+def http_cache_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from flink_http_full_cache_connector_spark.sources.local_http import (
+        serve_json_generational,
+    )
+    from flink_http_full_cache_connector_spark.streaming.refresh import (
+        RefreshingLookupCache,
+    )
+
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("generation", LongType()),
+        ]
+    )
+    records = parquet_as_records(f"{sf_dir}/nation.parquet", columns=["n_nationkey"])
+    with serve_json_generational(records) as url:
+        cache = RefreshingLookupCache(
+            spark,
+            {"url": url, "cache.refresh-interval": "PT0S"},
+            schema,
+        )
+        snaps = [cache.current()]
+        for _ in range(2):
+            reloaded = cache.check_and_reload()
+            assert reloaded, "FIXED_DELAY with PT0S must always be due"
+            snaps.append(cache.current())
+    per_snap = [
+        s.groupBy("generation").agg(
+            F.count("*").alias("n_rows"),
+            F.sum("n_nationkey").cast("long").alias("key_sum"),
+        )
+        for s in snaps
+    ]
+    out = reduce(DataFrame.unionByName, per_snap)
+    refresh_count = int(cache.metrics()["refresh_count"])
+    return out.withColumn("refresh_count", F.lit(refresh_count).cast("long"))
+
+
+BOUNDED_COLLECT_MOD = 199
+BOUNDED_COLLECT_RESIDUE = 7
+
+
+@register(
+    "streaming_bounded_collect",
+    f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE user_id % {BOUNDED_COLLECT_MOD} = {BOUNDED_COLLECT_RESIDUE}
+    """,
+    doc="B10 driver-gated: bounded take-N from a running stream through the "
+    "client-side collect loop (HttpLookupConnectorTest.scala:71-81 — "
+    "stream.iterate, take N, stop).  collect_stream runs the filtered "
+    "events file-stream into a memory sink and polls until N rows arrive, "
+    "then STOPS the query (bounded consumption of an unbounded source).  "
+    "N is set to the filter's exact cardinality so the collected multiset "
+    "is arrival-order-independent and the oracle gate stays value-exact; "
+    "the filter keeps the collected set dimension-sized (1/199 of users) "
+    "at every SF — the pattern's contract is 'N rows land on the client', "
+    "never 'the stream lands on the client'.",
+)
+def streaming_bounded_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        collect_stream,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cond = (F.col("user_id") % BOUNDED_COLLECT_MOD) == BOUNDED_COLLECT_RESIDUE
+    n = events.where(cond).count()
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(normalize_events_ts)
+        .where(cond)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    rows = collect_stream(stream, n, timeout_s=120.0)
+    assert len(rows) == n, (len(rows), n)
+    return spark.createDataFrame(rows, stream.schema)

@@ -52,3 +52,46 @@ def parquet_as_records(path: str, columns: list[str] | None = None) -> list[dict
 
     table = pq.read_table(path, columns=columns)
     return table.to_pylist()
+
+
+@contextlib.contextmanager
+def serve_json_generational(
+    records: list[dict], *, field: str = "generation"
+) -> Iterator[str]:
+    """Serve ``records`` with ``field`` stamped to the 1-based fetch number.
+
+    Models a dimension endpoint whose content changes between cache
+    refreshes: the first GET sees ``field = 1``, the second ``field = 2``,
+    and so on — so a FIXED_DELAY reload loop can prove it really re-fetched
+    (and atomically swapped in) fresh data rather than serving the old
+    snapshot.  The counter is locked; payloads are rebuilt per request.
+    """
+    lock = threading.Lock()
+    state = {"n": 0}
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            with lock:
+                state["n"] += 1
+                gen = state["n"]
+            body = json.dumps(
+                [{**r, field: gen} for r in records], default=str
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = httpd.server_address
+        yield f"http://{host}:{port}/data"
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
