@@ -702,3 +702,96 @@ def streaming_bounded_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = collect_stream(stream, n, timeout_s=120.0)
     assert len(rows) == n, (len(rows), n)
     return spark.createDataFrame(rows, stream.schema)
+
+
+@register(
+    "streaming_console_sink",
+    """
+    SELECT r_regionkey, r_name, count(*)::bigint AS n_nations
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey, r_name
+    """,
+    doc="B8 driver-gated: the print/console sink "
+    "(HttpLookupConnectorTest.scala print-sink example) run to completion "
+    "on a real microbatch stream — region×nation rollup over the nation "
+    "file stream, complete mode, availableNow, numRows capped.  Console "
+    "output is a side effect no gate can capture, so the registered "
+    "contract is the strongest available: the SAME aggregation runs "
+    "through a memory sink in the SAME triggers and must hash-match the "
+    "batch oracle — proving the streamed rollup the console rendered was "
+    "the right one, and that the console query itself terminated cleanly "
+    "(exceptions re-raise).",
+)
+def streaming_console_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+        start_console_sink,
+    )
+
+    region = load_table(spark, sf_dir, "region")
+    raw_schema = spark.read.parquet(f"{sf_dir}/nation.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "nation.parquet")
+        .parquet(sf_dir)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_regionkey", "r_name")
+        .agg(F.count("*").alias("n_nations"))
+    )
+    console = start_console_sink(
+        stream, output_mode="complete", numRows=5, truncate=False
+    )
+    console.processAllAvailable()
+    exc = console.exception()
+    console.stop()
+    if exc is not None:
+        raise exc
+    name = f"console_twin_{uuid.uuid4().hex[:12]}"
+    twin = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    twin.awaitTermination()
+    return finalize_memory_sink(spark.table(name), name)
+
+
+@register(
+    "http_datasource_stream",
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    doc="A5's stream twin through the REGISTERED FORMAT: "
+    "spark.readStream.format('http-lookup-full-cache') drives "
+    "HttpLookupStreamReader (simpleStreamReader microbatch re-snapshot, "
+    "datasource.py:97-135 ≙ FullCachingLookupProvider + "
+    "PeriodicCacheReloadTrigger).  PT0S refresh makes every microbatch a "
+    "fresh fetch; the bounded collector takes exactly one snapshot's "
+    "cardinality, and because epoch 1 delivers the complete payload in "
+    "one batch, the first N rows ARE the first snapshot — so the take-N "
+    "is deterministic and the oracle gate is value-exact on the full "
+    "nation dimension.",
+)
+def http_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.sources.datasource import (
+        HttpLookupDataSource,
+    )
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        collect_stream,
+    )
+
+    spark.dataSource.register(HttpLookupDataSource)
+    records = parquet_as_records(f"{sf_dir}/nation.parquet")
+    with serve_json(records) as url:
+        stream = (
+            spark.readStream.format("http-lookup-full-cache")
+            .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+            .option("url", url)
+            .option("cache.refresh-interval", "PT0S")
+            .load()
+        )
+        rows = collect_stream(stream, len(records), timeout_s=120.0)
+    assert len(rows) == len(records), (len(rows), len(records))
+    return spark.createDataFrame(rows, stream.schema)

@@ -21,9 +21,14 @@ def with_watermark(df: DataFrame, event_time_col: str, delay: str = "5 seconds")
     return df.withWatermark(event_time_col, delay)
 
 
-def start_console_sink(df: DataFrame, **options) -> StreamingQuery:
+def start_console_sink(
+    df: DataFrame, *, output_mode: str | None = None, **options
+) -> StreamingQuery:
     """B8: print sink."""
-    return df.writeStream.format("console").options(**options).start()
+    writer = df.writeStream.format("console").options(**options)
+    if output_mode is not None:
+        writer = writer.outputMode(output_mode)
+    return writer.start()
 
 
 def start_table_sink(df: DataFrame, table_name: str, checkpoint: str, **options) -> StreamingQuery:
