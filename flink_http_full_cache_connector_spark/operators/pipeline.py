@@ -676,3 +676,107 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arranged.mapInPandas(
         stamp, "doc_id long, n_tokens long, shard_id long, shard_offset long"
     )
+
+
+# ---------------------------------------------------------------------------
+# hashed n-gram importance weighting (DSIR-style data selection)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096  # hashed feature space for bigram counts
+DSIR_TARGET_MOD = 13  # doc_id % MOD == 0 stands in for the curated target set
+DSIR_SCALE = 1_000_000  # integer micro-units for the importance ratio
+
+
+@register(
+    "corpus_importance_weights",
+    f"""
+    WITH ws AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(g), 1, 8))::bigint % {DSIR_BUCKETS} AS bucket
+        FROM ws, unnest(list_transform(range(1, len(w)),
+                                       i -> w[i] || ' ' || w[i+1])) AS t(g)
+    ),
+    raw AS (SELECT bucket, count(*)::bigint AS r FROM grams GROUP BY bucket),
+    tgt AS (SELECT bucket, count(*)::bigint AS t FROM grams
+            WHERE doc_id % {DSIR_TARGET_MOD} = 0 GROUP BY bucket),
+    wt AS (SELECT raw.bucket,
+                  ((coalesce(tgt.t, 0) + 1) * {DSIR_SCALE}) // (raw.r + 1) AS w
+           FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket),
+    score AS (SELECT g.doc_id, sum(wt.w)::bigint AS score
+              FROM grams g JOIN wt ON g.bucket = wt.bucket
+              GROUP BY g.doc_id),
+    tot AS (SELECT count(*)::bigint AS n_docs,
+                   sum(coalesce(s.score, 0))::bigint AS total
+            FROM documents d LEFT JOIN score s ON d.doc_id = s.doc_id)
+    SELECT d.doc_id, coalesce(s.score, 0)::bigint AS score,
+           (coalesce(s.score, 0) * (SELECT n_docs FROM tot)
+                >= (SELECT total FROM tot)) AS keep
+    FROM documents d LEFT JOIN score s ON d.doc_id = s.doc_id
+    """,
+    doc="DSIR-style data selection (Xie et al. 2023, 'Data Selection for "
+    "Language Models via Importance Resampling' — public method): hashed "
+    "word-bigram features, per-bucket importance weight = smoothed "
+    f"target/raw count ratio in exact integer micro-units (x{DSIR_SCALE}, "
+    "integer div truncation identical in Spark and DuckDB), per-document "
+    "score = sum of its occurrences' bucket weights, keep = above-mean "
+    "via cross-multiplied integers (score*n_docs >= total — no float "
+    "division anywhere).  Plan: ONE gram explode feeds both count "
+    f"profiles; the two bucket aggs partial-combine to {DSIR_BUCKETS} "
+    "rows each and the weight table BROADCASTS back onto the gram "
+    "stream, so the only data-sized shuffle is the uniform doc_id "
+    "rollup; the global mean is one metadata row cross-joined.  The "
+    "target set here is the doc_id % MOD slice (the decontaminate "
+    "convention); production swaps in any curated corpus without "
+    "changing the dataflow.",
+)
+def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    ws = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    grams = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    raw = grams.groupBy("bucket").agg(F.count("*").alias("r"))
+    tgt = (
+        grams.where(F.col("doc_id") % DSIR_TARGET_MOD == 0)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("t"))
+    )
+    wt = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        F.expr(f"((coalesce(t, 0) + 1) * {DSIR_SCALE}) div (r + 1)").alias("w"),
+    )
+    score = (
+        grams.join(F.broadcast(wt), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("score"))
+        .persist()  # referenced by the totals branch AND the output join
+    )
+    scored = (
+        docs.select("doc_id")
+        .join(score, "doc_id", "left")
+        .select("doc_id", F.coalesce("score", F.lit(0)).cast("long").alias("score"))
+    )
+    totals = scored.agg(
+        F.count("*").alias("n_docs"), F.sum("score").alias("total")
+    )
+    return scored.crossJoin(F.broadcast(totals)).select(
+        "doc_id",
+        "score",
+        (F.col("score") * F.col("n_docs") >= F.col("total")).alias("keep"),
+    )

@@ -1260,3 +1260,63 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("prune_surface"),
         )
     )
+
+
+FO_SPLIT_TS = "2024-01-16 00:00:00"  # events span 2024-01-01 .. 2024-01-30
+
+
+@register(
+    "full_outer_reconcile",
+    f"""
+    WITH early AS (
+        SELECT user_id, count(*)::bigint AS n_early
+        FROM events WHERE ts < TIMESTAMP '{FO_SPLIT_TS}' GROUP BY user_id
+    ),
+    late AS (
+        SELECT user_id, count(*)::bigint AS n_late
+        FROM events WHERE ts >= TIMESTAMP '{FO_SPLIT_TS}' GROUP BY user_id
+    )
+    SELECT coalesce(e.user_id, l.user_id) AS user_id,
+           coalesce(e.n_early, 0)::bigint AS n_early,
+           coalesce(l.n_late, 0)::bigint AS n_late,
+           CASE WHEN e.user_id IS NULL THEN 'new'
+                WHEN l.user_id IS NULL THEN 'churned'
+                ELSE 'retained' END AS status
+    FROM early e FULL OUTER JOIN late l ON e.user_id = l.user_id
+    """,
+    doc="FULL OUTER join — the one join variety the surface lacked: "
+    "period-over-period user reconciliation (first vs second half of the "
+    "event timeline) labeling each user retained / churned / new, "
+    "null-sides coalesced to zero counts.  Both inputs pre-aggregate to "
+    "user cardinality BEFORE the join (partial aggs, then one uniform "
+    "user_id exchange each); the full-outer itself is a same-key "
+    "sort-merge/hash join on already-reduced relations — the cheap shape, "
+    "never a fact×fact outer.  Timestamp split prunes at the scan.",
+)
+def full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        normalize_events_ts,
+    )
+
+    events = normalize_events_ts(load_table(spark, sf_dir, "events"))
+    split = F.lit(FO_SPLIT_TS).cast("timestamp")
+    early = (
+        events.where(F.col("ts") < split)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_early"))
+    )
+    late = (
+        events.where(F.col("ts") >= split)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_late"))
+    )
+    e, l = early.alias("e"), late.alias("l")
+    return e.join(l, F.col("e.user_id") == F.col("l.user_id"), "full_outer").select(
+        F.coalesce(F.col("e.user_id"), F.col("l.user_id")).alias("user_id"),
+        F.coalesce(F.col("n_early"), F.lit(0)).cast("long").alias("n_early"),
+        F.coalesce(F.col("n_late"), F.lit(0)).cast("long").alias("n_late"),
+        F.when(F.col("e.user_id").isNull(), F.lit("new"))
+        .when(F.col("l.user_id").isNull(), F.lit("churned"))
+        .otherwise(F.lit("retained"))
+        .alias("status"),
+    )

@@ -928,3 +928,35 @@ def test_corpus_shard_manifest_balance_and_invariance(spark, monkeypatch):
     monkeypatch.setattr(P, "SHARD_SORT_PARTITIONS", 3)
     narrow = fn(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, narrow)) == sorted(map(tuple, rows))
+
+
+def test_importance_weights_prefer_target_like_docs(spark, tmp_path):
+    """DSIR semantics on a planted corpus: target docs (id % 13 == 0) are
+    wall-to-wall 'alpha beta' bigrams; the above-mean keep gate must
+    select them and reject off-target docs, and a non-target lookalike
+    must outscore pure-noise docs. Scores are deterministic across reruns."""
+    from flink_http_full_cache_connector_spark.operators.pipeline import (
+        corpus_importance_weights,
+    )
+
+    target_text = "alpha beta " * 10
+    noise_text = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    rows = [
+        Row(doc_id=0, text=target_text, lang="en", source="seed", n_chars=0),
+        Row(doc_id=13, text=target_text, lang="en", source="seed", n_chars=0),
+        Row(doc_id=1, text="alpha beta alpha beta filler", lang="en",
+            source="web", n_chars=0),
+        Row(doc_id=2, text=noise_text, lang="en", source="web", n_chars=0),
+        Row(doc_id=3, text=noise_text, lang="en", source="web", n_chars=0),
+    ]
+    d = str(tmp_path / "dsir")
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in corpus_importance_weights(spark, d).collect()}
+    assert set(out) == {0, 1, 2, 3, 13}
+    # the above-mean gate keeps the target docs and drops the off-target ones
+    assert out[0].keep and out[13].keep, out
+    assert not out[2].keep and not out[3].keep, out
+    # ranking: target-like beats off-target (its bigrams carry target mass)
+    assert out[1].score > out[2].score
+    again = {r.doc_id: r.score for r in corpus_importance_weights(spark, d).collect()}
+    assert again == {k: v.score for k, v in out.items()}

@@ -832,3 +832,37 @@ def test_zorder_interleave_matches_python_reference(spark):
     # locality sanity: adjacent (u,v) cells within an 8x8 tile share the
     # z >> 6 prefix — the property file pruning relies on
     assert morton(8, 8) >> 6 == morton(9, 9) >> 6
+
+
+def test_importance_weights_broadcasts_buckets_no_merge_join(spark):
+    """DSIR importance weighting: the 4096-bucket weight table and the
+    1-row totals must BROADCAST; no SortMergeJoin anywhere; the only
+    data-sized hashpartitioning exchanges are the bucket partial-counts
+    and the uniform doc_id rollup (never a gram-keyed fact join)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["corpus_importance_weights"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    keys = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert keys, plan
+    assert all(("bucket" in ln) or ("doc_id" in ln) for ln in keys), plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_full_outer_preaggregates_both_sides(spark):
+    """Both inputs reduce to user cardinality BEFORE the full outer join:
+    partial_count on each side, exchanges keyed on user_id only."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["full_outer_reconcile"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "FullOuter" in plan, plan
+    assert "partial_count" in plan, plan
+    keys = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert keys and all("user_id" in ln for ln in keys), plan
