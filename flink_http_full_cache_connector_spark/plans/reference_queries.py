@@ -795,3 +795,79 @@ def http_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = collect_stream(stream, len(records), timeout_s=120.0)
     assert len(rows) == len(records), (len(rows), len(records))
     return spark.createDataFrame(rows, stream.schema)
+
+
+FMT_MOD = 199  # orderkey slice: dimension-sized roundtrip payload at any SF
+
+
+@register(
+    "file_formats_roundtrip",
+    f"""
+    WITH slice AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+        FROM orders WHERE o_orderkey % {FMT_MOD} = 0
+    ),
+    agg AS (
+        SELECT count(*)::bigint AS n_rows,
+               sum((o_totalprice * 100)::bigint)::bigint AS total_cents,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+               count(DISTINCT o_orderstatus)::bigint AS n_status,
+               min(o_orderdate)::TIMESTAMP AS min_date
+        FROM slice
+    )
+    SELECT f.format, a.* FROM agg a,
+           (VALUES ('csv'), ('jsonl'), ('orc')) AS f(format)
+    """,
+    doc="Multi-format ingest/egress gate: ONE orders slice written to CSV, "
+    "JSON-Lines, and ORC, each read back through the declared-schema "
+    "readers (sources/files.py — FAILFAST, explicit timestamp format, "
+    "never inferred) and aggregated; all three format rows must carry "
+    "IDENTICAL aggregates (exact cents, key envelope, status cardinality, "
+    "timestamp min), and each must equal the oracle computed straight "
+    "from parquet — so the gate proves every format's write+read is "
+    "lossless for bigint/decimal/string/timestamp, not merely runnable.  "
+    "The slice is 1/199 of orders (dimension-sized at any SF); at scale "
+    "the same readers run on full-size paths with identical plans "
+    "(pushdown-capable file scans, declared schemas).",
+)
+def file_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    from functools import reduce
+
+    from flink_http_full_cache_connector_spark.sources.files import (
+        read_csv,
+        read_jsonl,
+    )
+
+    schema_ddl = (
+        "o_orderkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DECIMAL(18,2), o_orderdate TIMESTAMP_NTZ"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    sl = orders.where(F.col("o_orderkey") % FMT_MOD == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_formats_")
+    ts_fmt = "yyyy-MM-dd HH:mm:ss"
+    sl.write.option("header", "true").option("timestampFormat", ts_fmt).option(
+        "timestampNTZFormat", ts_fmt
+    ).csv(f"{base}/csv")
+    sl.write.json(f"{base}/jsonl")
+    sl.write.orc(f"{base}/orc")
+    back = {
+        "csv": read_csv(spark, f"{base}/csv", schema_ddl, timestampNTZFormat=ts_fmt),
+        "jsonl": read_jsonl(spark, f"{base}/jsonl", schema_ddl),
+        "orc": spark.read.schema(schema_ddl).orc(f"{base}/orc"),
+    }
+    per_fmt = [
+        df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum((F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            F.countDistinct("o_orderstatus").alias("n_status"),
+            F.min("o_orderdate").alias("min_date"),
+        ).select(F.lit(fmt).alias("format"), "*")
+        for fmt, df in back.items()
+    ]
+    return reduce(DataFrame.unionByName, per_fmt)
