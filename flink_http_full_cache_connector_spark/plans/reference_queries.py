@@ -871,3 +871,73 @@ def file_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for fmt, df in back.items()
     ]
     return reduce(DataFrame.unionByName, per_fmt)
+
+
+@register(
+    "streaming_windowed_append",
+    """
+    WITH agg AS (
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               count(*)::bigint AS cnt, min(value) AS min_val,
+               max(value) AS max_val
+        FROM events GROUP BY 1, 2
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 5 SECOND AS w FROM events)
+    SELECT win_start::TIMESTAMP AS win_start, event_type, cnt,
+           min_val, max_val
+    FROM agg, wm
+    WHERE win_start + INTERVAL 1 HOUR <= wm.w
+    """,
+    doc="APPEND-mode watermarked windowed aggregation — the production "
+    "twin of streaming_windowed_events (complete mode): windows emit "
+    "exactly once when the watermark passes their end, and their state "
+    "is EVICTED — at 100 TB of stream this is the difference between "
+    "O(open windows) and O(all windows ever) state.  The oracle "
+    "recomputes the emission rule in SQL: a window row appears iff "
+    "win_end <= max(ts) - 5s (the final watermark), so the hash match "
+    "pins both the aggregation and Spark's append-emission boundary.  "
+    "availableNow runs the data batch, then a final no-data batch "
+    "advances the watermark and flushes closed windows — empirically "
+    "pinned across SFs.",
+)
+def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(normalize_events_ts)
+        .withWatermark("ts", "5 seconds")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("min_val"),
+            F.max("value").alias("max_val"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "cnt",
+            "min_val",
+            "max_val",
+        )
+    )
+    name = f"stream_append_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    return finalize_memory_sink(spark.table(name), name)
