@@ -1489,3 +1489,124 @@ def multimodal_jpeg_color_pipeline(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def multimodal_jpeg_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jpeg_pipeline(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# REAL video pipeline: MJPEG-in-AVI — vendored RIFF container codec
+# (functions/avi_codec.py) muxing frames encoded by the vendored JPEG
+# codec, demuxed and frame-sampled back.  Closes the "video stays a fake
+# byte-slicer" gap (multimodal_frame_sample keeps the plumbing-only role;
+# this one decodes real pixels out of a real container).
+# ---------------------------------------------------------------------------
+
+VIDEO_FRAMES_MOD = 4  # n_frames = 2 + doc_id % MOD  (2..5 frames)
+VIDEO_FPS_MOD = 17  # fps = 8 + doc_id % MOD
+VIDEO_SAMPLE_STRIDE = 2  # decode every 2nd frame (frame sampling)
+
+VIDEO_PIPELINE_SCHEMA = (
+    "doc_id long, width long, height long, fps long, n_frames long, "
+    "n_sampled long, container_ok boolean, frames_ok boolean"
+)
+
+
+def video_pipeline(docs: DataFrame) -> DataFrame:
+    """Per doc: synthesize 2..5 closed-form grayscale frames, ENCODE each
+    as baseline JPEG, MUX into a spec-valid MJPEG AVI (RIFF walk, WORD
+    alignment, idx1 keyframe index), DEMUX the container back, then
+    frame-SAMPLE every 2nd frame and DECODE its pixels.  container_ok
+    pins the demuxed dims/fps/frame-count; frames_ok pins the sampled
+    frames' DECODED pixels against the closed-form originals under the
+    flat-quant JPEG error bound — so a broken chunk walk, pad-byte slip,
+    index mismatch, or frame reorder flips a boolean.  One Arrow pass,
+    zero shuffles; frames never leave the task that decodes them."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from flink_http_full_cache_connector_spark.functions.avi_codec import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+        from flink_http_full_cache_connector_spark.functions.jpeg_codec import (
+            JPEG_MAX_ERR,
+            decode_jpeg_gray,
+            encode_jpeg_gray,
+        )
+
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 + d % PNG_W_MOD, 16 + d % PNG_H_MOD
+                fps = 8 + d % VIDEO_FPS_MOD
+                n_frames = 2 + d % VIDEO_FRAMES_MOD
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                origs = [
+                    ((xs * 3 + ys * 5 + d * 7 + f * 13) % 256).astype(np.uint8)
+                    for f in range(n_frames)
+                ]
+                avi = encode_avi_mjpeg(
+                    w, h, fps,
+                    [encode_jpeg_gray(w, h, g.tobytes()) for g in origs],
+                )
+                dw, dh, dfps, back = decode_avi_mjpeg(avi)
+                container_ok = (dw, dh, dfps, len(back)) == (w, h, fps, n_frames)
+                sampled = list(range(0, n_frames, VIDEO_SAMPLE_STRIDE))
+                frames_ok = container_ok
+                for f in sampled:
+                    jw, jh, pix = decode_jpeg_gray(back[f])
+                    if (jw, jh) != (w, h):
+                        frames_ok = False
+                        break
+                    dec = np.frombuffer(pix, np.uint8).reshape(jh, jw)
+                    err = np.abs(dec.astype(np.int64) - origs[f].astype(np.int64))
+                    if err.max() > JPEG_MAX_ERR or int(err.sum()) > jw * jh:
+                        frames_ok = False
+                        break
+                rows.append(
+                    (d, w, h, fps, n_frames, len(sampled),
+                     bool(container_ok), bool(frames_ok))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "fps", "n_frames",
+                    "n_sampled", "container_ok", "frames_ok",
+                ],
+            )
+
+    return widen(docs).select("doc_id").mapInPandas(
+        batches, VIDEO_PIPELINE_SCHEMA
+    )
+
+
+@register(
+    "multimodal_video_pipeline",
+    f"""
+    SELECT doc_id,
+           (16 + doc_id % {PNG_W_MOD})::bigint AS width,
+           (16 + doc_id % {PNG_H_MOD})::bigint AS height,
+           (8 + doc_id % {VIDEO_FPS_MOD})::bigint AS fps,
+           (2 + doc_id % {VIDEO_FRAMES_MOD})::bigint AS n_frames,
+           ((2 + doc_id % {VIDEO_FRAMES_MOD} + {VIDEO_SAMPLE_STRIDE} - 1)
+               // {VIDEO_SAMPLE_STRIDE})::bigint AS n_sampled,
+           TRUE AS container_ok,
+           TRUE AS frames_ok
+    FROM documents
+    """,
+    doc="REAL video pipeline (no external libs): MJPEG-in-AVI — the "
+    "vendored RIFF/AVI muxer (functions/avi_codec.py: hdrl/strl headers, "
+    "WORD-aligned 00dc chunks, idx1 keyframe index, fail-fast AviError "
+    "walk) carrying frames from the vendored baseline-JPEG codec; demux "
+    "+ stride-2 frame sampling + per-frame pixel DECODE on the sampled "
+    "frames.  The oracle recomputes the closed-form dims/fps/frame "
+    "counts and expects both contract booleans TRUE — computed "
+    "Spark-side from the DEMUXED container and DECODED pixels, so a "
+    "pad-byte slip, index disagreement, frame reorder, or Huffman "
+    "corruption flips them.  One Arrow pass, zero shuffles; completes "
+    "the real-codec modality set (PNG, GIF, JPEG gray+color, WAV, and "
+    "now video).",
+)
+def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return video_pipeline(load_table(spark, sf_dir, "documents"))
