@@ -627,9 +627,11 @@ def connected_components(
     the driver (``<= local_threshold`` edges) a single-pass union-find
     finishes it with zero extra cluster rounds; above the threshold the
     distributed min-label propagation runs — one equi-join + partial-agg
-    shuffle per round, converging in O(component diameter) rounds, with
-    per-round ``persist`` + a convergence count keeping lineage flat (same
-    driver pattern as Lloyd iteration in ``operators/similarity.py``).
+    shuffle per round, converging in O(component diameter) rounds, with a
+    per-round eager ``localCheckpoint`` + convergence count keeping BOTH
+    the data and the logical plan flat (each round references the label
+    table twice, so an un-truncated plan doubles per round and a
+    long-diameter graph OOMs the driver merely rendering it).
     Both paths produce identical labels (pinned by the union-find property
     test at ``local_threshold=0`` and default).
 
@@ -670,7 +672,6 @@ def connected_components(
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
-    cached = labels.persist()
     for _ in range(max_iters):
         neigh = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -679,7 +680,13 @@ def connected_components(
             .agg(F.min("label").alias("nlabel"))
         )
         # carry the previous label alongside the new one: convergence is a
-        # filter-count on this frame, not a second join against old labels
+        # filter-count on this frame, not a second join against old labels.
+        # localCheckpoint (NOT persist) — each round references `labels`
+        # twice, so without truncating the LOGICAL plan the tree doubles
+        # per round and an O(diameter)-round graph OOMs the driver just
+        # RENDERING the plan string (persist caches data but keeps the
+        # nested plan).  Eager checkpoint pins round N's rows and restarts
+        # the lineage, keeping the plan constant-size at any diameter.
         new = (
             labels.join(neigh, "id", "left")
             .select(
@@ -689,11 +696,9 @@ def connected_components(
                 ).alias("label"),
                 F.col("label").alias("_old"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = new.where(F.col("label") != F.col("_old")).count()
-        cached.unpersist()
-        cached = new
         labels = new.drop("_old")
         if changed == 0:
             break
