@@ -97,3 +97,31 @@ def test_failfast_index_vs_frames_disagreement():
     struct.pack_into("<I", out, 4, len(out) - 8)
     with pytest.raises(AviError, match="idx1 entries"):
         decode_avi_mjpeg(bytes(out))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(8, 40),
+    h=st.integers(8, 40),
+    fps=st.integers(1, 120),
+    n=st.integers(1, 8),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_property_arbitrary_frames(w, h, fps, n, seed):
+    """Any frame multiset of any (even/odd) byte sizes muxes and demuxes
+    byte-losslessly with dims/fps/count preserved — including the RIFF
+    pad-byte path, which random JPEG sizes exercise both ways."""
+    rng = np.random.default_rng(seed)
+    frames = [
+        encode_jpeg_gray(
+            w, h, rng.integers(0, 256, size=w * h, dtype=np.uint8).tobytes()
+        )
+        for _ in range(n)
+    ]
+    dw, dh, dfps, back = decode_avi_mjpeg(encode_avi_mjpeg(w, h, fps, frames))
+    assert (dw, dh, dfps) == (w, h, fps)
+    assert back == frames
