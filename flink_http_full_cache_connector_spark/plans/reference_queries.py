@@ -941,3 +941,79 @@ def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return finalize_memory_sink(spark.table(name), name)
+
+
+@register(
+    "streaming_session_append",
+    """
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM marked
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 5 SECOND AS w FROM events)
+    SELECT user_id,
+           min(ts)::TIMESTAMP AS session_start,
+           max(ts)::TIMESTAMP AS session_end,
+           count(*)::bigint AS cnt
+    FROM numbered, wm
+    GROUP BY user_id, sid, wm.w
+    HAVING max(ts) + INTERVAL 10 MINUTE <= wm.w
+    """,
+    doc="APPEND-mode watermarked SESSION windows — the eviction twin of "
+    "session_windows (batch) and streaming_sessionize (stateful): a "
+    "session emits exactly once when the watermark passes its close "
+    "(last event + 10-minute gap) and its merge state is EVICTED, the "
+    "only shape whose state is O(open sessions) on an unbounded stream.  "
+    "The oracle replays the emission rule in SQL — gaps-and-islands "
+    "sessions HAVING max(ts) + gap <= max(ts_all) - 5s (the final "
+    "watermark) — so the hash match pins Spark's session-close boundary "
+    "(session_window.end = last event + gap), empirically equal to the "
+    "w.end <= watermark rule at every SF.",
+)
+def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    load_table(spark, sf_dir, "events")  # sets the nanosAsLong conf
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .transform(normalize_events_ts)
+        .withWatermark("ts", "5 seconds")
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "10 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("cnt"),
+        )
+        .select("user_id", "session_start", "session_end", "cnt")
+    )
+    name = f"stream_sess_append_{uuid.uuid4().hex[:12]}"
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    return finalize_memory_sink(spark.table(name), name)
