@@ -144,7 +144,8 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
         raise AviError("truncated RIFF payload")
     width = height = fps = total = None
     frames: list[bytes] = []
-    idx_count = None
+    frame_index: list[tuple[int, int]] = []  # (offset-from-movi-type, size)
+    idx_entries: list[tuple[int, int]] | None = None
     for fourcc, p, size in _walk_chunks(data, 12, 8 + riff_size):
         if fourcc == b"LIST":
             _need(data, p, 4, "LIST type")
@@ -181,16 +182,29 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
                 for f2, p2, s2 in _walk_chunks(data, p + 4, p + size):
                     if f2 == b"00dc":
                         frames.append(data[p2 : p2 + s2])
+                        # offset relative to the 'movi' list-type fourcc,
+                        # pointing at the chunk HEADER (the idx1 convention
+                        # this muxer writes)
+                        frame_index.append((p2 - 8 - p, s2))
         elif fourcc == b"idx1":
             if size % 16:
                 raise AviError("idx1 size not a multiple of 16")
-            idx_count = size // 16
+            idx_entries = []
+            for k in range(size // 16):
+                ckid = data[p + 16 * k : p + 16 * k + 4]
+                if ckid != b"00dc":
+                    raise AviError(f"idx1 entry {k}: unexpected id {ckid!r}")
+                _, off, sz = struct.unpack_from("<3I", data, p + 16 * k + 4)
+                idx_entries.append((off, sz))
     if width is None or fps is None:
         raise AviError("missing avih/strh headers")
     if total != len(frames):
         raise AviError(
             f"avih frame count {total} != movi frames {len(frames)}"
         )
-    if idx_count is not None and idx_count != len(frames):
-        raise AviError(f"idx1 entries {idx_count} != frames {len(frames)}")
+    if idx_entries is not None and idx_entries != frame_index:
+        raise AviError(
+            f"idx1 disagrees with movi: {len(idx_entries)} entries "
+            f"vs {len(frame_index)} frames, or offset/size mismatch"
+        )
     return width, height, fps, frames

@@ -672,6 +672,29 @@ def connected_components(
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn(
         "label", F.col("id")
     )
+
+    sc = edges.sparkSession.sparkContext
+
+    def _persisted_ids() -> set[int]:
+        try:
+            return set(dict(sc._jsc.getPersistentRDDs()))
+        except Exception:
+            return set()
+
+    def _release(ids: set[int]) -> None:
+        # best-effort: drop a finished round's localCheckpoint blocks now
+        # rather than waiting for GC + ContextCleaner — an O(diameter)-round
+        # run otherwise stacks up to `diameter` copies of the label table in
+        # block-manager storage between GC cycles
+        try:
+            jmap = dict(sc._jsc.getPersistentRDDs())
+            for i in ids:
+                if i in jmap:
+                    jmap[i].unpersist(False)
+        except Exception:
+            pass
+
+    prev_ids: set[int] = set()
     for _ in range(max_iters):
         neigh = (
             sym.join(labels, sym["b"] == labels["id"])
@@ -687,6 +710,7 @@ def connected_components(
         # RENDERING the plan string (persist caches data but keeps the
         # nested plan).  Eager checkpoint pins round N's rows and restarts
         # the lineage, keeping the plan constant-size at any diameter.
+        pre = _persisted_ids()
         new = (
             labels.join(neigh, "id", "left")
             .select(
@@ -698,7 +722,12 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        mine = _persisted_ids() - pre
         changed = new.where(F.col("label") != F.col("_old")).count()
+        # this round is fully materialized — the previous round's blocks
+        # are now unreachable from any live plan and can be dropped
+        _release(prev_ids)
+        prev_ids = mine
         labels = new.drop("_old")
         if changed == 0:
             break

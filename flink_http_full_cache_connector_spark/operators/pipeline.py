@@ -736,12 +736,17 @@ DSIR_SCALE = 1_000_000  # integer micro-units for the importance ratio
 def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     ws = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    # guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark (it never
+    # returns empty), so a single-token doc would index element_at(w, 0)
+    # and abort the query; DuckDB's range(1, 1) is empty for the same doc
     grams = ws.select(
         "doc_id",
         F.explode(
             F.expr(
+                "CASE WHEN size(w) >= 2 THEN "
                 "transform(sequence(1, size(w) - 1), "
-                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+                "i -> concat(element_at(w, i), ' ', element_at(w, i + 1))) "
+                "ELSE array() END"
             )
         ).alias("g"),
     ).select(

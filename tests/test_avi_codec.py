@@ -95,7 +95,7 @@ def test_failfast_index_vs_frames_disagreement():
     # fix outer RIFF size
     out = bytearray(truncated)
     struct.pack_into("<I", out, 4, len(out) - 8)
-    with pytest.raises(AviError, match="idx1 entries"):
+    with pytest.raises(AviError, match="idx1 disagrees"):
         decode_avi_mjpeg(bytes(out))
 
 
@@ -125,3 +125,19 @@ def test_roundtrip_property_arbitrary_frames(w, h, fps, n, seed):
     dw, dh, dfps, back = decode_avi_mjpeg(encode_avi_mjpeg(w, h, fps, frames))
     assert (dw, dh, dfps) == (w, h, fps)
     assert back == frames
+
+
+def test_failfast_corrupted_index_offsets():
+    """idx1 entries with the right COUNT but wrong offsets/sizes must raise
+    — the full header/index-disagreement contract, not count-only."""
+    avi = bytearray(encode_avi_mjpeg(16, 16, 10, _frames(16, 16, 2)))
+    i = avi.rindex(b"idx1")
+    # zero the first entry's dwChunkOffset
+    struct.pack_into("<I", avi, i + 8 + 8, 0xDEAD)
+    with pytest.raises(AviError, match="idx1 disagrees"):
+        decode_avi_mjpeg(bytes(avi))
+    avi2 = bytearray(encode_avi_mjpeg(16, 16, 10, _frames(16, 16, 2)))
+    j = avi2.rindex(b"idx1")
+    struct.pack_into("<I", avi2, j + 8 + 12, 1)  # corrupt dwChunkLength
+    with pytest.raises(AviError, match="idx1 disagrees"):
+        decode_avi_mjpeg(bytes(avi2))

@@ -912,18 +912,16 @@ def test_corpus_shard_manifest_balance_and_invariance(spark, monkeypatch):
         assert r.shard_id == prefix // P.SHARD_TOKEN_BUDGET, r
         assert r.shard_offset == prefix % P.SHARD_TOKEN_BUDGET, r
         prefix += r.n_tokens
-    # every shard but the last crosses the budget boundary
-    last = max(r.shard_id for r in rows)
-    by_shard = {}
-    for r in rows:
-        by_shard.setdefault(r.shard_id, 0)
-        by_shard[r.shard_id] += r.n_tokens
-    for sid, tok in by_shard.items():
-        if sid < last:
-            # the shard plus the first doc of the next shard spans the budget
-            assert tok + min(
-                x.shard_offset + 1 for x in rows if x.shard_id == sid + 1
-            ) > P.SHARD_TOKEN_BUDGET - max(r.n_tokens for r in rows)
+    # balance follows from the prefix law checked above: shard_id is
+    # EXACTLY prefix div budget for every row, so a shard can only end
+    # where the running total crosses a budget multiple — assert the
+    # crossing directly for every consecutive pair in the total order
+    for prev, nxt in zip(order, order[1:]):
+        if nxt.shard_id != prev.shard_id:
+            assert nxt.shard_id > prev.shard_id  # monotone, may skip on big docs
+            assert prev.shard_offset + prev.n_tokens >= P.SHARD_TOKEN_BUDGET
+        else:
+            assert nxt.shard_offset == prev.shard_offset + prev.n_tokens
     # partitioning invariance: a much narrower sort must not move anything
     monkeypatch.setattr(P, "SHARD_SORT_PARTITIONS", 3)
     narrow = fn(spark, "/root/testdata/sf0.001").collect()
@@ -948,11 +946,16 @@ def test_importance_weights_prefer_target_like_docs(spark, tmp_path):
             source="web", n_chars=0),
         Row(doc_id=2, text=noise_text, lang="en", source="web", n_chars=0),
         Row(doc_id=3, text=noise_text, lang="en", source="web", n_chars=0),
+        # single-token and whitespace-only docs: zero bigrams, score 0 —
+        # must not abort the query (Spark sequence(1,0) is NOT empty)
+        Row(doc_id=4, text="loner", lang="en", source="web", n_chars=0),
+        Row(doc_id=5, text="   ", lang="en", source="web", n_chars=0),
     ]
     d = str(tmp_path / "dsir")
     spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
     out = {r.doc_id: r for r in corpus_importance_weights(spark, d).collect()}
-    assert set(out) == {0, 1, 2, 3, 13}
+    assert set(out) == {0, 1, 2, 3, 4, 5, 13}
+    assert out[4].score == 0 and out[5].score == 0
     # the above-mean gate keeps the target docs and drops the off-target ones
     assert out[0].keep and out[13].keep, out
     assert not out[2].keep and not out[3].keep, out
@@ -960,3 +963,36 @@ def test_importance_weights_prefer_target_like_docs(spark, tmp_path):
     assert out[1].score > out[2].score
     again = {r.doc_id: r.score for r in corpus_importance_weights(spark, d).collect()}
     assert again == {k: v.score for k, v in out.items()}
+
+
+def test_corpus_shard_manifest_oversized_doc_skips_whole_shards(spark, tmp_path):
+    """A document larger than the shard budget must occupy (at least) one
+    whole shard and advance shard_id past intermediate multiples — the
+    prefix law, not a per-shard reset, decides assignment."""
+    from flink_http_full_cache_connector_spark.operators import pipeline as P
+
+    big = "w " * (P.SHARD_TOKEN_BUDGET * 2 + 10)
+    rows = [
+        Row(doc_id=i, text=("a b c" if i else big), lang="en",
+            source="web", n_chars=0)
+        for i in range(4)
+    ]
+    d = str(tmp_path / "shards")
+    spark.createDataFrame(rows).write.parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in P.corpus_shard_manifest(spark, d).collect()}
+    assert out[0].n_tokens == 2 * P.SHARD_TOKEN_BUDGET + 10
+    import hashlib
+
+    order = sorted(
+        out.values(),
+        key=lambda r: (hashlib.md5(str(r.doc_id).encode()).hexdigest(), r.doc_id),
+    )
+    prefix = 0
+    for r in order:
+        assert r.shard_id == prefix // P.SHARD_TOKEN_BUDGET
+        assert r.shard_offset == prefix % P.SHARD_TOKEN_BUDGET
+        prefix += r.n_tokens
+    # the doc after the oversized one jumps >= 2 shards forward
+    i_big = next(i for i, r in enumerate(order) if r.doc_id == 0)
+    if i_big + 1 < len(order):
+        assert order[i_big + 1].shard_id >= order[i_big].shard_id + 2
