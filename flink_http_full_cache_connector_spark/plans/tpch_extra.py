@@ -1258,3 +1258,82 @@ def bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_revenue_dec()).cast("double").alias("revenue"),
         F.count("*").alias("n_lines"),
     )
+
+
+# Q20 flavor: suppliers shipping an outsized share of PROMO parts.  The
+# textbook Q20 gates on partsupp.ps_availqty > 1/2 of shipped quantity;
+# this schema has no partsupp, so the excess signal is shipped PROMO
+# quantity > 150% of the per-supplier average — the same nested
+# aggregate-in-subquery shape (IN + correlated threshold), the same
+# supplier-level answer.
+ESS_TYPE_PREFIX = "PROMO"
+ESS_DATE_LO = "1996-01-01 00:00:00"
+ESS_DATE_HI = "1997-01-01 00:00:00"
+
+
+@register(
+    "excess_stock_suppliers",
+    f"""
+    WITH promo_ship AS (
+        SELECT l.l_suppkey, sum((l.l_quantity * 100)::bigint)::bigint AS qty_c
+        FROM lineitem l
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_type LIKE '{ESS_TYPE_PREFIX}%')
+          AND l.l_shipdate >= TIMESTAMP '{ESS_DATE_LO}'
+          AND l.l_shipdate < TIMESTAMP '{ESS_DATE_HI}'
+        GROUP BY l.l_suppkey
+    ),
+    thresh AS (SELECT (sum(qty_c) * 3)::bigint AS num,
+                      (count(*) * 2)::bigint AS den
+               FROM promo_ship)
+    SELECT s.s_suppkey, s.s_name, n.n_name, ps.qty_c AS promo_qty_cents
+    FROM promo_ship ps
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE ps.qty_c * (SELECT den FROM thresh) > (SELECT num FROM thresh)
+    """,
+    doc="TPC-H Q20-flavor excess-stock suppliers: who shipped more than "
+    "150% of the average per-supplier PROMO-part quantity in 1996 (the "
+    "schema has no partsupp, so shipped share replaces availqty — same "
+    "IN-subquery + correlated-threshold shape).  The part filter "
+    "BROADCASTS onto the lineitem scan (semi join, no fact shuffle "
+    "before the supplier agg), the supplier rollup is one uniform-key "
+    "exchange, and the global threshold is a 1-row broadcast compared "
+    "by integer cross-multiplication (quantity in exact cents ×3/×2 — "
+    "no float division on either engine).  Supplier/nation dims "
+    "broadcast onto the supplier-sized aggregate.",
+)
+def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(ESS_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(ESS_DATE_HI).cast("timestamp"))
+    )
+    promo = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_type").startswith(ESS_TYPE_PREFIX))
+        .select("p_partkey")
+    )
+    ship = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_quantity") * 100).cast("long")).alias("qty_c")
+        )
+        .persist()  # referenced by the threshold branch AND the output join
+    )
+    thresh = ship.agg(
+        (F.sum("qty_c") * 3).cast("long").alias("num"),
+        (F.count("*") * 2).cast("long").alias("den"),
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        ship.crossJoin(F.broadcast(thresh))
+        .where(F.col("qty_c") * F.col("den") > F.col("num"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey", "s_name", "n_name",
+            F.col("qty_c").alias("promo_qty_cents"),
+        )
+    )
