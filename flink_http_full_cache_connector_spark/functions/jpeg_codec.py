@@ -498,12 +498,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
         raise JpegError("missing SOF/SOS")
     if len(scan_order) != len(comps):
         raise JpegError("progressive/multi-scan streams unsupported")
-    samplings = sorted((h, v) for _, h, v, _ in comps)
+    # positional, NOT sorted: the (2,2) factors must sit on the FIRST (luma)
+    # component — a spec-valid stream subsampling luma instead of chroma
+    # would otherwise be accepted and silently upsampled wrong; fail fast so
+    # the pillow fallback handles it
+    samplings = [(h, v) for _, h, v, _ in comps]
     if len(comps) == 3 and samplings not in (
         [(1, 1), (1, 1), (1, 1)],
-        [(1, 1), (1, 1), (2, 2)],
+        [(2, 2), (1, 1), (1, 1)],
     ):
-        raise JpegError("only 4:4:4 and 4:2:0 sampling supported")
+        raise JpegError("only 4:4:4 and luma-first 4:2:0 sampling supported")
     hmax = max(h for _, h, v, _ in comps)
     vmax = max(v for _, h, v, _ in comps)
     end = data.rfind(b"\xff\xd9")

@@ -685,7 +685,13 @@ def connected_components(
         # best-effort: drop a finished round's localCheckpoint blocks now
         # rather than waiting for GC + ContextCleaner — an O(diameter)-round
         # run otherwise stacks up to `diameter` copies of the label table in
-        # block-manager storage between GC cycles
+        # block-manager storage between GC cycles.
+        # ASSUMPTION: the snapshot diff around localCheckpoint attributes
+        # every newly-persisted RDD in that window to this loop — true for
+        # the single-threaded driver this runs in; a concurrent query
+        # persisting an RDD in the same SparkContext during the window
+        # would get its blocks dropped.  If this ever runs multi-threaded,
+        # scope by the checkpointed DataFrame's own RDD id instead.
         try:
             jmap = dict(sc._jsc.getPersistentRDDs())
             for i in ids:
@@ -1255,6 +1261,186 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()  # feeds both self-join sides + the output
     )
+    return _semantic_prune(emb, assign)
+
+
+SEMANTIC_COARSE_MIN = 4
+
+
+def semantic_coarse_for(cells: int) -> int:
+    """coarse cells = max(min, isqrt(C)) — the IVF coarse-quantizer width.
+
+    Two-level assignment visits √C coarse centroids, then the ~C/√C = √C
+    fine centroids of the winning coarse cell: n·2√C cosines total versus
+    the flat variant's n·C.  With C = isqrt(n) that takes the assignment
+    term from n^1.5 to ~n^1.25 — the extension the flat docstring names
+    for corpus sizes where C outgrows broadcast comfort."""
+    return max(SEMANTIC_COARSE_MIN, math.isqrt(cells))
+
+
+def _semantic_2level_oracle() -> str:
+    sim_uv = duck_cosine("u.v", "v.v")
+    return f"""
+WITH params AS (
+    -- exact integer sqrt twice: C = isqrt(n), K = isqrt(C)
+    SELECT c, greatest({SEMANTIC_COARSE_MIN},
+                    t - CASE WHEN t * t > c THEN 1 ELSE 0 END
+                      + CASE WHEN (t + 1) * (t + 1) <= c THEN 1 ELSE 0 END
+           )::bigint AS k
+    FROM (SELECT c, floor(sqrt(c::double))::bigint AS t FROM (
+          SELECT greatest({SEMANTIC_MIN_CELLS},
+                    s - CASE WHEN s * s > n THEN 1 ELSE 0 END
+                      + CASE WHEN (s + 1) * (s + 1) <= n THEN 1 ELSE 0 END
+           )::bigint AS c
+          FROM (SELECT n, floor(sqrt(n::double))::bigint AS s
+                FROM (SELECT count(*) AS n FROM embeddings))))
+),
+coarse AS (
+    SELECT vec_id AS co_id, embedding AS qv
+    FROM embeddings, params WHERE vec_id < params.k
+),
+fine AS (
+    SELECT vec_id AS cent_id, embedding AS cv
+    FROM embeddings, params WHERE vec_id < params.c
+),
+fine_grouped AS MATERIALIZED (
+    -- each fine centroid joins the coarse cell it is nearest to
+    SELECT cent_id, co_id, cv FROM (
+        SELECT f.cent_id, c.co_id, f.cv,
+               row_number() OVER (
+                   PARTITION BY f.cent_id
+                   ORDER BY {duck_cosine('f.cv', 'c.qv')} DESC, c.co_id) AS rn
+        FROM fine f CROSS JOIN coarse c) WHERE rn = 1
+),
+v_coarse AS MATERIALIZED (
+    -- stage 1: every vector picks its coarse cell (n·K cosines)
+    SELECT vec_id, co_id, v FROM (
+        SELECT e.vec_id, c.co_id, e.embedding AS v,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {duck_cosine('e.embedding', 'c.qv')} DESC, c.co_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN coarse c) WHERE rn = 1
+),
+assign AS MATERIALIZED (
+    -- stage 2: best fine centroid WITHIN the winning coarse cell
+    SELECT vec_id, cent_id AS cell_id, v, sim AS cent_sim FROM (
+        SELECT vc.vec_id, fg.cent_id, vc.v,
+               {duck_cosine('vc.v', 'fg.cv')} AS sim,
+               row_number() OVER (
+                   PARTITION BY vc.vec_id
+                   ORDER BY {duck_cosine('vc.v', 'fg.cv')} DESC, fg.cent_id
+               ) AS rn
+        FROM v_coarse vc JOIN fine_grouped fg ON fg.co_id = vc.co_id
+    ) WHERE rn = 1
+),
+dropped AS (
+    SELECT DISTINCT v.vec_id
+    FROM assign u JOIN assign v
+      ON u.cell_id = v.cell_id
+     AND (u.cent_sim < v.cent_sim
+          OR (u.cent_sim = v.cent_sim AND u.vec_id < v.vec_id))
+    WHERE {sim_uv} >= {SEMANTIC_DUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cell_id::int AS cell_id,
+       {duck_trunc6('a.cent_sim')} AS cent_sim,
+       (d.vec_id IS NULL) AS is_kept
+FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+"""
+
+
+@register(
+    "dedup_semantic_2level",
+    _semantic_2level_oracle(),
+    doc="Two-level (coarse-quantizer) SemDeDup — the scale extension "
+    "dedup_semantic's docstring names: C = isqrt(n) fine cells as before, "
+    "but assignment goes through K = isqrt(C) coarse cells first (every "
+    "fine centroid pre-assigned to its nearest coarse cell, metadata-sized "
+    "C×K work), so each vector pays n·K + n·(C/K) ≈ 2√C cosines instead "
+    "of C — n^1.25 total where flat is n^1.5 — and the per-stage "
+    "broadcast is √C centroids instead of C.  The keep policy inside the "
+    "final cells is UNCHANGED (cent_sim ASC, vec_id — farthest from "
+    "centroid kept first); only the cell a vector lands in can differ "
+    "from the flat variant (standard IVF approximation: the globally "
+    "nearest fine centroid may live in a losing coarse cell).  Every "
+    "coarse cell is non-empty by construction (fine centroid j < K is "
+    "its own coarse centroid, self-similarity 1.0 is the strict max "
+    "unless an exact-duplicate centroid wins the lower-id tie-break — in "
+    "which case no vector can pick the orphaned cell either, since its "
+    "similarities to both duplicates are bit-identical).  Both argmax "
+    "stages are scalar max_by hash aggregates (map-side combine, one "
+    "slim row per vector through each shuffle); the vector is re-attached "
+    "once by a uniform vec_id join between the stages.  Oracle replays "
+    "coarse assignment, fine-within-coarse assignment, and the drop rule "
+    "with the identical fold order and tie-breaks.",
+)
+def dedup_semantic_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one metadata-sized count sizes both grid levels (SCALE.md rule 1)
+    cells = semantic_cells_for(emb.count())
+    k = semantic_coarse_for(cells)
+    coarse = emb.where(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("co_id"), as_double(F.col("embedding")).alias("qv")
+    ).withColumn("nq", norm(F.col("qv")))
+    fine = emb.where(F.col("vec_id") < cells).select(
+        F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
+    ).withColumn("nc", norm(F.col("cv")))
+    # fine → coarse grouping: C×K cosines, metadata-sized, broadcast later
+    fsim = cosine_with_norms(F.col("cv"), F.col("qv"), F.col("nc"), F.col("nq"))
+    f_order = F.struct(F.col("sim"), (-F.col("co_id")).alias("neg"))
+    fine_grouped = (
+        fine.join(F.broadcast(coarse))
+        .select("cent_id", "co_id", fsim.alias("sim"))
+        .groupBy("cent_id")
+        .agg(F.max_by(F.col("co_id"), f_order).alias("co_id"))
+        .join(fine, "cent_id")  # re-attach cv/nc (C rows, trivial)
+    )
+    v = widen(emb).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    # stage 1: n×K scalar rows, hash-aggregated map-side — the broadcast
+    # here is K = isqrt(C) centroids, the whole point of the variant
+    s1 = cosine_with_norms(F.col("v"), F.col("qv"), F.col("nv"), F.col("nq"))
+    s1_order = F.struct(F.col("sim"), (-F.col("co_id")).alias("neg"))
+    vco = (
+        v.join(F.broadcast(coarse.select("co_id", "qv", "nq")))
+        .select("vec_id", "co_id", s1.alias("sim"))
+        .groupBy("vec_id")
+        .agg(F.max_by(F.col("co_id"), s1_order).alias("co_id"))
+    )
+    # stage 2: re-attach the vector (uniform vec_id join), then score only
+    # the fine centroids of the winning coarse cell (≈ C/K candidates)
+    s2 = cosine_with_norms(F.col("v"), F.col("cv"), F.col("nv"), F.col("nc"))
+    s2_order = F.struct(F.col("sim"), (-F.col("cent_id")).alias("neg"))
+    assign = (
+        vco.join(v, "vec_id")
+        .join(F.broadcast(fine_grouped), "co_id")
+        .select("vec_id", "cent_id", s2.alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(F.col("cent_id"), s2_order).alias("cell_id"),
+            F.max(F.col("sim")).alias("cent_sim"),
+        )
+        .persist()  # feeds both self-join sides + the output
+    )
+    return _semantic_prune(emb, assign)
+
+
+def _semantic_prune(emb: DataFrame, assign: DataFrame) -> DataFrame:
+    """Shared SemDeDup within-cell drop rule over an ``assign`` relation
+    ``(vec_id, cell_id, cent_sim)`` (persisted by the caller): slim id-pair
+    self-join on cell_id ordered by (cent_sim ASC, vec_id), vectors
+    re-attached by two uniform vec_id joins for the epsilon check."""
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
     u = assign.select(
         "cell_id", F.col("vec_id").alias("uid"), F.col("cent_sim").alias("us")
     )

@@ -108,7 +108,25 @@ def observed_lookup_join(
     is not derivable; there the marker is constant 1 and the metrics
     degrade to output-row counts (exact whenever the condition matches
     at most one cache row per probe row).
+
+    ``lookup_total`` is only exact for ``how="left"``: an INNER join
+    drops missed probe rows from the output entirely, so nothing can
+    count them and the derived hit rate is trivially 100%.  A
+    non-``left`` ``how`` therefore emits a ``UserWarning`` — the
+    metrics still flow, but ``lookup_total`` then means "probe rows
+    that produced output", not "lookup requests".
     """
+    if how != "left":
+        import warnings
+
+        warnings.warn(
+            "observed_lookup_join: lookup_total is exact only for "
+            f"how='left' — with how={how!r} missed probe rows produce no "
+            "output row, so lookup_total==lookup_hits and the derived hit "
+            "rate is always 100%",
+            UserWarning,
+            stacklevel=2,
+        )
     if isinstance(on, str):
         key_cols: list[str] | None = [on]
     elif isinstance(on, Column):

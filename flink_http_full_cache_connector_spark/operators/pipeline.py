@@ -507,7 +507,23 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # curriculum ordering: the global training-order materializer
 # ---------------------------------------------------------------------------
 
-CURRICULUM_PARTITIONS = 32  # range-partition width of the ordinal assignment
+CURRICULUM_PARTITIONS = 32  # minimum range-partition width of the ordinal sort
+
+
+def _sort_width(df, override: int | None, floor: int = 32) -> int:
+    """Width of a distributed total-order sort (repartitionByRange).
+
+    Derived from the input's own partition count — a hardcoded width
+    would make the range sort THE bottleneck stage at 100 TB (everything
+    funnels through N fixed tasks).  The manifests' results are
+    partitioning-invariant by construction (ordinals/prefix sums depend
+    only on the unique sort key, never on where range boundaries fall —
+    pinned byte-identical at widths 7 and 64 in
+    ``tests/test_pipeline_ops.py``), so the width is purely a
+    parallelism knob.  ``override`` exists for those tests."""
+    if override is not None:
+        return override
+    return max(floor, df.rdd.getNumPartitions())
 
 
 @register(
@@ -537,7 +553,9 @@ CURRICULUM_PARTITIONS = 32  # range-partition width of the ordinal assignment
     "CUT without global order) with the global ORDER a training "
     "dataloader manifest needs.",
 )
-def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_curriculum(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
     from collections.abc import Iterator
 
     import pandas as pd
@@ -550,8 +568,9 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length(F.bin(F.col("n_chars"))) - 1).cast("int").alias("tier"),
         F.md5(F.col("doc_id").cast("string")).alias("h"),
     )
+    width = _sort_width(keyed, num_partitions, CURRICULUM_PARTITIONS)
     arranged = keyed.repartitionByRange(
-        CURRICULUM_PARTITIONS, "tier", "h", "doc_id"
+        width, "tier", "h", "doc_id"
     ).sortWithinPartitions("tier", "h", "doc_id").withColumn(
         "pid", F.spark_partition_id()
     )
@@ -589,7 +608,7 @@ def corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 SHARD_TOKEN_BUDGET = 2048  # tokens per output shard
-SHARD_SORT_PARTITIONS = 32  # range-partition width of the global sort
+SHARD_SORT_PARTITIONS = 32  # minimum range-partition width of the global sort
 
 
 @register(
@@ -627,7 +646,9 @@ SHARD_SORT_PARTITIONS = 32  # range-partition width of the global sort
     "(global cut), corpus_curriculum (global order), this (global "
     "balance).",
 )
-def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_shard_manifest(
+    spark: SparkSession, sf_dir: str, num_partitions: int | None = None
+) -> DataFrame:
     from collections.abc import Iterator
 
     import pandas as pd
@@ -640,8 +661,9 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")).alias("h"),
         token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
+    width = _sort_width(toks, num_partitions, SHARD_SORT_PARTITIONS)
     arranged = (
-        toks.repartitionByRange(SHARD_SORT_PARTITIONS, "h", "doc_id")
+        toks.repartitionByRange(width, "h", "doc_id")
         .sortWithinPartitions("h", "doc_id")
         .withColumn("pid", F.spark_partition_id())
         .persist()

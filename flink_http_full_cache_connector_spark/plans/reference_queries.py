@@ -36,7 +36,10 @@ from flink_http_full_cache_connector_spark.sources.local_http import (
     parquet_as_records,
     serve_json,
 )
-from flink_http_full_cache_connector_spark.sources.lookup import create_lookup_df
+from flink_http_full_cache_connector_spark.sources.lookup import (
+    _local_relation,
+    create_lookup_df,
+)
 
 NATION_SCHEMA = StructType(
     [
@@ -831,6 +834,7 @@ FMT_MOD = 199  # orderkey slice: dimension-sized roundtrip payload at any SF
     "(pushdown-capable file scans, declared schemas).",
 )
 def file_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     from functools import reduce
 
@@ -848,29 +852,41 @@ def file_formats_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"
     )
     base = tempfile.mkdtemp(prefix="spark_graft_formats_")
-    ts_fmt = "yyyy-MM-dd HH:mm:ss"
-    sl.write.option("header", "true").option("timestampFormat", ts_fmt).option(
-        "timestampNTZFormat", ts_fmt
-    ).csv(f"{base}/csv")
-    sl.write.json(f"{base}/jsonl")
-    sl.write.orc(f"{base}/orc")
-    back = {
-        "csv": read_csv(spark, f"{base}/csv", schema_ddl, timestampNTZFormat=ts_fmt),
-        "jsonl": read_jsonl(spark, f"{base}/jsonl", schema_ddl),
-        "orc": spark.read.schema(schema_ddl).orc(f"{base}/orc"),
-    }
-    per_fmt = [
-        df.agg(
-            F.count("*").alias("n_rows"),
-            F.sum((F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
-            F.min("o_orderkey").alias("min_key"),
-            F.max("o_orderkey").alias("max_key"),
-            F.countDistinct("o_orderstatus").alias("n_status"),
-            F.min("o_orderdate").alias("min_date"),
-        ).select(F.lit(fmt).alias("format"), "*")
-        for fmt, df in back.items()
-    ]
-    return reduce(DataFrame.unionByName, per_fmt)
+    try:
+        ts_fmt = "yyyy-MM-dd HH:mm:ss"
+        sl.write.option("header", "true").option("timestampFormat", ts_fmt).option(
+            "timestampNTZFormat", ts_fmt
+        ).csv(f"{base}/csv")
+        sl.write.json(f"{base}/jsonl")
+        sl.write.orc(f"{base}/orc")
+        back = {
+            "csv": read_csv(
+                spark, f"{base}/csv", schema_ddl, timestampNTZFormat=ts_fmt
+            ),
+            "jsonl": read_jsonl(spark, f"{base}/jsonl", schema_ddl),
+            "orc": spark.read.schema(schema_ddl).orc(f"{base}/orc"),
+        }
+        per_fmt = [
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.sum((F.col("o_totalprice") * 100).cast("long")).alias(
+                    "total_cents"
+                ),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+                F.countDistinct("o_orderstatus").alias("n_status"),
+                F.min("o_orderdate").alias("min_date"),
+            ).select(F.lit(fmt).alias("format"), "*")
+            for fmt, df in back.items()
+        ]
+        out = reduce(DataFrame.unionByName, per_fmt)
+        # materialize the 3-row aggregate eagerly so the format directories
+        # can be deleted before returning — the lazy version leaked three
+        # /tmp trees of orders data per bench/correctness run
+        rows = [tuple(r) for r in out.collect()]
+        return _local_relation(spark, rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @register(

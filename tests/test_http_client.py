@@ -53,6 +53,36 @@ def test_fetch_zero_retries_single_attempt(http_server):
     assert http_server.request_count == 1
 
 
+def test_metrics_count_http_error_failures():
+    """The urllib ``HTTPError`` (4xx/5xx) branch must feed RequestMetrics —
+    it is the most common failure class, and the reference README's
+    'failure counts / response times' metrics would be hollow without it."""
+    import io
+    import urllib.error
+
+    from flink_http_full_cache_connector_spark.http_client import RequestMetrics
+
+    def opener(req, timeout=None):
+        raise urllib.error.HTTPError(
+            req.full_url, 503, "Service Unavailable", None, io.BytesIO(b"down")
+        )
+
+    metrics = RequestMetrics()
+    with pytest.raises(HttpFetchError, match="after 1 retries"):
+        fetch_with_retry(
+            "http://example.invalid/x",
+            max_retries=1,
+            retry_delay_ms=1,
+            sleep=lambda s: None,
+            opener=opener,
+            metrics=metrics,
+        )
+    assert metrics.attempts == 2
+    assert metrics.failures == 2
+    assert metrics.retries == 1
+    assert metrics.total_duration_s > 0.0
+
+
 # --- JSON pointer (RFC 6901; HttpInputFormatProvider.scala:137-146) ---------
 
 DOC = {"data": {"items": [1, 2], "a/b": {"c~d": "deep"}}, "": "empty-key"}

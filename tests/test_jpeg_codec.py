@@ -111,6 +111,22 @@ def test_progressive_and_multicomponent_rejected():
         decode_jpeg_gray(bad)
 
 
+def test_chroma_subsampled_luma_rejected():
+    """Spec-valid but unsupported: (2,2) factors on a CHROMA component
+    (luma (1,1)).  A sorted sampling check would accept this and silently
+    upsample the wrong planes — must fail fast to the pillow fallback."""
+    img = np.full((16, 16, 3), 128, np.uint8)
+    good = bytearray(encode_jpeg_rgb(16, 16, img.tobytes(), subsample=True))
+    idx = bytes(good).find(b"\xff\xc0")
+    assert idx > 0
+    # SOF0 layout: marker(2) len(2) prec(1) h(2) w(2) ncomp(1), then
+    # per-component (cid, hv, tq); hv bytes sit at idx+11, +14, +17
+    assert good[idx + 11] == 0x22 and good[idx + 17] == 0x11
+    good[idx + 11], good[idx + 17] = good[idx + 17], good[idx + 11]
+    with pytest.raises(JpegError, match="sampling"):
+        decode_jpeg(bytes(good))
+
+
 @settings(max_examples=15, deadline=None)
 @given(
     w=st.integers(1, 33),

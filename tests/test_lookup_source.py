@@ -225,11 +225,13 @@ def test_observed_lookup_join_hit_rate_batch(spark, http_server):
     assert "__lookup_hit__" not in joined.columns
     assert joined.count() == 7
     assert obs.get == {"lookup_total": 7, "lookup_hits": 5}
-    # inner join drops the misses, and the hit count tracks the output
+    # inner join drops the misses, and the hit count tracks the output —
+    # lookup_total degrades to output rows, which the call now warns about
     obs2 = Observation("http_lookup_inner")
-    inner = observed_lookup_join(
-        probe, cache, on=[("user_id", "id")], how="inner", observation=obs2
-    )
+    with pytest.warns(UserWarning, match="exact only for how='left'"):
+        inner = observed_lookup_join(
+            probe, cache, on=[("user_id", "id")], how="inner", observation=obs2
+        )
     assert inner.count() == 5
     assert obs2.get == {"lookup_total": 5, "lookup_hits": 5}
 

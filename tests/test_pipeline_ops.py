@@ -928,6 +928,25 @@ def test_corpus_shard_manifest_balance_and_invariance(spark, monkeypatch):
     assert sorted(map(tuple, narrow)) == sorted(map(tuple, rows))
 
 
+def test_manifest_sort_width_invariance_and_derivation(spark):
+    """The global-sort width is a pure parallelism knob: both manifests must
+    be byte-identical at explicit widths 7 and 64, and the default width
+    must derive from the input (>= the floor) rather than stay hardcoded —
+    at 100 TB a fixed 32-way range sort would be the bottleneck stage."""
+    from flink_http_full_cache_connector_spark.operators import pipeline as P
+
+    d = "/root/testdata/sf0.001"
+    for fn in (P.corpus_curriculum, P.corpus_shard_manifest):
+        at7 = sorted(map(tuple, fn(spark, d, num_partitions=7).collect()))
+        at64 = sorted(map(tuple, fn(spark, d, num_partitions=64).collect()))
+        assert at7 == at64, fn.__name__
+    # the derived default respects the floor and scales with the input
+    probe = spark.range(0, 1000, 1, 57)
+    assert P._sort_width(probe, None) == 57
+    assert P._sort_width(spark.range(10, numPartitions=2), None) == 32
+    assert P._sort_width(probe, 7) == 7
+
+
 def test_importance_weights_prefer_target_like_docs(spark, tmp_path):
     """DSIR semantics on a planted corpus: target docs (id % 13 == 0) are
     wall-to-wall 'alpha beta' bigrams; the above-mean keep gate must

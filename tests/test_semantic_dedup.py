@@ -123,3 +123,109 @@ def test_property_matches_numpy_model_on_generated_corpora(
     for r in rows:
         mc, mk = model[r.vec_id]
         assert (r.cell_id, r.is_kept) == (mc, mk), (r.vec_id, vecs)
+
+
+# ---------------------------------------------------------------------------
+# two-level (coarse-quantizer) variant
+# ---------------------------------------------------------------------------
+
+from flink_http_full_cache_connector_spark.operators.dedup import (  # noqa: E402
+    SEMANTIC_COARSE_MIN,
+    semantic_coarse_for,
+)
+
+
+def _model_2level(sf_dir):
+    """Pure-numpy reference for the two-level assignment + drop rule."""
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = tbl["vec_id"].to_numpy()
+    emb = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
+    n = len(ids)
+    cells = semantic_cells_for(n)
+    k = semantic_coarse_for(cells)
+    norms = np.linalg.norm(emb, axis=1)
+
+    def best(sims, cand_ids):
+        # argmax, ties to the LOWEST candidate id (rows ascend by id)
+        return cand_ids[sims.argmax()]
+
+    coarse_mask, fine_mask = ids < k, ids < cells
+    co_ids, q = ids[coarse_mask], emb[coarse_mask]
+    fi_ids, c = ids[fine_mask], emb[fine_mask]
+    qn, cn = np.linalg.norm(q, axis=1), np.linalg.norm(c, axis=1)
+    # fine centroid -> coarse group
+    group = {}
+    for i, fid in enumerate(fi_ids):
+        sims = (c[i] @ q.T) / (cn[i] * qn)
+        group[fid] = best(sims, co_ids)
+    cell = np.empty(n, dtype=np.int64)
+    cent_sim = np.empty(n)
+    for i in range(n):
+        s1 = (emb[i] @ q.T) / (norms[i] * qn)
+        co = best(s1, co_ids)
+        members = np.array([fid for fid in fi_ids if group[fid] == co])
+        mi = np.searchsorted(fi_ids, members)
+        s2 = (emb[i] @ c[mi].T) / (norms[i] * cn[mi])
+        cell[i] = best(s2, members)
+        cent_sim[i] = s2.max()
+    out = {}
+    for cc in np.unique(cell):
+        mem = np.where(cell == cc)[0]
+        order = sorted(mem, key=lambda i: (cent_sim[i], ids[i]))
+        for i in order:
+            dup = any(
+                (emb[i] @ emb[j]) / (norms[i] * norms[j])
+                >= SEMANTIC_DUP_THRESHOLD
+                for j in order
+                if (cent_sim[j], ids[j]) < (cent_sim[i], ids[i])
+            )
+            out[int(ids[i])] = (int(cc), not dup)
+    return out
+
+
+def test_2level_matches_numpy_brute_force(spark):
+    rows = all_queries()["dedup_semantic_2level"].spark(spark, SF_DIR).collect()
+    model = _model_2level(SF_DIR)
+    assert len(rows) == len(model)
+    for r in rows:
+        mc, mk = model[r.vec_id]
+        assert (r.cell_id, r.is_kept) == (mc, mk), (r.vec_id, r.cell_id, mc, mk)
+
+
+def test_2level_plan_is_scale_shaped(spark):
+    """The verdict's pin: the coarse stage broadcasts <= sqrt(C) centroids
+    and both assignment argmaxes are scalar HASH aggregates — no sort
+    aggregate (the wide-row max_by trap), no cartesian product, and the
+    n-row relation is never range/hash-partitioned by anything but
+    vec_id."""
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        dedup_semantic_2level,
+    )
+
+    df = dedup_semantic_2level(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # both argmax stages partial-aggregate BEFORE their exchange (map-side
+    # combine: the shuffle carries one slim row per vector, never n×K)
+    assert "partial_max_by" in plan
+    # the aggregated values are scalar ids — a max_by struct carrying the
+    # vector would force the wide-row sort the flat docstring warns about
+    assert "max_by(v#" not in plan and "max_by(embedding#" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 2  # v×coarse, fine×coarse
+    assert "BroadcastHashJoin" in plan  # fine_grouped equi-join on co_id
+
+
+def test_coarse_sizing_formula():
+    for c in [0, 1, 4, 15, 16, 17, 256, 1024, 99980001]:
+        assert semantic_coarse_for(c) == max(SEMANTIC_COARSE_MIN, math.isqrt(c))
+
+
+@settings(max_examples=8, deadline=None)
+@given(vecs=_corpus)
+def test_2level_property_matches_numpy_model(spark, tmp_path_factory, vecs):
+    d = _write_embeddings(tmp_path_factory.mktemp("sem2"), vecs)
+    rows = all_queries()["dedup_semantic_2level"].spark(spark, d).collect()
+    model = _model_2level(d)
+    assert len(rows) == len(model)
+    for r in rows:
+        assert (r.cell_id, r.is_kept) == model[r.vec_id], (r.vec_id, vecs)
