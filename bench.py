@@ -66,6 +66,15 @@ def main() -> None:
     # SCALE.md prescribes, where O(n²) baselines must not run at all
     if os.environ.get("SPARK_GRAFT_SKIP_BASELINES"):
         q_all = {n: qd for n, qd in q_all.items() if not qd.baseline}
+    # SPARK_GRAFT_ONLY=a,b,c: restrict to a named subset — the spot-sweep
+    # mode for targeted scale runs (e.g. the sf10 worst-ratio families)
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        missing = wanted - set(q_all)
+        if missing:
+            raise SystemExit(f"SPARK_GRAFT_ONLY: unknown queries {sorted(missing)}")
+        q_all = {n: qd for n, qd in q_all.items() if n in wanted}
     ordered = [
         (n, q_all[n]) for n in q_all if n in _R1_DRIVER_GREEN
     ] + [(n, q_all[n]) for n in q_all if n not in _R1_DRIVER_GREEN]
@@ -115,9 +124,14 @@ def main() -> None:
     baseline_names = {n for n, qd in _aq().items() if qd.baseline}
     skey = short_keys(list(timings))
     repo_dir = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(repo_dir, "BENCH_KEYS.json"), "w") as f:
-        json.dump({v: k for k, v in skey.items()}, f, indent=1, sort_keys=True)
-    with open(os.path.join(repo_dir, "BENCH_FULL.json"), "w") as f:
+    # SPARK_GRAFT_BENCH_OUT: alternate full-timings path so scale/spot
+    # sweeps don't clobber the driver-read BENCH_FULL.json / BENCH_KEYS.json
+    out_full = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_full is None:
+        out_full = os.path.join(repo_dir, "BENCH_FULL.json")
+        with open(os.path.join(repo_dir, "BENCH_KEYS.json"), "w") as f:
+            json.dump({v: k for k, v in skey.items()}, f, indent=1, sort_keys=True)
+    with open(out_full, "w") as f:
         json.dump(
             {
                 "metric": "total_query_wall_seconds",

@@ -885,7 +885,13 @@ def _ks_from_counts(counts: DataFrame) -> DataFrame:
     "maintained relation.  The oracle is the BATCH KS SQL: a hash match "
     "proves the count fold is associative across whatever microbatch "
     "slicing the source produced, i.e. the monitor can run continuously "
-    "and always agree with a from-scratch recomputation.",
+    "and always agree with a from-scratch recomputation.  COMPLETE-MODE "
+    "LIMIT: the sink re-receives the FULL count relation every "
+    "microbatch — acceptable here only because that relation is "
+    "metadata-sized by construction; never copy this pattern for "
+    "key-cardinality-sized results (streaming_drift_ks_update is the "
+    "delta-emitting template, streaming_windowed_append the evicting "
+    "one).",
 )
 def streaming_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
@@ -920,3 +926,106 @@ def streaming_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     query.awaitTermination()
     out = _ks_from_counts(spark.table(name))
     return finalize_memory_sink(out, name)
+
+
+KS_UPDATE_SLICES = 3  # microbatches the update-mode twin consumes
+
+
+@register(
+    "streaming_drift_ks_update",
+    f"""
+    WITH base AS (
+        SELECT event_type,
+               floor(value * 1e6)::bigint AS v,
+               CASE WHEN isodow(ts::TIMESTAMP) >= 6 THEN 1 ELSE 0 END AS wk
+        FROM events
+    ),
+    counts AS (
+        SELECT event_type, v,
+               sum(CASE WHEN wk = 0 THEN 1 ELSE 0 END)::bigint AS c0,
+               sum(wk)::bigint AS c1
+        FROM base GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT event_type, v,
+               sum(c0) OVER (PARTITION BY event_type ORDER BY v) AS f0,
+               sum(c1) OVER (PARTITION BY event_type ORDER BY v) AS f1,
+               sum(c0) OVER (PARTITION BY event_type) AS n0,
+               sum(c1) OVER (PARTITION BY event_type) AS n1
+        FROM counts
+    ),
+    agg AS (
+        SELECT event_type,
+               max(abs(f0 * n1 - f1 * n0))::bigint AS ks_num,
+               min(n0)::bigint AS n_weekday,
+               min(n1)::bigint AS n_weekend
+        FROM cum GROUP BY 1
+    )
+    SELECT event_type, n_weekday, n_weekend, ks_num,
+           {duck_trunc6('ks_num / (n_weekday * n_weekend)')} AS ks_stat,
+           (ks_num / (n_weekday * n_weekend)) >
+               {KS_CRIT_C} * sqrt((n_weekday + n_weekend)
+                                  / (n_weekday * n_weekend)) AS drifted
+    FROM agg
+    """,
+    doc="UPDATE-mode / foreachBatch-merge twin of streaming_drift_ks "
+    "(round-6 verdict #5): the events table is sliced into "
+    f"{KS_UPDATE_SLICES} files consumed as separate microbatches "
+    "(maxFilesPerTrigger=1), the same bounded-state count aggregation "
+    "runs in UPDATE output mode — each microbatch delivers only the "
+    "(event_type, value-key) rows whose totals CHANGED, never the full "
+    "relation — and a foreachBatch upsert merges the deltas into a "
+    "versioned parquet state table (anti-join old keys + union, the "
+    "streaming_upsert_snapshot discipline: never overwrite the dir just "
+    "read).  The shared integer KS extraction then runs on the merged "
+    "state, and the BATCH KS oracle must hash-match: that proves the "
+    "update stream's delta emission + external merge reconstructs exactly "
+    "the complete-mode relation across microbatch boundaries — the shape "
+    "that stays sink-cheap when the monitored key space is NOT "
+    "metadata-sized.  Update-mode rows carry new TOTALS (not increments), "
+    "so the merge is idempotent per key — replayable on restart.",
+)
+def streaming_drift_ks_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.sources.lookup import (
+        _local_relation,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    proj = ev.select("event_id", "event_type", "ts", "value")
+    work = tempfile.mkdtemp(prefix="spark_graft_ksupd_")
+    try:
+        in_dir = f"{work}/in"
+        for i in range(KS_UPDATE_SLICES):
+            (
+                proj.where(F.col("event_id") % KS_UPDATE_SLICES == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{in_dir}/slice{i}")
+            )
+        stream = (
+            spark.readStream.schema(proj.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(in_dir)
+        )
+        counts = _ks_group_counts(stream).groupBy("event_type", "v").agg(
+            F.sum(F.when(F.col("wk") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum("wk").cast("long").alias("c1"),
+        )
+        from flink_http_full_cache_connector_spark.streaming.upsert import (
+            run_update_merge_stream,
+        )
+
+        merged = run_update_merge_stream(
+            counts, key_cols=["event_type", "v"], out_dir=f"{work}/state"
+        )
+        out = _ks_from_counts(merged)
+        # materialize the types-sized result so the temp state dirs can go
+        rows = [tuple(r) for r in out.collect()]
+        return _local_relation(spark, rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -66,6 +66,54 @@ def run_upsert_stream(
     return spark.read.parquet(state["current"])
 
 
+def run_update_merge_stream(
+    agg_stream: DataFrame,
+    *,
+    key_cols: list[str],
+    out_dir: str,
+    batch_rows: list[int] | None = None,
+) -> DataFrame:
+    """Consume an UPDATE-mode streaming aggregation with availableNow,
+    foreachBatch-upserting its per-batch deltas into a versioned parquet
+    state table; returns the final merged state DataFrame.
+
+    Update mode delivers only the keys whose aggregate CHANGED in the
+    microbatch, carrying their new TOTALS — so the merge (anti-join old
+    keys, union the batch) is idempotent per key and the sink traffic is
+    O(changed keys), not O(all keys): the pattern that stays cheap when
+    the monitored key space is NOT metadata-sized (the complete-mode
+    monitors' documented limit).  ``batch_rows`` (optional) collects each
+    delta's row count for tests pinning the delta-not-full-relation
+    property."""
+    spark = agg_stream.sparkSession
+    state: dict[str, str | None] = {"current": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_rows is not None:
+            batch_rows.append(batch_df.count())
+        new = batch_df
+        if state["current"] is not None:
+            old = spark.read.parquet(state["current"])
+            kept = old.join(
+                batch_df.select(*key_cols), key_cols, "left_anti"
+            )
+            new = kept.unionByName(batch_df)
+        new_dir = f"{out_dir}/v{batch_id}"
+        new.write.mode("overwrite").parquet(new_dir)
+        state["current"] = new_dir
+
+    query = (
+        agg_stream.writeStream.foreachBatch(merge)
+        .outputMode("update")
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    assert state["current"] is not None, "stream produced no batches"
+    return spark.read.parquet(state["current"])
+
+
 @register(
     "streaming_upsert_snapshot",
     """

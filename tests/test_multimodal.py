@@ -480,3 +480,65 @@ def test_vad_segmentation_matches_numpy_reference(spark):
         assert r.n_segments == len(runs)
         assert r.longest_run == max(runs)
         assert r.total_energy == total
+
+
+def test_audit_decode_bytes_all_classes():
+    """Every fixture variant classifies to its designed (format, ok,
+    reason) — including the progressive JPEG, which must degrade to an
+    unsupported_codec row rather than raise (round-6 tolerance path)."""
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        AUDIT_VARIANTS,
+        _audit_payload,
+        audit_decode_bytes,
+    )
+
+    expected = {
+        0: ("png", True, "ok"),
+        1: ("gif", True, "ok"),
+        2: ("jpeg", True, "ok"),
+        3: ("wav", True, "ok"),
+        4: ("jpeg", False, "unsupported_codec"),
+        5: ("png", False, "malformed"),
+        6: ("unknown", False, "unknown_format"),
+    }
+    for d in range(AUDIT_VARIANTS * 3):  # three cycles, varying content
+        got = audit_decode_bytes(_audit_payload(d))
+        assert got == expected[d % AUDIT_VARIANTS], (d, got)
+
+
+def test_audit_never_raises_on_arbitrary_bytes():
+    """The audit is the no-task-failure path: arbitrary junk — including
+    payloads that sniff as a known format but die immediately — must
+    classify, never raise."""
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        audit_decode_bytes,
+    )
+
+    for raw in [
+        b"",
+        b"\x89PNG\r\n\x1a\n",  # signature only
+        b"\xff\xd8\xff\xe0",  # JPEG SOI+APP0 marker, truncated
+        b"GIF89a\x00",
+        b"RIFF\x00\x00\x00\x00WAVE",
+        bytes(range(256)),
+    ]:
+        fmt, ok, reason = audit_decode_bytes(raw)
+        assert ok is False and reason in {"malformed", "unknown_format"}, (
+            raw[:12], fmt, ok, reason,
+        )
+
+
+def test_decode_audit_operator_over_payload_column(spark):
+    """decode_audit takes an arbitrary (doc_id, payload) relation — the
+    production shape where payloads come from the corpus, not fixtures."""
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        _audit_payload,
+        decode_audit,
+    )
+
+    rows = [(d, bytearray(_audit_payload(d))) for d in range(14)]
+    media = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.format, r.decode_ok, r.reason) for r in decode_audit(media).collect()}
+    assert len(got) == 14
+    assert got[4] == ("jpeg", False, "unsupported_codec")
+    assert got[2] == ("jpeg", True, "ok")

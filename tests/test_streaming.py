@@ -707,3 +707,168 @@ def test_streaming_ks_counts_fold_across_microbatches(spark, tmp_path):
     # weekend sample {5, 9, 5}, weekday {5, 1, 9}: ECDF gap peaks at v < 5
     # where weekday has seen 1 of 3 and weekend 0 of 3 -> ks_num = |1*3-0*3|
     assert (r.n_weekday, r.n_weekend, r.ks_num) == (3, 3, 3)
+
+
+def test_update_merge_stream_emits_deltas_and_reconstructs(spark, tmp_path):
+    """UPDATE-mode + foreachBatch merge (streaming_drift_ks_update's
+    engine): later microbatches deliver ONLY the keys whose totals changed
+    — not the full relation — and the external upsert reconstructs exactly
+    the batch aggregation of the concatenated input."""
+    import pandas as pd
+
+    from flink_http_full_cache_connector_spark.streaming.upsert import (
+        run_update_merge_stream,
+    )
+
+    src = tmp_path / "upd_src"
+    src.mkdir()
+    # batch 1 touches keys a,b,c; batch 2 touches ONLY b
+    pd.DataFrame(
+        {"k": ["a", "b", "c", "a"], "x": [1, 2, 3, 4]}
+    ).to_parquet(src / "b1.parquet")
+    pd.DataFrame({"k": ["b"], "x": [10]}).to_parquet(src / "b2.parquet")
+
+    stream = (
+        spark.readStream.schema("k string, x long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = stream.groupBy("k").agg(F.sum("x").alias("total"))
+    sizes: list[int] = []
+    merged = run_update_merge_stream(
+        agg, key_cols=["k"], out_dir=str(tmp_path / "state"), batch_rows=sizes
+    )
+    got = {r.k: r.total for r in merged.collect()}
+    assert got == {"a": 5, "b": 12, "c": 3}
+    # two microbatches ran; the second carried ONLY the changed key
+    assert len(sizes) == 2 and sorted(sizes) == [1, 3], sizes
+    # versioned dirs: never overwrote the one being read
+    assert (tmp_path / "state" / "v0").exists()
+    assert (tmp_path / "state" / "v1").exists()
+
+
+def test_refresh_swap_atomic_under_concurrent_forced_reloads(spark, http_server):
+    """SURVEY §7 hard part #1, concurrency half: background threads hammer
+    forced reloads WHILE a consumer keeps reading both a CAPTURED snapshot
+    and the live cache.  The captured DataFrame must keep serving its own
+    generation (swap/unpersist cannot mutate an in-flight plan — the
+    snapshot is a driver-materialized local relation), every live read must
+    be internally consistent (rows from exactly ONE fetch, never a mix),
+    and no reload may error."""
+    import itertools
+    import threading
+
+    counter = itertools.count(1)
+    lock = threading.Lock()
+
+    def payload():
+        with lock:
+            g = next(counter)
+        return [{"id": i, "name": f"user{i}", "gen": g} for i in range(1, 6)]
+
+    http_server.set_payload(payload)
+    cache = RefreshingLookupCache(
+        spark,
+        {"url": http_server.url, "cache.refresh-interval": "PT1H"},
+        "id INT, name STRING, gen INT",
+    )
+    snap = cache.current()
+    first_gen = {r.gen for r in snap.collect()}
+    assert len(first_gen) == 1
+
+    stop = threading.Event()
+    errors: list[Exception] = []
+
+    def hammer():
+        while not stop.is_set():
+            try:
+                cache.check_and_reload(force=True)
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+    threads = [threading.Thread(target=hammer) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        for _ in range(10):
+            rows = snap.collect()
+            assert len(rows) == 5
+            assert {r.gen for r in rows} == first_gen  # captured stays fixed
+            live = cache.current().collect()
+            assert len(live) == 5
+            assert len({r.gen for r in live}) == 1  # atomic: never a mix
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errors
+    final_gen = next(iter({r.gen for r in cache.current().collect()}))
+    assert final_gen > next(iter(first_gen))  # reloads really advanced it
+
+
+def test_refresh_mid_batch_under_foreachbatch_is_snapshot_consistent(
+    spark, http_server, tmp_path
+):
+    """SURVEY §7 hard part #1, foreachBatch half: each microbatch builds
+    its join against the snapshot captured at batch start; a reload forced
+    MID-BATCH (before the join is consumed) must not leak the new
+    generation into the in-flight batch — every batch's output carries
+    exactly one generation, and generations advance across batches."""
+    import itertools
+    import threading
+
+    counter = itertools.count(1)
+    lock = threading.Lock()
+
+    def payload():
+        with lock:
+            g = next(counter)
+        return [{"id": i, "name": f"user{i}", "gen": g} for i in range(1, 6)]
+
+    http_server.set_payload(payload)
+    cache = RefreshingLookupCache(
+        spark,
+        {"url": http_server.url, "cache.refresh-interval": "PT1H"},
+        "id INT, name STRING, gen INT",
+    )
+    src = tmp_path / "probe"
+    src.mkdir()
+    import pandas as pd
+
+    for b in range(3):
+        frame = pd.DataFrame({"order_id": [b * 10 + i for i in range(4)],
+                              "id": [1, 2, 3, 99]})
+        frame["id"] = frame["id"].astype("int32")
+        frame.to_parquet(src / f"b{b}.parquet")
+    stream = (
+        spark.readStream.schema("order_id long, id int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    from flink_http_full_cache_connector_spark.operators.lookup_join import (
+        lookup_join,
+    )
+
+    batch_gens: list[set] = []
+
+    def process(batch_df, epoch_id):
+        enriched = lookup_join(batch_df, cache.current(), on="id", how="inner")
+        # force reloads mid-batch, from another thread, BEFORE consuming
+        t = threading.Thread(
+            target=lambda: [cache.check_and_reload(force=True) for _ in range(2)]
+        )
+        t.start()
+        t.join()
+        batch_gens.append({r.gen for r in enriched.collect()})
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(batch_gens) == 3
+    assert all(len(g) == 1 for g in batch_gens), batch_gens  # no mixed batch
+    seq = [next(iter(g)) for g in batch_gens]
+    assert seq == sorted(seq) and seq[-1] > seq[0]  # reloads took effect
