@@ -1265,6 +1265,22 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SEMANTIC_COARSE_MIN = 4
+#: target in-cell population for the two-level variant.  With the coarse
+#: quantizer paying only ~2√C assignment cosines per vector, the cell count
+#: no longer needs to stay at √n for balance: C = n/B bounds in-cell pair
+#: work at n·B and total cost at ~n·(B + 2√(n/B)) — near-linear, where the
+#: flat variant's C = √n is stuck at the n^1.5 optimum.  B trades recall
+#: (smaller cells split redundancy groups) against cost; 64 matches the
+#: SemDeDup paper's ~n/C cluster-size regime.  Measured at generated sf10
+#: (200 k vectors): the √n sizing put BOTH variants at ~65-74× for 10×
+#: data (pair term n²/C dominating); n/64 cells cut the 2-level variant's
+#: candidate pairs from 208 M to ~n·B-scale (see SCALE.md round-6 section).
+SEMANTIC_CELL_TARGET = 64
+
+
+def semantic_2level_cells_for(n: int) -> int:
+    """fine cells for the two-level variant: max(min_cells, n // B)."""
+    return max(SEMANTIC_MIN_CELLS, n // SEMANTIC_CELL_TARGET)
 
 
 def semantic_coarse_for(cells: int) -> int:
@@ -1272,9 +1288,7 @@ def semantic_coarse_for(cells: int) -> int:
 
     Two-level assignment visits √C coarse centroids, then the ~C/√C = √C
     fine centroids of the winning coarse cell: n·2√C cosines total versus
-    the flat variant's n·C.  With C = isqrt(n) that takes the assignment
-    term from n^1.5 to ~n^1.25 — the extension the flat docstring names
-    for corpus sizes where C outgrows broadcast comfort."""
+    the flat variant's n·C."""
     return max(SEMANTIC_COARSE_MIN, math.isqrt(cells))
 
 
@@ -1282,18 +1296,15 @@ def _semantic_2level_oracle() -> str:
     sim_uv = duck_cosine("u.v", "v.v")
     return f"""
 WITH params AS (
-    -- exact integer sqrt twice: C = isqrt(n), K = isqrt(C)
+    -- C = max(min_cells, n div B); K = exact isqrt(C)
     SELECT c, greatest({SEMANTIC_COARSE_MIN},
                     t - CASE WHEN t * t > c THEN 1 ELSE 0 END
                       + CASE WHEN (t + 1) * (t + 1) <= c THEN 1 ELSE 0 END
            )::bigint AS k
     FROM (SELECT c, floor(sqrt(c::double))::bigint AS t FROM (
           SELECT greatest({SEMANTIC_MIN_CELLS},
-                    s - CASE WHEN s * s > n THEN 1 ELSE 0 END
-                      + CASE WHEN (s + 1) * (s + 1) <= n THEN 1 ELSE 0 END
-           )::bigint AS c
-          FROM (SELECT n, floor(sqrt(n::double))::bigint AS s
-                FROM (SELECT count(*) AS n FROM embeddings))))
+                          n // {SEMANTIC_CELL_TARGET})::bigint AS c
+          FROM (SELECT count(*) AS n FROM embeddings)))
 ),
 coarse AS (
     SELECT vec_id AS co_id, embedding AS qv
@@ -1353,12 +1364,20 @@ FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
     "dedup_semantic_2level",
     _semantic_2level_oracle(),
     doc="Two-level (coarse-quantizer) SemDeDup — the scale extension "
-    "dedup_semantic's docstring names: C = isqrt(n) fine cells as before, "
-    "but assignment goes through K = isqrt(C) coarse cells first (every "
-    "fine centroid pre-assigned to its nearest coarse cell, metadata-sized "
-    "C×K work), so each vector pays n·K + n·(C/K) ≈ 2√C cosines instead "
-    "of C — n^1.25 total where flat is n^1.5 — and the per-stage "
-    "broadcast is √C centroids instead of C.  The keep policy inside the "
+    "dedup_semantic's docstring names, with the cell count the coarse "
+    "quantizer UNLOCKS: C = n/B fine cells (B=64 target members — "
+    "bounded in-cell pair work n·B) instead of the flat variant's "
+    "C = √n, because assignment through K = isqrt(C) coarse cells costs "
+    "only n·(K + C/K) ≈ n·2√C cosines regardless of C.  Total "
+    "~n·(B + 2√(n/B)) — near-linear, where flat is pinned at the n^1.5 "
+    "balance point (measured at generated sf10: √n sizing sent both "
+    "variants to 65-74× wall for 10× data, the pair term n²/C "
+    "dominating and funnel skew inflating it 2.3× further; n/B sizing "
+    "is the fix, SCALE.md round-6).  Every fine centroid is "
+    "pre-assigned to its nearest coarse cell (C×K metadata-sized work); "
+    "at corpus sizes where the C-row fine table outgrows broadcast "
+    "comfort, stage 2's broadcast becomes a co_id-keyed shuffle join — "
+    "same plan shape, documented extension.  The keep policy inside the "
     "final cells is UNCHANGED (cent_sim ASC, vec_id — farthest from "
     "centroid kept first); only the cell a vector lands in can differ "
     "from the flat variant (standard IVF approximation: the globally "
@@ -1382,7 +1401,7 @@ def dedup_semantic_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     # one metadata-sized count sizes both grid levels (SCALE.md rule 1)
-    cells = semantic_cells_for(emb.count())
+    cells = semantic_2level_cells_for(emb.count())
     k = semantic_coarse_for(cells)
     coarse = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("co_id"), as_double(F.col("embedding")).alias("qv")

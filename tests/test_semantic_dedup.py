@@ -130,7 +130,9 @@ def test_property_matches_numpy_model_on_generated_corpora(
 # ---------------------------------------------------------------------------
 
 from flink_http_full_cache_connector_spark.operators.dedup import (  # noqa: E402
+    SEMANTIC_CELL_TARGET,
     SEMANTIC_COARSE_MIN,
+    semantic_2level_cells_for,
     semantic_coarse_for,
 )
 
@@ -141,7 +143,7 @@ def _model_2level(sf_dir):
     ids = tbl["vec_id"].to_numpy()
     emb = np.array(tbl["embedding"].to_pylist(), dtype=np.float64)
     n = len(ids)
-    cells = semantic_cells_for(n)
+    cells = semantic_2level_cells_for(n)
     k = semantic_coarse_for(cells)
     norms = np.linalg.norm(emb, axis=1)
 
@@ -218,6 +220,9 @@ def test_2level_plan_is_scale_shaped(spark):
 def test_coarse_sizing_formula():
     for c in [0, 1, 4, 15, 16, 17, 256, 1024, 99980001]:
         assert semantic_coarse_for(c) == max(SEMANTIC_COARSE_MIN, math.isqrt(c))
+    # bounded-population fine sizing: C = max(min_cells, n div B)
+    for n in [0, 1, 500, 1024, 20_000, 200_000, 10**9]:
+        assert semantic_2level_cells_for(n) == max(16, n // SEMANTIC_CELL_TARGET)
 
 
 @settings(max_examples=8, deadline=None)
