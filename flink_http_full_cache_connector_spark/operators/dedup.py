@@ -714,8 +714,10 @@ def connected_components(
         # twice, so without truncating the LOGICAL plan the tree doubles
         # per round and an O(diameter)-round graph OOMs the driver just
         # RENDERING the plan string (persist caches data but keeps the
-        # nested plan).  Eager checkpoint pins round N's rows and restarts
-        # the lineage, keeping the plan constant-size at any diameter.
+        # nested plan).  eager=False defers the checkpoint to the count()
+        # below, so truncation costs ZERO extra jobs per round — the
+        # eager=True form ran a separate materialization job per round,
+        # the +1.1 s dedup_canonicalize regression the r5 verdict flagged.
         pre = _persisted_ids()
         new = (
             labels.join(neigh, "id", "left")
@@ -726,10 +728,10 @@ def connected_components(
                 ).alias("label"),
                 F.col("label").alias("_old"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        mine = _persisted_ids() - pre
         changed = new.where(F.col("label") != F.col("_old")).count()
+        mine = _persisted_ids() - pre
         # this round is fully materialized — the previous round's blocks
         # are now unreachable from any live plan and can be dropped
         _release(prev_ids)
@@ -1394,59 +1396,18 @@ FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
     "with the identical fold order and tie-breaks.",
 )
 def dedup_semantic_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_http_full_cache_connector_spark.functions.vectors import (
-        cosine_with_norms,
-        norm,
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        two_level_assign,
+        two_level_index,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     # one metadata-sized count sizes both grid levels (SCALE.md rule 1)
     cells = semantic_2level_cells_for(emb.count())
     k = semantic_coarse_for(cells)
-    coarse = emb.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("co_id"), as_double(F.col("embedding")).alias("qv")
-    ).withColumn("nq", norm(F.col("qv")))
-    fine = emb.where(F.col("vec_id") < cells).select(
-        F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
-    ).withColumn("nc", norm(F.col("cv")))
-    # fine → coarse grouping: C×K cosines, metadata-sized, broadcast later
-    fsim = cosine_with_norms(F.col("cv"), F.col("qv"), F.col("nc"), F.col("nq"))
-    f_order = F.struct(F.col("sim"), (-F.col("co_id")).alias("neg"))
-    fine_grouped = (
-        fine.join(F.broadcast(coarse))
-        .select("cent_id", "co_id", fsim.alias("sim"))
-        .groupBy("cent_id")
-        .agg(F.max_by(F.col("co_id"), f_order).alias("co_id"))
-        .join(fine, "cent_id")  # re-attach cv/nc (C rows, trivial)
-    )
-    v = widen(emb).select(
-        "vec_id", as_double(F.col("embedding")).alias("v")
-    ).withColumn("nv", norm(F.col("v")))
-    # stage 1: n×K scalar rows, hash-aggregated map-side — the broadcast
-    # here is K = isqrt(C) centroids, the whole point of the variant
-    s1 = cosine_with_norms(F.col("v"), F.col("qv"), F.col("nv"), F.col("nq"))
-    s1_order = F.struct(F.col("sim"), (-F.col("co_id")).alias("neg"))
-    vco = (
-        v.join(F.broadcast(coarse.select("co_id", "qv", "nq")))
-        .select("vec_id", "co_id", s1.alias("sim"))
-        .groupBy("vec_id")
-        .agg(F.max_by(F.col("co_id"), s1_order).alias("co_id"))
-    )
-    # stage 2: re-attach the vector (uniform vec_id join), then score only
-    # the fine centroids of the winning coarse cell (≈ C/K candidates)
-    s2 = cosine_with_norms(F.col("v"), F.col("cv"), F.col("nv"), F.col("nc"))
-    s2_order = F.struct(F.col("sim"), (-F.col("cent_id")).alias("neg"))
-    assign = (
-        vco.join(v, "vec_id")
-        .join(F.broadcast(fine_grouped), "co_id")
-        .select("vec_id", "cent_id", s2.alias("sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(F.col("cent_id"), s2_order).alias("cell_id"),
-            F.max(F.col("sim")).alias("cent_sim"),
-        )
-        .persist()  # feeds both self-join sides + the output
-    )
+    coarse, fine_grouped = two_level_index(emb, cells=cells, k=k)
+    assign = two_level_assign(emb, coarse, fine_grouped).persist()
+    # persist: assign feeds both self-join sides + the output
     return _semantic_prune(emb, assign)
 
 

@@ -158,6 +158,92 @@ def ivf_assign(
     )
 
 
+def two_level_index(
+    emb: DataFrame,
+    *,
+    cells: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """``(coarse, fine_grouped)`` for two-level (coarse-quantizer)
+    assignment — shared by ``sim_ann_ivf_2level`` and
+    ``dedup_semantic_2level`` (round-6 verdict #1).
+
+    ``coarse``: the first ``k`` corpus vectors as coarse centroids
+    (co_id, qv, nq).  ``fine_grouped``: the first ``cells`` corpus vectors
+    as fine centroids, each pre-assigned to its nearest coarse cell
+    (cent_id, co_id, cv, nc) — C×K metadata-sized work, broadcastable; at
+    corpus sizes where the C-row table outgrows broadcast comfort the
+    consumer joins it on co_id as a shuffle join instead (same plan
+    shape)."""
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    coarse = emb.where(F.col(id_col) < k).select(
+        F.col(id_col).alias("co_id"), as_double(F.col(vec_col)).alias("qv")
+    ).withColumn("nq", norm(F.col("qv")))
+    fine = emb.where(F.col(id_col) < cells).select(
+        F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("nc", norm(F.col("cv")))
+    fsim = cosine_with_norms(F.col("cv"), F.col("qv"), F.col("nc"), F.col("nq"))
+    f_order = F.struct(F.col("sim"), (-F.col("co_id")).alias("neg"))
+    fine_grouped = (
+        fine.join(F.broadcast(coarse))
+        .select("cent_id", "co_id", fsim.alias("sim"))
+        .groupBy("cent_id")
+        .agg(F.max_by(F.col("co_id"), f_order).alias("co_id"))
+        .join(fine, "cent_id")  # re-attach cv/nc (C rows, trivial)
+    )
+    return coarse, fine_grouped
+
+
+def two_level_assign(
+    emb: DataFrame,
+    coarse: DataFrame,
+    fine_grouped: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(id, cell_id, cent_sim)`` via coarse→fine assignment: stage 1
+    picks the coarse cell (n·K scalar rows, map-side partial ``max_by``),
+    the vector is re-attached once by a uniform id join, stage 2 scores
+    only the winning coarse cell's fine centroids (≈ n·C/K rows).  Both
+    shuffles carry one slim row per vector; no stage ever materializes
+    n×C."""
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    v = widen(emb).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).withColumn("nv", norm(F.col("v")))
+    s1 = cosine_with_norms(F.col("v"), F.col("qv"), F.col("nv"), F.col("nq"))
+    s1_order = F.struct(F.col("sim"), (-F.col("co_id")).alias("neg"))
+    vco = (
+        v.join(F.broadcast(coarse.select("co_id", "qv", "nq")))
+        .select(id_col, "co_id", s1.alias("sim"))
+        .groupBy(id_col)
+        .agg(F.max_by(F.col("co_id"), s1_order).alias("co_id"))
+    )
+    s2 = cosine_with_norms(F.col("v"), F.col("cv"), F.col("nv"), F.col("nc"))
+    s2_order = F.struct(F.col("sim"), (-F.col("cent_id")).alias("neg"))
+    return (
+        vco.join(v, id_col)
+        .join(F.broadcast(fine_grouped), "co_id")
+        .select(id_col, "cent_id", s2.alias("sim"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(F.col("cent_id"), s2_order).alias("cell_id"),
+            F.max(F.col("sim")).alias("cent_sim"),
+        )
+    )
+
+
 def ivf_train(
     corpus: DataFrame,
     k: int = NUM_CENTROIDS,
@@ -648,6 +734,190 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             trunc6(F.col("cos_sim")).alias("cos_sim"),
             F.col("rank").cast("int").alias("rank"),
         )
+    )
+
+
+#: two-level IVF: target in-cell population (cells = max(NUM_CENTROIDS,
+#: n div IVF2_CELL_TARGET)).  A fixed 16-cell grid stops pruning as the
+#: corpus grows (search cost N·nprobe/C degrades to a near-full scan);
+#: growing C with n keeps the probed candidate set ~nprobe·B per query,
+#: and the coarse quantizer keeps assignment affordable at any C
+#: (n·(K + C/K) ≈ n·2√C instead of n·C) — the FAISS coarse-quantizer
+#: shape, shared with dedup_semantic_2level via two_level_index/assign.
+IVF2_CELL_TARGET = 64
+
+
+def ivf2_cells_for(n: int) -> int:
+    return max(NUM_CENTROIDS, n // IVF2_CELL_TARGET)
+
+
+def _ivf_2level_oracle() -> str:
+    return f"""
+WITH params AS (
+    SELECT c, greatest(4,
+                    t - CASE WHEN t * t > c THEN 1 ELSE 0 END
+                      + CASE WHEN (t + 1) * (t + 1) <= c THEN 1 ELSE 0 END
+           )::bigint AS k
+    FROM (SELECT c, floor(sqrt(c::double))::bigint AS t FROM (
+          SELECT greatest({NUM_CENTROIDS}, n // {IVF2_CELL_TARGET})::bigint AS c
+          FROM (SELECT count(*) AS n FROM embeddings)))
+),
+coarse AS (
+    SELECT vec_id AS co_id, embedding AS qv
+    FROM embeddings, params WHERE vec_id < params.k
+),
+fine AS (
+    SELECT vec_id AS cent_id, embedding AS cv
+    FROM embeddings, params WHERE vec_id < params.c
+),
+fine_grouped AS MATERIALIZED (
+    SELECT cent_id, co_id, cv FROM (
+        SELECT f.cent_id, c.co_id, f.cv,
+               row_number() OVER (PARTITION BY f.cent_id
+                   ORDER BY {duck_cosine('f.cv', 'c.qv')} DESC, c.co_id) AS rn
+        FROM fine f CROSS JOIN coarse c) WHERE rn = 1
+),
+v_coarse AS MATERIALIZED (
+    SELECT vec_id, co_id FROM (
+        SELECT e.vec_id, c.co_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {duck_cosine('e.embedding', 'c.qv')} DESC, c.co_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN coarse c) WHERE rn = 1
+),
+assign AS MATERIALIZED (
+    SELECT vec_id, cell_id FROM (
+        SELECT vc.vec_id, fg.cent_id AS cell_id,
+               row_number() OVER (PARTITION BY vc.vec_id
+                   ORDER BY {duck_cosine('e.embedding', 'fg.cv')} DESC, fg.cent_id
+               ) AS rn
+        FROM v_coarse vc
+        JOIN embeddings e ON e.vec_id = vc.vec_id
+        JOIN fine_grouped fg ON fg.co_id = vc.co_id
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {NUM_QUERIES}),
+qco AS (
+    SELECT query_id, co_id FROM (
+        SELECT q.query_id, c.co_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {duck_cosine('q.qv', 'c.qv')} DESC, c.co_id) AS rn
+        FROM q CROSS JOIN coarse c) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, cell_id FROM (
+        SELECT qc.query_id, fg.cent_id AS cell_id,
+               row_number() OVER (PARTITION BY qc.query_id
+                   ORDER BY {duck_cosine('q2.qv', 'fg.cv')} DESC, fg.cent_id
+               ) AS rn
+        FROM qco qc
+        JOIN q q2 ON q2.query_id = qc.query_id
+        JOIN fine_grouped fg ON fg.co_id = qc.co_id
+    ) WHERE rn <= {NPROBE}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+    WHERE a.vec_id <> p.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+           {duck_cosine('q2.embedding', 'e2.embedding')} AS cos_sim
+    FROM cand
+    JOIN embeddings q2 ON q2.vec_id = cand.query_id
+    JOIN embeddings e2 ON e2.vec_id = cand.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_sim,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, {duck_trunc6('cos_sim')} AS cos_sim,
+       rank::int AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivf_2level",
+    _ivf_2level_oracle(),
+    doc=f"Two-level (coarse-quantizer) IVF ANN top-{TOP_K} — the corpus-"
+    f"scaled index the fixed-{NUM_CENTROIDS}-cell sim_ann_ivf cannot be: "
+    f"C = max({NUM_CENTROIDS}, n/{IVF2_CELL_TARGET}) fine cells keep the "
+    f"probed candidate set ~nprobe·{IVF2_CELL_TARGET} per query at ANY "
+    "corpus size (a fixed grid degrades to a near-full scan as n grows), "
+    "and assignment through K = isqrt(C) coarse cells costs n·2√C "
+    "instead of the n·C that made growing C unaffordable for the flat "
+    "form.  Search: query → top-1 coarse cell → top-nprobe fine cells "
+    "within it → exact-cosine rerank of the candidates (vectors "
+    "re-attached by uniform id joins).  Shares two_level_index/"
+    "two_level_assign with dedup_semantic_2level; the oracle replays "
+    "both assignment stages, the probe walk, and the rank with identical "
+    "fold order and tie-breaks.  Plan: two slim per-vector shuffles for "
+    "the index, broadcast-sized probe tables, one cell_id candidate "
+    "join.",
+)
+def sim_ann_ivf_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = ivf2_cells_for(emb.count())
+    k = max(4, math.isqrt(cells))
+    coarse, fine_grouped = two_level_index(emb, cells=cells, k=k)
+    assign = two_level_assign(emb, coarse, fine_grouped).select(
+        "vec_id", "cell_id"
+    )
+    q = emb.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    ).withColumn("nqv", norm(F.col("qv")))
+    # query → coarse (top-1): queries are a handful of rows, windows fine
+    qsim = cosine_with_norms(F.col("qv"), F.col("qv2"), F.col("nqv"), F.col("nq"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("co_id"))
+    qco = (
+        q.join(F.broadcast(coarse.select(
+            "co_id", F.col("qv").alias("qv2"), "nq")))
+        .select("query_id", "qv", "nqv", "co_id", qsim.alias("psim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select("query_id", "qv", "nqv", "co_id")
+    )
+    # query → top-nprobe fine cells WITHIN its coarse cell
+    fsim = cosine_with_norms(F.col("qv"), F.col("cv"), F.col("nqv"), F.col("nc"))
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("psim").desc(), F.col("cent_id")
+    )
+    probes = (
+        qco.join(F.broadcast(fine_grouped), "co_id")
+        .select("query_id", "qv", "nqv", "cent_id", fsim.alias("psim"))
+        .withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= NPROBE)
+        .select("query_id", "qv", "nqv", F.col("cent_id").alias("cell_id"))
+    )
+    cand = (
+        probes.join(assign, "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "nqv", F.col("vec_id").alias("neighbor_id"))
+    )
+    nb = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double(F.col("embedding")).alias("nv"),
+    ).withColumn("nnv", norm(F.col("nv")))
+    sim = cosine_with_norms(F.col("qv"), F.col("nv"), F.col("nqv"), F.col("nnv"))
+    scored = cand.join(nb, "neighbor_id").select(
+        "query_id", "neighbor_id", sim.alias("cos_sim")
+    )
+    return topk_per_query(scored, TOP_K).select(
+        "query_id",
+        "neighbor_id",
+        trunc6(F.col("cos_sim")).alias("cos_sim"),
+        F.col("rank").cast("int").alias("rank"),
     )
 
 

@@ -1015,3 +1015,36 @@ def test_corpus_shard_manifest_oversized_doc_skips_whole_shards(spark, tmp_path)
     i_big = next(i for i, r in enumerate(order) if r.doc_id == 0)
     if i_big + 1 < len(order):
         assert order[i_big + 1].shard_id >= order[i_big].shard_id + 2
+
+
+def test_ann_ivf_2level_recall_and_plan(spark):
+    """Two-level IVF: scores it returns must be exact cosines (agree with
+    brute force on shared pairs), recall must stay useful despite the
+    coarse-quantizer approximation, and the plan must be the scale shape
+    (no cartesian product, partial max_by before each exchange, scalar
+    aggregation values only)."""
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        sim_ann_ivf_2level,
+    )
+
+    exact = sim_topk_cosine(spark, SF_DIR).collect()
+    ann_df = sim_ann_ivf_2level(spark, SF_DIR)
+    plan = ann_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "partial_max_by" in plan
+    assert "max_by(v#" not in plan and "max_by(embedding#" not in plan
+    ann = ann_df.collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    sim_by_pair = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact}
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        if (r.query_id, r.neighbor_id) in sim_by_pair:
+            assert r.cos_sim == sim_by_pair[(r.query_id, r.neighbor_id)]
+    recalls = [
+        len(ann_sets.get(q, set()) & s) / len(s) for q, s in exact_sets.items()
+    ]
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.2, f"two-level IVF recall@10 {avg:.2f}"
