@@ -129,8 +129,15 @@ def main() -> None:
     out_full = os.environ.get("SPARK_GRAFT_BENCH_OUT")
     if out_full is None:
         out_full = os.path.join(repo_dir, "BENCH_FULL.json")
-        with open(os.path.join(repo_dir, "BENCH_KEYS.json"), "w") as f:
-            json.dump({v: k for k, v in skey.items()}, f, indent=1, sort_keys=True)
+        keys_path = os.path.join(repo_dir, "BENCH_KEYS.json")
+    else:
+        # subset/spot runs (SPARK_GRAFT_ONLY) resolve short-key collisions
+        # against the SUBSET's name list, which can disagree with the
+        # committed BENCH_KEYS.json — write the run's own mapping next to
+        # out_full and point the machine line's keymap there instead
+        keys_path = os.path.splitext(out_full)[0] + ".keys.json"
+    with open(keys_path, "w") as f:
+        json.dump({v: k for k, v in skey.items()}, f, indent=1, sort_keys=True)
     with open(out_full, "w") as f:
         json.dump(
             {
@@ -162,7 +169,7 @@ def main() -> None:
             "cpus": cpus,
         }
         if keymap:
-            payload["keymap"] = "BENCH_KEYS.json"
+            payload["keymap"] = os.path.basename(keys_path)
         return json.dumps(payload, separators=(",", ":"))
 
     # never hand the driver a head-truncatable line (it keeps only the last

@@ -33,7 +33,14 @@ __all__ = ["AviError", "encode_avi_mjpeg", "decode_avi_mjpeg"]
 
 
 class AviError(ValueError):
-    """Structural AVI violation (fail-fast decode contract)."""
+    """Structural AVI violation (fail-fast decode contract).
+
+    ``unsupported=True`` marks spec-valid containers outside the vendored
+    subset (non-MJPG codec, non-vids streams) vs malformed data."""
+
+    def __init__(self, msg: str, *, unsupported: bool = False):
+        super().__init__(msg)
+        self.unsupported = unsupported
 
 
 _AVIF_HASINDEX = 0x00000010
@@ -166,11 +173,13 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
                                 handler = data[p3 + 4 : p3 + 8]
                                 if fcc_type != b"vids":
                                     raise AviError(
-                                        f"unsupported stream type {fcc_type!r}"
+                                        f"unsupported stream type {fcc_type!r}",
+                                        unsupported=True,
                                     )
                                 if handler != b"MJPG":
                                     raise AviError(
-                                        f"unsupported codec {handler!r}"
+                                        f"unsupported codec {handler!r}",
+                                        unsupported=True,
                                     )
                                 scale, rate = struct.unpack_from(
                                     "<2I", data, p3 + 20

@@ -39,7 +39,14 @@ _DICT_LIMIT = 1 << _MAX_CODE_WIDTH  # 4096
 
 
 class GifError(ValueError):
-    """Malformed or unsupported GIF payload (fail-fast decode contract)."""
+    """Malformed or unsupported GIF payload (fail-fast decode contract).
+
+    ``unsupported=True`` marks spec-valid streams outside the vendored
+    subset vs structurally malformed data (attribute, not message text)."""
+
+    def __init__(self, msg: str, *, unsupported: bool = False):
+        super().__init__(msg)
+        self.unsupported = unsupported
 
 
 # ---------------------------------------------------------------------------

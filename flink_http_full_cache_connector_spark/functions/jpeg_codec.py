@@ -55,7 +55,16 @@ __all__ = [
 
 
 class JpegError(ValueError):
-    """Malformed or unsupported JPEG payload (fail-fast, no stale output)."""
+    """Malformed or unsupported JPEG payload (fail-fast, no stale output).
+
+    ``unsupported=True`` marks a SPEC-VALID stream outside the vendored
+    subset (progressive scan, exotic sampling, 12-bit precision, ...) as
+    opposed to structurally malformed data — carried as an attribute so
+    consumers (the decode audit) never classify by message substring."""
+
+    def __init__(self, msg: str, *, unsupported: bool = False):
+        super().__init__(msg)
+        self.unsupported = unsupported
 
 
 #: guaranteed grayscale round-trip tolerance in gray levels (flat quant:
@@ -460,7 +469,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
             while p < len(payload):
                 pq_tq = payload[p]
                 if pq_tq >> 4:
-                    raise JpegError("16-bit quant tables unsupported")
+                    raise JpegError(
+                        "16-bit quant tables unsupported", unsupported=True
+                    )
                 q = np.frombuffer(payload[p + 1 : p + 65], dtype=np.uint8)
                 if q.size != 64:
                     raise JpegError("truncated DQT")
@@ -473,20 +484,30 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
                 qtables[pq_tq & 0x0F] = nat
                 p += 65
         elif marker == 0xC0:
+            if len(payload) < 6:
+                raise JpegError("truncated SOF header")
             precision, height, width, ncomp = struct.unpack(">BHHB", payload[:6])
             if precision != 8:
-                raise JpegError("only 8-bit baseline supported")
+                raise JpegError("only 8-bit baseline supported", unsupported=True)
             if ncomp not in (1, 3):
-                raise JpegError("only 1- or 3-component images supported")
+                raise JpegError(
+                    "only 1- or 3-component images supported", unsupported=True
+                )
+            if len(payload) < 6 + 3 * ncomp:
+                raise JpegError("truncated SOF component list")
             for c in range(ncomp):
                 cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
-            raise JpegError("non-baseline SOF unsupported")
+            raise JpegError("non-baseline SOF unsupported", unsupported=True)
         elif marker == 0xC4:
             htables.update(_parse_dht(payload))
         elif marker == 0xDA:
+            if not payload:
+                raise JpegError("truncated SOS header")
             ns = payload[0]
+            if len(payload) < 1 + 2 * ns:
+                raise JpegError("truncated SOS component list")
             for c in range(ns):
                 cid, tabs = payload[1 + 2 * c], payload[2 + 2 * c]
                 scan_tabs[cid] = (tabs >> 4, tabs & 0x0F)
@@ -497,7 +518,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
     if scan_start is None or not width or not height or not comps:
         raise JpegError("missing SOF/SOS")
     if len(scan_order) != len(comps):
-        raise JpegError("progressive/multi-scan streams unsupported")
+        raise JpegError(
+            "progressive/multi-scan streams unsupported", unsupported=True
+        )
     # positional, NOT sorted: the (2,2) factors must sit on the FIRST (luma)
     # component — a spec-valid stream subsampling luma instead of chroma
     # would otherwise be accepted and silently upsampled wrong; fail fast so
@@ -507,7 +530,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, str, bytes]:
         [(1, 1), (1, 1), (1, 1)],
         [(2, 2), (1, 1), (1, 1)],
     ):
-        raise JpegError("only 4:4:4 and luma-first 4:2:0 sampling supported")
+        raise JpegError(
+            "only 4:4:4 and luma-first 4:2:0 sampling supported",
+            unsupported=True,
+        )
     hmax = max(h for _, h, v, _ in comps)
     vmax = max(v for _, h, v, _ in comps)
     end = data.rfind(b"\xff\xd9")

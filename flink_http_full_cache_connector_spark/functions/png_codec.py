@@ -40,7 +40,15 @@ _MODE_NAME = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}
 
 
 class PngError(ValueError):
-    """Malformed or unsupported PNG payload."""
+    """Malformed or unsupported PNG payload.
+
+    ``unsupported=True`` marks a SPEC-VALID stream outside the vendored
+    subset (16-bit depth, palette, interlace) vs structurally malformed
+    data — an attribute, so consumers never classify by message text."""
+
+    def __init__(self, msg: str, *, unsupported: bool = False):
+        super().__init__(msg)
+        self.unsupported = unsupported
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -89,13 +97,17 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytearray]:
                 ">IIBBBBB", body
             )
             if depth != 8:
-                raise PngError(f"unsupported bit depth {depth} (8 only)")
+                raise PngError(
+                    f"unsupported bit depth {depth} (8 only)", unsupported=True
+                )
             if color not in _CHANNELS:
-                raise PngError(f"unsupported color type {color}")
+                raise PngError(
+                    f"unsupported color type {color}", unsupported=True
+                )
             if comp != 0 or filt != 0:
                 raise PngError("unsupported compression/filter method")
             if interlace != 0:
-                raise PngError("interlaced PNG not supported")
+                raise PngError("interlaced PNG not supported", unsupported=True)
             channels = _CHANNELS[color]
             mode = _MODE_NAME[color]
         elif ctype == b"IDAT":

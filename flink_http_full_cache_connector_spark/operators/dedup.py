@@ -1229,7 +1229,13 @@ FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
     "sort is the exact memory anti-pattern dedup_embedding_lsh documents), "
     "then two uniform vec_id joins re-attach each vector once for the "
     "epsilon check.  Reference has no dedup surface (SURVEY.md §2.C); "
-    "this is §2.D scope.",
+    "this is §2.D scope.  MEASURED super-linear (sf10 spot sweep: 74x "
+    "wall at 10x data — the n^1.5 law is an observation, not a "
+    "docstring caveat), hence baseline=True: dedup_semantic_2level is "
+    "the production twin (n/B cells through a coarse quantizer, "
+    "near-linear); this flat form remains the correctness anchor the "
+    "two-level variant's keep policy is verified against.",
+    baseline=True,
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_http_full_cache_connector_spark.functions.vectors import (
@@ -1317,26 +1323,34 @@ fine AS (
     FROM embeddings, params WHERE vec_id < params.c
 ),
 fine_grouped AS MATERIALIZED (
-    -- each fine centroid joins the coarse cell it is nearest to
-    SELECT cent_id, co_id, cv FROM (
-        SELECT f.cent_id, c.co_id, f.cv,
-               row_number() OVER (
-                   PARTITION BY f.cent_id
-                   ORDER BY {duck_cosine('f.cv', 'c.qv')} DESC, c.co_id) AS rn
-        FROM fine f CROSS JOIN coarse c) WHERE rn = 1
+    -- each fine centroid joins the coarse cell it is nearest to; fine
+    -- centroid j < k anchors its own coarse cell (orphan-proofing, same
+    -- CASE rule as two_level_index)
+    SELECT g.cent_id,
+           CASE WHEN g.cent_id < p.k THEN g.cent_id ELSE g.co_id END AS co_id,
+           g.cv
+    FROM (
+        SELECT cent_id, co_id, cv FROM (
+            SELECT f.cent_id, c.co_id, f.cv,
+                   row_number() OVER (
+                       PARTITION BY f.cent_id
+                       ORDER BY {duck_cosine('f.cv', 'c.qv')} DESC, c.co_id) AS rn
+            FROM fine f CROSS JOIN coarse c) WHERE rn = 1
+    ) g, params p
 ),
 v_coarse AS MATERIALIZED (
-    -- stage 1: every vector picks its coarse cell (n·K cosines)
+    -- stage 1: every vector keeps its TOP-2 coarse cells (multi-probe —
+    -- the balanced assignment, round-7 verdict #2)
     SELECT vec_id, co_id, v FROM (
         SELECT e.vec_id, c.co_id, e.embedding AS v,
                row_number() OVER (
                    PARTITION BY e.vec_id
                    ORDER BY {duck_cosine('e.embedding', 'c.qv')} DESC, c.co_id
                ) AS rn
-        FROM embeddings e CROSS JOIN coarse c) WHERE rn = 1
+        FROM embeddings e CROSS JOIN coarse c) WHERE rn <= 2
 ),
 assign AS MATERIALIZED (
-    -- stage 2: best fine centroid WITHIN the winning coarse cell
+    -- stage 2: best fine centroid across BOTH probed coarse cells
     SELECT vec_id, cent_id AS cell_id, v, sim AS cent_sim FROM (
         SELECT vc.vec_id, fg.cent_id, vc.v,
                {duck_cosine('vc.v', 'fg.cv')} AS sim,
@@ -1375,7 +1389,13 @@ FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
     "balance point (measured at generated sf10: √n sizing sent both "
     "variants to 65-74× wall for 10× data, the pair term n²/C "
     "dominating and funnel skew inflating it 2.3× further; n/B sizing "
-    "is the fix, SCALE.md round-6).  Every fine centroid is "
+    "is the fix, SCALE.md round-6).  Assignment MULTI-PROBES the top-2 "
+    "coarse cells (coarse_probes=2, round-7 verdict #2): stage 2 picks "
+    "the best fine centroid across both cells' fine sets, flattening "
+    "the coarse→fine funnel skew the sf10 probe measured at 2.3x — for "
+    "2x stage-2 cosines (~n·2C/K, still never n·C); the top-2 coarse "
+    "selection is a zero-shuffle map-side fold over the broadcast "
+    "centroid array.  Every fine centroid is "
     "pre-assigned to its nearest coarse cell (C×K metadata-sized work); "
     "at corpus sizes where the C-row fine table outgrows broadcast "
     "comfort, stage 2's broadcast becomes a co_id-keyed shuffle join — "
@@ -1384,11 +1404,12 @@ FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
     "centroid kept first); only the cell a vector lands in can differ "
     "from the flat variant (standard IVF approximation: the globally "
     "nearest fine centroid may live in a losing coarse cell).  Every "
-    "coarse cell is non-empty by construction (fine centroid j < K is "
-    "its own coarse centroid, self-similarity 1.0 is the strict max "
-    "unless an exact-duplicate centroid wins the lower-id tie-break — in "
-    "which case no vector can pick the orphaned cell either, since its "
-    "similarities to both duplicates are bit-identical).  Both argmax "
+    "coarse cell is non-empty by CONSTRUCTION, independent of floating "
+    "point: fine centroid j < K is pinned to its own coarse cell j "
+    "(two_level_index CASE rule, replayed by the oracle) — a "
+    "colinear-but-scaled duplicate centroid beating the self-pair by an "
+    "ulp can therefore never orphan a cell and silently drop rows "
+    "(round-7 ADVICE fix).  Both argmax "
     "stages are scalar max_by hash aggregates (map-side combine, one "
     "slim row per vector through each shuffle); the vector is re-attached "
     "once by a uniform vec_id join between the stages.  Oracle replays "
@@ -1406,7 +1427,13 @@ def dedup_semantic_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = semantic_2level_cells_for(emb.count())
     k = semantic_coarse_for(cells)
     coarse, fine_grouped = two_level_index(emb, cells=cells, k=k)
-    assign = two_level_assign(emb, coarse, fine_grouped).persist()
+    # coarse_probes=2: the balanced assignment — stage 2 picks the best
+    # fine centroid across the top-2 coarse cells, flattening the
+    # coarse→fine funnel skew the sf10 sweep measured at 2.3x (the
+    # residual super-unit term of this operator's 18x/10x ratio)
+    assign = two_level_assign(
+        emb, coarse, fine_grouped, coarse_probes=2
+    ).persist()
     # persist: assign feeds both self-join sides + the output
     return _semantic_prune(emb, assign)
 

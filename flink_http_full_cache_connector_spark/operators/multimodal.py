@@ -189,6 +189,8 @@ def sniff_format_bytes(payload: bytes) -> str:
         return "gif"
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return "wav"
+    if payload.startswith(b"RIFF") and payload[8:12] == b"AVI ":
+        return "avi"
     return "unknown"
 
 
@@ -208,6 +210,11 @@ def sniff_format_col(payload: Column) -> Column:
             h.startswith(b"RIFF".hex().upper())
             & (F.substring(h, 17, 8) == F.lit(b"WAVE".hex().upper())),
             F.lit("wav"),
+        )
+        .when(
+            h.startswith(b"RIFF".hex().upper())
+            & (F.substring(h, 17, 8) == F.lit(b"AVI ".hex().upper())),
+            F.lit("avi"),
         )
         .otherwise(F.lit("unknown"))
     )
@@ -1619,7 +1626,7 @@ def multimodal_video_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AUDIT_SIDE = 8  # fixture image side
 AUDIT_WAV_N = 100  # fixture sample count
-AUDIT_VARIANTS = 7  # payload classes cycled by doc_id % AUDIT_VARIANTS
+AUDIT_VARIANTS = 10  # payload classes cycled by doc_id % AUDIT_VARIANTS
 
 
 def audit_decode_bytes(raw: bytes) -> tuple[str, bool, str]:
@@ -1634,54 +1641,70 @@ def audit_decode_bytes(raw: bytes) -> tuple[str, bool, str]:
     ``unsupported_codec`` (spec-valid but outside the vendored subset,
     e.g. progressive JPEG: the degrade-to-audit row a 100 TB web corpus
     needs instead of a task failure), ``malformed`` (structurally broken
-    payloads), ``unknown_format`` (magic-number sniff miss)."""
-    fmt = sniff_format_bytes(raw)
-    if fmt == "png":
-        from flink_http_full_cache_connector_spark.functions.png_codec import (
-            PngError,
-            decode_png,
-        )
+    payloads), ``unknown_format`` (magic-number sniff miss).
 
-        try:
-            decode_png(raw)
-            return fmt, True, "ok"
-        except PngError as e:
-            return fmt, False, (
-                "unsupported_codec" if "unsupported" in str(e) else "malformed"
-            )
-    if fmt == "gif":
-        from flink_http_full_cache_connector_spark.functions.gif_codec import (
-            GifError,
-            decode_gif,
-        )
+    Classification keys on the codec exceptions' ``unsupported``
+    ATTRIBUTE, never message text; and the except clause is ``Exception``,
+    not just the typed codec errors — a corrupt crawled payload that
+    drives a parser into ``struct.error``/``IndexError``/``ValueError``
+    before the codec's own guards fire is still an audit row ('malformed'),
+    never a task failure."""
 
-        try:
-            decode_gif(raw)
-            return fmt, True, "ok"
-        except GifError as e:
-            return fmt, False, (
-                "unsupported_codec" if "unsupported" in str(e) else "malformed"
-            )
-    if fmt == "jpeg":
+    def _avi_full(raw: bytes) -> None:
+        # container demux + every frame through the vendored JPEG decoder:
+        # "decode_ok" for video means the whole payload decodes
+        from flink_http_full_cache_connector_spark.functions.avi_codec import (
+            decode_avi_mjpeg,
+        )
         from flink_http_full_cache_connector_spark.functions.jpeg_codec import (
-            JpegError,
             decode_jpeg,
         )
 
-        try:
-            decode_jpeg(raw)
-            return fmt, True, "ok"
-        except JpegError as e:
-            return fmt, False, (
-                "unsupported_codec" if "unsupported" in str(e) else "malformed"
-            )
-    if fmt == "wav":
-        try:
-            decode_audio(raw)
-            return fmt, True, "ok"
-        except ValueError:
-            return fmt, False, "malformed"
-    return fmt, False, "unknown_format"
+        _w, _h, _fps, frames = decode_avi_mjpeg(raw)
+        for f in frames:
+            decode_jpeg(f)
+
+    def _png(raw: bytes) -> None:
+        from flink_http_full_cache_connector_spark.functions.png_codec import (
+            decode_png,
+        )
+
+        decode_png(raw)
+
+    def _gif(raw: bytes) -> None:
+        from flink_http_full_cache_connector_spark.functions.gif_codec import (
+            decode_gif,
+        )
+
+        decode_gif(raw)
+
+    def _jpeg(raw: bytes) -> None:
+        from flink_http_full_cache_connector_spark.functions.jpeg_codec import (
+            decode_jpeg,
+        )
+
+        decode_jpeg(raw)
+
+    decoders = {
+        "png": _png,
+        "gif": _gif,
+        "jpeg": _jpeg,
+        "wav": decode_audio,
+        "avi": _avi_full,
+    }
+    fmt = sniff_format_bytes(raw)
+    dec = decoders.get(fmt)
+    if dec is None:
+        return fmt, False, "unknown_format"
+    try:
+        dec(raw)
+        return fmt, True, "ok"
+    except Exception as e:  # noqa: BLE001 — the never-raise audit contract
+        return fmt, False, (
+            "unsupported_codec"
+            if getattr(e, "unsupported", False)
+            else "malformed"
+        )
 
 
 AUDIT_SCHEMA = StructType(
@@ -1715,13 +1738,18 @@ def decode_audit(media: DataFrame) -> DataFrame:
 
 
 def _audit_payload(d: int) -> bytes:
-    """Deterministic 7-way fixture: four healthy formats plus the three
-    failure classes a crawled corpus actually contains."""
+    """Deterministic 10-way fixture: five healthy formats (PNG, GIF,
+    baseline JPEG, PCM-WAV, MJPEG-AVI) plus the failure classes a crawled
+    corpus actually contains (progressive JPEG, truncated PNG, truncated
+    GIF, bad-RIFF-size WAV, magic-number miss)."""
     import io
     import wave
 
     import numpy as np
 
+    from flink_http_full_cache_connector_spark.functions.avi_codec import (
+        encode_avi_mjpeg,
+    )
     from flink_http_full_cache_connector_spark.functions.gif_codec import encode_gif
     from flink_http_full_cache_connector_spark.functions.jpeg_codec import (
         encode_jpeg_gray,
@@ -1737,12 +1765,15 @@ def _audit_payload(d: int) -> bytes:
         pix = np.stack(np.broadcast_arrays(r, r, r), axis=2).astype(np.uint8)
         payload = encode_png(s, s, pix.tobytes())
         return payload if v == 0 else payload[: len(payload) // 2]
-    if v == 1:
+    if v in (1, 7):
         xs = np.arange(s, dtype=np.int64)[None, :]
         ys = np.arange(s, dtype=np.int64)[:, None]
         idx = ((xs + ys + d) % 4) * 60
         pix = np.stack(np.broadcast_arrays(idx, idx, idx), axis=2).astype(np.uint8)
-        return encode_gif(s, s, pix.tobytes())
+        payload = encode_gif(s, s, pix.tobytes())
+        # v=7: cut mid-stream — header/LSD survive (sniff still says gif),
+        # the image data does not
+        return payload if v == 1 else payload[: len(payload) // 2]
     if v in (2, 4):
         img = ((np.arange(s * s, dtype=np.int64) * 7 + d) % 256).astype(np.uint8)
         payload = encode_jpeg_gray(s, s, img.tobytes())
@@ -1750,7 +1781,7 @@ def _audit_payload(d: int) -> bytes:
             return payload
         i = payload.find(b"\xff\xc0")
         return payload[:i] + b"\xff\xc2" + payload[i + 2 :]  # progressive SOF
-    if v == 3:
+    if v in (3, 8):
         i = np.arange(AUDIT_WAV_N, dtype=np.int64)
         samples = ((i * 13 + d) % 401) - 200
         buf = io.BytesIO()
@@ -1759,7 +1790,21 @@ def _audit_payload(d: int) -> bytes:
             w.setsampwidth(2)
             w.setframerate(8000)
             w.writeframes(samples.astype("<i2").tobytes())
-        return buf.getvalue()
+        payload = buf.getvalue()
+        if v == 3:
+            return payload
+        # v=8: declared RIFF chunk size lies (claims the container ends
+        # right after 'WAVE') — the sniff magic survives, stdlib wave
+        # finds no fmt/data chunk inside the declared extent
+        return payload[:4] + (4).to_bytes(4, "little") + payload[8:]
+    if v == 9:
+        frames = []
+        for k in range(2):
+            img = ((np.arange(s * s, dtype=np.int64) * 11 + d + k) % 256).astype(
+                np.uint8
+            )
+            frames.append(encode_jpeg_gray(s, s, img.tobytes()))
+        return encode_avi_mjpeg(s, s, 5, frames)
     return b"\x00BLOB" + str(d).encode()  # v == 6: no known magic
 
 
@@ -1773,11 +1818,14 @@ def _audit_payload(d: int) -> bytes:
         SELECT doc_id,
                CASE v WHEN 0 THEN 'png' WHEN 1 THEN 'gif' WHEN 2 THEN 'jpeg'
                       WHEN 3 THEN 'wav' WHEN 4 THEN 'jpeg' WHEN 5 THEN 'png'
+                      WHEN 7 THEN 'gif' WHEN 8 THEN 'wav' WHEN 9 THEN 'avi'
                       ELSE 'unknown' END AS format,
-               (v <= 3) AS decode_ok,
+               (v <= 3 OR v = 9) AS decode_ok,
                CASE v WHEN 4 THEN 'unsupported_codec'
                       WHEN 5 THEN 'malformed'
                       WHEN 6 THEN 'unknown_format'
+                      WHEN 7 THEN 'malformed'
+                      WHEN 8 THEN 'malformed'
                       ELSE 'ok' END AS reason
         FROM c
     )
@@ -1790,15 +1838,20 @@ def _audit_payload(d: int) -> bytes:
     "deliberately lack (round-6 verdict #4): every payload classifies to "
     "(format, decode_ok, reason) instead of raising, so a 100 TB web "
     "corpus containing progressive JPEGs degrades to an audit row, not a "
-    "task failure.  Fixtures cycle doc_id%7 through four healthy formats "
-    "(PNG, GIF, baseline JPEG, PCM-WAV — all REALLY decoded by the "
-    "vendored/stdlib codecs) and the three real-world failure classes: a "
+    "task failure.  Fixtures cycle doc_id%10 through five healthy formats "
+    "(PNG, GIF, baseline JPEG, PCM-WAV, MJPEG-AVI — all REALLY decoded by "
+    "the vendored/stdlib codecs; the AVI path demuxes the RIFF container "
+    "AND decodes every frame) and five real-world failure classes: a "
     "spec-valid PROGRESSIVE JPEG (SOF2 → unsupported_codec), a truncated "
-    "PNG (→ malformed), and a magic-number miss (→ unknown_format).  The "
-    "audit consults ONLY the environment-invariant codecs (never pillow/"
-    "soundfile), so decode_ok is identical on every cluster; the oracle "
-    "replays the fixture rule closed-form.  One Arrow pass, then one "
-    "partial-aggregated shuffle over a ≤7-key space.",
+    "PNG, a truncated GIF, a WAV whose declared RIFF size lies (all → "
+    "malformed), and a magic-number miss (→ unknown_format).  "
+    "Classification keys on the codec errors' unsupported ATTRIBUTE and "
+    "the audit catches Exception (never-raise contract: parser crashes on "
+    "corrupt bytes are 'malformed' rows).  The audit consults ONLY the "
+    "environment-invariant codecs (never pillow/soundfile), so decode_ok "
+    "is identical on every cluster; the oracle replays the fixture rule "
+    "closed-form.  One Arrow pass, then one partial-aggregated shuffle "
+    "over a ≤10-key space.",
 )
 def multimodal_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -176,7 +176,16 @@ def two_level_index(
     (cent_id, co_id, cv, nc) — C×K metadata-sized work, broadcastable; at
     corpus sizes where the C-row table outgrows broadcast comfort the
     consumer joins it on co_id as a shuffle join instead (same plan
-    shape)."""
+    shape).
+
+    Fine centroid j < k IS coarse centroid j; its co_id is PINNED to j
+    rather than argmaxed, so every coarse cell is non-empty by
+    construction independent of floating point — a colinear-but-scaled
+    duplicate centroid could otherwise beat the self-pair by an ulp
+    (cosine(v, c) vs cosine(v, 2c) need not tie bit-exactly), orphan
+    coarse cell j, and silently drop every vector whose stage-1 winner
+    is j from two_level_assign's inner join on co_id (round-7 ADVICE).
+    The SQL twins replay the same CASE rule."""
     from flink_http_full_cache_connector_spark.functions.vectors import (
         cosine_with_norms,
         norm,
@@ -195,6 +204,14 @@ def two_level_index(
         .select("cent_id", "co_id", fsim.alias("sim"))
         .groupBy("cent_id")
         .agg(F.max_by(F.col("co_id"), f_order).alias("co_id"))
+        # a fine centroid that IS a coarse centroid anchors its own cell
+        # (see docstring: orphan-proofing independent of float ties)
+        .withColumn(
+            "co_id",
+            F.when(F.col("cent_id") < k, F.col("cent_id")).otherwise(
+                F.col("co_id")
+            ),
+        )
         .join(fine, "cent_id")  # re-attach cv/nc (C rows, trivial)
     )
     return coarse, fine_grouped
@@ -207,13 +224,28 @@ def two_level_assign(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_probes: int = 1,
 ) -> DataFrame:
     """``(id, cell_id, cent_sim)`` via coarse→fine assignment: stage 1
     picks the coarse cell (n·K scalar rows, map-side partial ``max_by``),
     the vector is re-attached once by a uniform id join, stage 2 scores
     only the winning coarse cell's fine centroids (≈ n·C/K rows).  Both
     shuffles carry one slim row per vector; no stage ever materializes
-    n×C."""
+    n×C.
+
+    ``coarse_probes=2`` is the BALANCED assignment (round-7 verdict #2):
+    the sf10 sweep measured the coarse→fine funnel skewing fine cells
+    2.3× (a popular coarse cell concentrates every vector it wins into
+    its own C/K fine cells), and that skew was the residual super-unit
+    ratio of dedup_semantic_2level.  Multi-probing the top-2 coarse cells
+    lets stage 2 pick the best fine centroid across BOTH cells' fine
+    sets — assignment closer to the flat argmax, cells materially more
+    even — for 2× stage-2 cosines (still ~n·2C/K, never n·C).  The top-2
+    selection runs entirely map-side: the K coarse centroids fold into a
+    single broadcast array row and a transform+aggregate expression keeps
+    the running (best, second) per vector — ZERO stage-1 shuffle (the
+    max_by path pays one slim exchange), no window over n·K rows.  The
+    SQL twin replays it as the rn<=2 window over the identical sims."""
     from flink_http_full_cache_connector_spark.functions.vectors import (
         cosine_with_norms,
         norm,
@@ -222,18 +254,86 @@ def two_level_assign(
     v = widen(emb).select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v")
     ).withColumn("nv", norm(F.col("v")))
-    s1 = cosine_with_norms(F.col("v"), F.col("qv"), F.col("nv"), F.col("nq"))
-    s1_order = F.struct(F.col("sim"), (-F.col("co_id")).alias("neg"))
-    vco = (
-        v.join(F.broadcast(coarse.select("co_id", "qv", "nq")))
-        .select(id_col, "co_id", s1.alias("sim"))
-        .groupBy(id_col)
-        .agg(F.max_by(F.col("co_id"), s1_order).alias("co_id"))
-    )
+    if coarse_probes == 1:
+        s1 = cosine_with_norms(F.col("v"), F.col("qv"), F.col("nv"), F.col("nq"))
+        s1_order = F.struct(F.col("sim"), (-F.col("co_id")).alias("neg"))
+        vco = (
+            v.join(F.broadcast(coarse.select("co_id", "qv", "nq")))
+            .select(id_col, "co_id", s1.alias("sim"))
+            .groupBy(id_col)
+            .agg(F.max_by(F.col("co_id"), s1_order).alias("co_id"))
+        )
+        staged = vco.join(v, id_col)
+    elif coarse_probes == 2:
+        # one array row (collect_list is a K-row agg — metadata-sized, the
+        # same class as the coarse broadcast itself), cross-joined broadcast
+        carr = coarse.agg(
+            F.collect_list(F.struct("co_id", "qv", "nq")).alias("cents")
+        )
+        scored_arr = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                c["co_id"].alias("co_id"),
+                cosine_with_norms(
+                    F.col("v"), c["qv"], F.col("nv"), c["nq"]
+                ).alias("sim"),
+            ),
+        )
+        init = F.struct(
+            F.lit(-10.0).alias("s1"),
+            F.lit(2**62).cast("long").alias("i1"),
+            F.lit(-10.0).alias("s2"),
+            F.lit(2**62).cast("long").alias("i2"),
+        )
+
+        def _step(acc: Column, x: Column) -> Column:
+            beats1 = (x["sim"] > acc["s1"]) | (
+                (x["sim"] == acc["s1"]) & (x["co_id"] < acc["i1"])
+            )
+            beats2 = (x["sim"] > acc["s2"]) | (
+                (x["sim"] == acc["s2"]) & (x["co_id"] < acc["i2"])
+            )
+            return (
+                F.when(
+                    beats1,
+                    F.struct(
+                        x["sim"].alias("s1"),
+                        x["co_id"].alias("i1"),
+                        acc["s1"].alias("s2"),
+                        acc["i1"].alias("i2"),
+                    ),
+                )
+                .when(
+                    beats2,
+                    F.struct(
+                        acc["s1"].alias("s1"),
+                        acc["i1"].alias("i1"),
+                        x["sim"].alias("s2"),
+                        x["co_id"].alias("i2"),
+                    ),
+                )
+                .otherwise(acc)
+            )
+
+        top2 = F.aggregate(scored_arr, init, _step)
+        staged = (
+            v.crossJoin(F.broadcast(carr))
+            .withColumn("t2", top2)
+            .select(
+                id_col,
+                "v",
+                "nv",
+                F.explode(
+                    F.array(F.col("t2.i1"), F.col("t2.i2"))
+                ).alias("co_id"),
+            )
+        )
+    else:  # pragma: no cover — 1 and 2 are the supported shapes
+        raise ValueError(f"coarse_probes must be 1 or 2, got {coarse_probes}")
     s2 = cosine_with_norms(F.col("v"), F.col("cv"), F.col("nv"), F.col("nc"))
     s2_order = F.struct(F.col("sim"), (-F.col("cent_id")).alias("neg"))
     return (
-        vco.join(v, id_col)
+        staged
         .join(F.broadcast(fine_grouped), "co_id")
         .select(id_col, "cent_id", s2.alias("sim"))
         .groupBy(id_col)
@@ -771,11 +871,18 @@ fine AS (
     FROM embeddings, params WHERE vec_id < params.c
 ),
 fine_grouped AS MATERIALIZED (
-    SELECT cent_id, co_id, cv FROM (
-        SELECT f.cent_id, c.co_id, f.cv,
-               row_number() OVER (PARTITION BY f.cent_id
-                   ORDER BY {duck_cosine('f.cv', 'c.qv')} DESC, c.co_id) AS rn
-        FROM fine f CROSS JOIN coarse c) WHERE rn = 1
+    -- fine centroid j < k anchors its own coarse cell (orphan-proofing,
+    -- same CASE rule as two_level_index)
+    SELECT g.cent_id,
+           CASE WHEN g.cent_id < p.k THEN g.cent_id ELSE g.co_id END AS co_id,
+           g.cv
+    FROM (
+        SELECT cent_id, co_id, cv FROM (
+            SELECT f.cent_id, c.co_id, f.cv,
+                   row_number() OVER (PARTITION BY f.cent_id
+                       ORDER BY {duck_cosine('f.cv', 'c.qv')} DESC, c.co_id) AS rn
+            FROM fine f CROSS JOIN coarse c) WHERE rn = 1
+    ) g, params p
 ),
 v_coarse AS MATERIALIZED (
     SELECT vec_id, co_id FROM (

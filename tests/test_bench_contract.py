@@ -191,6 +191,10 @@ def test_skip_baselines_mode_excludes_only_tagged_baselines():
         # NoTimeout sessionizer: state grows with keys-ever-seen; the
         # evicting variant is the production path at scale (r4 verdict #4)
         "streaming_sessionize",
+        # flat SemDeDup: measured 74x wall at 10x data (sf10 spot sweep,
+        # SCALE.md round 6) — the n^1.5 balance point is a measurement,
+        # not a caveat; dedup_semantic_2level is the production twin
+        "dedup_semantic",
     }
     kept = {n: qd for n, qd in q_all.items() if not qd.baseline}
     assert set(kept) == set(q_all) - tagged
@@ -201,5 +205,6 @@ def test_skip_baselines_mode_excludes_only_tagged_baselines():
         "dedup_containment_capped",
         "sim_ann_ivf",
         "streaming_sessionize_evicting",
+        "dedup_semantic_2level",
     ):
         assert twin in kept

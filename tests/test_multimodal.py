@@ -160,8 +160,8 @@ def test_sniff_golden_bytes_python_and_jvm(spark):
         (2, b"\xff\xd8\xff\xe0\x00\x10JFIF\x00rest", "jpeg"),
         (3, b"GIF89a\x01\x00\x01\x00...", "gif"),
         (4, b"RIFF\x24\x08\x00\x00WAVEfmt ", "wav"),
-        (5, b"RIFF\x24\x08\x00\x00AVI LIST", "unknown"),  # RIFF but not WAVE
-        (6, b"plain text payload", "unknown"),
+        (5, b"RIFF\x24\x08\x00\x00AVI LIST", "avi"),
+        (6, b"RIFF\x24\x08\x00\x00ACON....", "unknown"),  # RIFF, unknown type
         (7, b"\x89PNx truncated", "unknown"),
     ]
     for _, payload, want in samples:
@@ -500,6 +500,9 @@ def test_audit_decode_bytes_all_classes():
         4: ("jpeg", False, "unsupported_codec"),
         5: ("png", False, "malformed"),
         6: ("unknown", False, "unknown_format"),
+        7: ("gif", False, "malformed"),
+        8: ("wav", False, "malformed"),
+        9: ("avi", True, "ok"),
     }
     for d in range(AUDIT_VARIANTS * 3):  # three cycles, varying content
         got = audit_decode_bytes(_audit_payload(d))
@@ -520,12 +523,72 @@ def test_audit_never_raises_on_arbitrary_bytes():
         b"\xff\xd8\xff\xe0",  # JPEG SOI+APP0 marker, truncated
         b"GIF89a\x00",
         b"RIFF\x00\x00\x00\x00WAVE",
+        b"RIFF\x00\x00\x00\x00AVI ",  # AVI magic, empty container
         bytes(range(256)),
     ]:
         fmt, ok, reason = audit_decode_bytes(raw)
         assert ok is False and reason in {"malformed", "unknown_format"}, (
             raw[:12], fmt, ok, reason,
         )
+
+
+def test_audit_classifies_parser_crashes_and_unsupported_attribute():
+    """Round-7 ADVICE pins: (a) payloads that drive the JPEG parser into
+    struct.error / IndexError / ValueError territory before its typed
+    guards fire still classify as 'malformed' (the audit catches
+    Exception); (b) spec-valid-but-unsupported streams whose messages do
+    NOT contain the substring 'unsupported' (interlaced PNG, 4:2:2
+    sampling) classify via the exception ATTRIBUTE as
+    'unsupported_codec'."""
+    import struct
+    import zlib
+
+    from flink_http_full_cache_connector_spark.operators.multimodal import (
+        audit_decode_bytes,
+    )
+
+    # SOI + SOF0 segment declaring length 4 → payload[:6] is 2 bytes; the
+    # codec must raise its typed truncation error, not struct.error
+    sof_short = b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 4) + b"\x08\x00"
+    # SOI + SOS with an empty payload (declared length 2) → payload[0]
+    # would be IndexError without the guard
+    sos_empty = b"\xff\xd8" + b"\xff\xda" + struct.pack(">H", 2)
+    for raw in (sof_short, sos_empty):
+        assert audit_decode_bytes(raw) == ("jpeg", False, "malformed"), raw
+
+    # interlaced PNG: spec-valid, outside the vendored subset; the message
+    # is 'interlaced PNG not supported' (no 'unsupported' substring) — the
+    # attribute, not the text, must drive the classification
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)  # interlace=1
+    interlaced = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    assert audit_decode_bytes(interlaced) == (
+        "png", False, "unsupported_codec",
+    )
+
+    # 4:2:2-sampled color JPEG: the message is 'only 4:4:4 and luma-first
+    # 4:2:0 sampling supported' — again attribute-driven
+    from flink_http_full_cache_connector_spark.functions.jpeg_codec import (
+        encode_jpeg_rgb,
+    )
+
+    rgb = encode_jpeg_rgb(8, 8, bytes(8 * 8 * 3))
+    i = rgb.find(b"\xff\xc0")
+    seg_len = struct.unpack(">H", rgb[i + 2 : i + 4])[0]
+    seg = bytearray(rgb[i + 4 : i + 2 + seg_len])
+    # component sampling bytes live at offset 6+3*c+1 within the payload
+    seg[6 + 1] = 0x21  # luma 2x1 (4:2:2)
+    patched = rgb[: i + 4] + bytes(seg) + rgb[i + 2 + seg_len :]
+    assert audit_decode_bytes(patched) == (
+        "jpeg", False, "unsupported_codec",
+    )
 
 
 def test_decode_audit_operator_over_payload_column(spark):

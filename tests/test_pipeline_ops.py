@@ -1047,4 +1047,36 @@ def test_ann_ivf_2level_recall_and_plan(spark):
         len(ann_sets.get(q, set()) & s) / len(s) for q, s in exact_sets.items()
     ]
     avg = sum(recalls) / len(recalls)
-    assert avg >= 0.2, f"two-level IVF recall@10 {avg:.2f}"
+    # measured-minus-slack pin (round-7 verdict #7): recall@10 measured
+    # 0.65 at sf0.01 — a floor 10 points under catches a quality
+    # regression (e.g. a broken coarse tie-break) the old 0.2 floor never
+    # would, while absorbing data-regeneration jitter
+    assert avg >= 0.55, f"two-level IVF recall@10 {avg:.2f} (measured 0.65)"
+
+
+def test_two_level_assign_covers_every_vector(spark):
+    """two_level_assign must emit exactly one row per corpus vector: the
+    stage-2 inner join on co_id would silently drop any vector whose
+    winning coarse cell had no fine members, so two_level_index pins fine
+    centroid j < k to its own coarse cell (orphan-proofing independent of
+    float ulp ties — round-7 ADVICE) and this test holds the completeness
+    contract."""
+    import math
+
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        ivf2_cells_for,
+        two_level_assign,
+        two_level_index,
+    )
+    from flink_http_full_cache_connector_spark.plans.registry import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    cells = ivf2_cells_for(n)
+    k = max(4, math.isqrt(cells))
+    coarse, fine_grouped = two_level_index(emb, cells=cells, k=k)
+    assign = two_level_assign(emb, coarse, fine_grouped)
+    assert assign.count() == n
+    # and every fine centroid that IS a coarse centroid anchors itself
+    fg = fine_grouped.where(F.col("cent_id") < k).select("cent_id", "co_id")
+    assert all(r.cent_id == r.co_id for r in fg.collect())

@@ -155,17 +155,27 @@ def _model_2level(sf_dir):
     co_ids, q = ids[coarse_mask], emb[coarse_mask]
     fi_ids, c = ids[fine_mask], emb[fine_mask]
     qn, cn = np.linalg.norm(q, axis=1), np.linalg.norm(c, axis=1)
-    # fine centroid -> coarse group
+    # fine centroid -> coarse group; a fine centroid that IS a coarse
+    # centroid anchors its own cell (two_level_index orphan pin)
     group = {}
     for i, fid in enumerate(fi_ids):
+        if fid < k:
+            group[fid] = fid
+            continue
         sims = (c[i] @ q.T) / (cn[i] * qn)
         group[fid] = best(sims, co_ids)
+
+    def top2(sims, cand_ids):
+        # top-2 by (sim DESC, id ASC) — the multi-probe coarse selection
+        order = sorted(range(len(cand_ids)), key=lambda j: (-sims[j], cand_ids[j]))
+        return {cand_ids[j] for j in order[:2]}
+
     cell = np.empty(n, dtype=np.int64)
     cent_sim = np.empty(n)
     for i in range(n):
         s1 = (emb[i] @ q.T) / (norms[i] * qn)
-        co = best(s1, co_ids)
-        members = np.array([fid for fid in fi_ids if group[fid] == co])
+        probed = top2(s1, co_ids)
+        members = np.array([fid for fid in fi_ids if group[fid] in probed])
         mi = np.searchsorted(fi_ids, members)
         s2 = (emb[i] @ c[mi].T) / (norms[i] * cn[mi])
         cell[i] = best(s2, members)
