@@ -969,11 +969,6 @@ FROM ranked WHERE rank <= {TOP_K}
 def sim_ann_ivf_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
-    from flink_http_full_cache_connector_spark.functions.vectors import (
-        cosine_with_norms,
-        norm,
-    )
-
     emb = load_table(spark, sf_dir, "embeddings")
     cells = ivf2_cells_for(emb.count())
     k = max(4, math.isqrt(cells))
@@ -981,6 +976,25 @@ def sim_ann_ivf_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = two_level_assign(emb, coarse, fine_grouped).select(
         "vec_id", "cell_id"
     )
+    return _two_level_probe_topk(emb, coarse, fine_grouped, assign)
+
+
+def _two_level_probe_topk(
+    emb: DataFrame,
+    coarse: DataFrame,
+    fine_grouped: DataFrame,
+    assign: DataFrame,
+) -> DataFrame:
+    """The two-level search walk, shared by the corpus-slice and the
+    Lloyd-trained index: query → top-1 coarse cell → top-nprobe fine
+    cells within it → exact-cosine rerank of the candidate cells'
+    members.  ``coarse``/``fine_grouped`` in two_level_index shape,
+    ``assign`` = (vec_id, cell_id)."""
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
     q = emb.where(F.col("vec_id") < NUM_QUERIES).select(
         F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
     ).withColumn("nqv", norm(F.col("qv")))
@@ -1025,6 +1039,187 @@ def sim_ann_ivf_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
         "neighbor_id",
         trunc6(F.col("cos_sim")).alias("cos_sim"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def two_level_index_trained(
+    emb: DataFrame,
+    *,
+    cells: int,
+    k: int,
+    iters: int = 2,
+    sample_mod: int | None = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd-trained ``(coarse, fine_grouped)`` — the production ANN index
+    shape (round-7 verdict #5): fine centroids are k-means means instead
+    of corpus slices, and the coarse quantizer is k-means over the FINE
+    CENTROID TABLE itself (the FAISS recipe: the coarse level quantizes
+    the codebook, so its training input is C rows — metadata-sized —
+    regardless of corpus size).
+
+    Fine training follows ivf_train's sample-mod posture (Lloyd on the
+    deterministic 1/N md5-bucket sample; each iteration costs a fraction
+    of a corpus scan).  The per-iteration centroid collect is O(C·dim)
+    driver memory — at extreme corpus sizes C itself is capped by
+    training on a bounded sample (the divisor grows with n, exactly as
+    ivf_train documents); the full-corpus ASSIGNMENT always runs through
+    two_level_assign's n·2√C path.
+
+    Trained coarse cells can legitimately end up with zero fine members
+    (Lloyd keeps an empty cell's previous centroid), so the returned
+    ``coarse`` is filtered to cells that own at least one fine centroid —
+    the structural orphan-proofing twin of two_level_index's j<k pin
+    (probing a fine-less cell could silently drop every vector that
+    picked it in stage 1)."""
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    fine_cent = ivf_train(
+        emb, k=cells, iters=iters, id_col=id_col, vec_col=vec_col,
+        sample_mod=sample_mod,
+    )
+    # rename before coarse training: ivf_train's internal assignment would
+    # otherwise collide with its own (cent_id, cv) centroid relation
+    coarse_cent = ivf_train(
+        fine_cent.select(
+            F.col("cent_id").alias("fid"), F.col("cv").alias("fv")
+        ),
+        k=k, iters=iters, id_col="fid", vec_col="fv",
+    )
+    coarse = coarse_cent.select(
+        F.col("cent_id").alias("co_id"), F.col("cv").alias("qv")
+    ).withColumn("nq", norm(F.col("qv")))
+    fine = fine_cent.withColumn("nc", norm(F.col("cv")))
+    fsim = cosine_with_norms(F.col("cv"), F.col("qv"), F.col("nc"), F.col("nq"))
+    f_order = F.struct(F.col("sim"), (-F.col("co_id")).alias("neg"))
+    fine_grouped = (
+        fine.join(F.broadcast(coarse))
+        .select("cent_id", "co_id", fsim.alias("sim"))
+        .groupBy("cent_id")
+        .agg(F.max_by(F.col("co_id"), f_order).alias("co_id"))
+        .join(fine, "cent_id")
+    )
+    used = fine_grouped.select("co_id").distinct()
+    return coarse.join(used, "co_id"), fine_grouped
+
+
+@register(
+    "sim_ann_ivf_2level_trained",
+    f"""
+SELECT e.vec_id AS query_id,
+       TRUE AS n_neighbors_ok, TRUE AS ranks_ok, TRUE AS sims_sorted,
+       TRUE AS no_self, TRUE AS sims_in_range,
+       (SELECT count(*) FROM embeddings) AS assign_total,
+       (SELECT greatest({NUM_CENTROIDS}, count(*) // {IVF2_CELL_TARGET})
+        FROM embeddings) AS fine_count,
+       TRUE AS coarse_cells_ok,
+       TRUE AS centroids_finite_ok
+FROM embeddings e WHERE e.vec_id < {NUM_QUERIES}
+""",
+    doc="Lloyd-TRAINED two-level IVF ANN (round-7 verdict #5) — the "
+    "production shape sim_ann_ivf_2level's corpus-slice seeds stand in "
+    f"for: C = max({NUM_CENTROIDS}, n/{IVF2_CELL_TARGET}) fine centroids "
+    "k-means-trained on the deterministic 1/2 md5-bucket sample (2 Lloyd "
+    "iterations), coarse centroids k-means-trained over the FINE CENTROID "
+    "TABLE itself (C rows — the coarse level quantizes the codebook, so "
+    "its training never touches the corpus).  Same hash-checkable "
+    "CONTRACT form as sim_ann_ivf_trained (Lloyd means have no bit-stable "
+    f"SQL replay): exactly top-{TOP_K} neighbors per query, contiguous "
+    "ranks, non-increasing sims, no self-matches, sims in [-1,1]; "
+    "assignment covers count(embeddings) rows (completeness — trained "
+    "coarse cells with zero fine members are dropped from the index, the "
+    "structural orphan guard); fine_count is the closed-form C the oracle "
+    "recomputes; coarse cell count bounded by isqrt(C); all centroid "
+    "components finite.  Recall vs exact top-k pinned measured-minus-"
+    "slack in tests/test_pipeline_ops.py.  Plan: same two slim max_by "
+    "shuffles as the untrained variant; training itself is iterative "
+    "(centroid-sized collects per Lloyd step, the MLlib pattern).",
+)
+def sim_ann_ivf_2level_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cells = ivf2_cells_for(n)
+    k = max(4, math.isqrt(cells))
+    coarse, fine_grouped = two_level_index_trained(emb, cells=cells, k=k)
+    fine_grouped = fine_grouped.persist()  # feeds probe walk + global checks
+    assign = two_level_assign(emb, coarse, fine_grouped).select(
+        "vec_id", "cell_id"
+    ).persist()  # feeds candidate join + completeness count
+    nb = _two_level_probe_topk(emb, coarse, fine_grouped, assign)
+
+    glob = (
+        assign.agg(F.count("*").alias("assign_total"))
+        .crossJoin(
+            fine_grouped.agg(
+                F.count("*").alias("fine_count"),
+                F.bool_and(
+                    F.expr("forall(cv, x -> x IS NOT NULL AND NOT isnan(x))")
+                ).alias("centroids_finite_ok"),
+            )
+        )
+        .crossJoin(
+            coarse.agg(
+                ((F.count("*") >= 1) & (F.count("*") <= k)).alias(
+                    "coarse_cells_ok"
+                )
+            )
+        )
+    )
+    per_q = nb.groupBy("query_id").agg(
+        F.count("*").alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("rank"), F.col("cos_sim")))
+        ).alias("rs"),
+        F.bool_and(F.col("neighbor_id") != F.col("query_id")).alias("no_self"),
+        F.bool_and(
+            (F.col("cos_sim") >= -1.0 - 1e-9) & (F.col("cos_sim") <= 1.0 + 1e-9)
+        ).alias("sims_in_range"),
+    )
+    qids = emb.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    return (
+        qids.join(per_q, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n") == TOP_K, F.lit(False)).alias("n_neighbors_ok"),
+            F.coalesce(
+                F.expr(f"transform(rs, s -> s.rank) = sequence(1, {TOP_K})"),
+                F.lit(False),
+            ).alias("ranks_ok"),
+            F.coalesce(
+                F.expr(
+                    "forall(zip_with("
+                    " slice(transform(rs, s -> s.cos_sim), 1, size(rs) - 1),"
+                    " slice(transform(rs, s -> s.cos_sim), 2, size(rs) - 1),"
+                    " (x, y) -> x >= y), b -> b)"
+                ),
+                F.lit(False),
+            ).alias("sims_sorted"),
+            F.coalesce(F.col("no_self"), F.lit(False)).alias("no_self"),
+            F.coalesce(F.col("sims_in_range"), F.lit(False)).alias(
+                "sims_in_range"
+            ),
+        )
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "query_id",
+            "n_neighbors_ok",
+            "ranks_ok",
+            "sims_sorted",
+            "no_self",
+            "sims_in_range",
+            "assign_total",
+            "fine_count",
+            "coarse_cells_ok",
+            "centroids_finite_ok",
+        )
     )
 
 

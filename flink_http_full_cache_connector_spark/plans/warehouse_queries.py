@@ -899,7 +899,11 @@ def rollup_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     "same algebraic-aggregate property the batch twin "
     "(rollup_incremental_merge) pins for the day->month merge, extended "
     "here to per-microbatch day-state updates.  Integer micro-unit sums "
-    "make the fold order-independent by construction.",
+    "make the fold order-independent by construction.  Complete mode "
+    "re-emits the whole O(days x types) relation every microbatch — fine "
+    "for metadata-sized state; streaming_rollup_incremental_update is "
+    "the sink-cheap UPDATE-mode twin (delta emission + foreachBatch "
+    "merge) for key spaces that are not.",
 )
 def streaming_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
@@ -933,3 +937,73 @@ def streaming_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return finalize_memory_sink(_merge_day_states(spark.table(name)), name)
+
+
+ROLLUP_UPDATE_SLICES = 3  # microbatches the update-mode twin consumes
+
+
+@register(
+    "streaming_rollup_incremental_update",
+    ROLLUP_MERGE_ORACLE,
+    doc="UPDATE-mode / foreachBatch-merge twin of "
+    "streaming_rollup_incremental (round-7 verdict #6, the "
+    "streaming_drift_ks_update template): the events table is sliced "
+    f"into {ROLLUP_UPDATE_SLICES} files consumed as separate "
+    "microbatches (maxFilesPerTrigger=1), the (day, event_type) "
+    "day-state aggregation runs in UPDATE output mode — each microbatch "
+    "delivers only the day-states whose totals CHANGED, never the full "
+    "O(days x types) relation the complete-mode twin re-emits every "
+    "batch — and a foreachBatch upsert merges the deltas into a "
+    "versioned parquet state table (anti-join old keys + union).  The "
+    "shared day->month state merge then runs on the merged table, and "
+    "the DIRECT month-aggregate oracle must hash-match: delta emission "
+    "+ external merge + algebraic month fold reconstructs the raw "
+    "aggregate exactly.  Update rows carry new day TOTALS (cnt, sum, "
+    "min, max in exact integer micro-units), so the merge is idempotent "
+    "per (day, type) — replayable on restart.",
+)
+def streaming_rollup_incremental_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.sources.lookup import (
+        _local_relation,
+    )
+    from flink_http_full_cache_connector_spark.streaming.upsert import (
+        run_update_merge_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    proj = ev.select("event_id", "event_type", "ts", "value")
+    work = tempfile.mkdtemp(prefix="spark_graft_rollupd_")
+    try:
+        in_dir = f"{work}/in"
+        for i in range(ROLLUP_UPDATE_SLICES):
+            (
+                proj.where(F.col("event_id") % ROLLUP_UPDATE_SLICES == i)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(f"{in_dir}/slice{i}")
+            )
+        stream = (
+            spark.readStream.schema(proj.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(in_dir)
+        )
+        daily = stream.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "event_type",
+        ).agg(*_day_state_aggs())
+        merged = run_update_merge_stream(
+            daily, key_cols=["day", "event_type"], out_dir=f"{work}/state"
+        )
+        out = _merge_day_states(merged)
+        # materialize the months-x-types-sized result so temp dirs can go
+        rows = [tuple(r) for r in out.collect()]
+        return _local_relation(spark, rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

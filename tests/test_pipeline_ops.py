@@ -1054,6 +1054,74 @@ def test_ann_ivf_2level_recall_and_plan(spark):
     assert avg >= 0.55, f"two-level IVF recall@10 {avg:.2f} (measured 0.65)"
 
 
+def test_ann_ivf_2level_trained_recall_and_plan(spark):
+    """Lloyd-trained two-level IVF (round-7 verdict #5): exact-cosine
+    score agreement with brute force on shared pairs, recall pinned
+    measured-minus-slack, contract flags all true, and the scale plan
+    shape (no cartesian, partial max_by, scalar agg values)."""
+    import math
+
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        _two_level_probe_topk,
+        ivf2_cells_for,
+        sim_ann_ivf_2level_trained,
+        two_level_assign,
+        two_level_index_trained,
+    )
+    from flink_http_full_cache_connector_spark.plans.registry import load_table
+
+    contract = sim_ann_ivf_2level_trained(spark, SF_DIR)
+    plan = contract._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = contract.collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert all(
+            getattr(r, f)
+            for f in (
+                "n_neighbors_ok", "ranks_ok", "sims_sorted", "no_self",
+                "sims_in_range", "coarse_cells_ok", "centroids_finite_ok",
+            )
+        ), r
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    assert all(r.assign_total == n for r in rows)  # completeness
+    cells = ivf2_cells_for(n)
+    assert all(r.fine_count == cells for r in rows)
+    coarse, fine_grouped = two_level_index_trained(
+        emb, cells=cells, k=max(4, math.isqrt(cells))
+    )
+    assign = two_level_assign(emb, coarse, fine_grouped).select(
+        "vec_id", "cell_id"
+    )
+    nb_df = _two_level_probe_topk(emb, coarse, fine_grouped, assign)
+    nb_plan = nb_df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in nb_plan
+    assert "max_by(v#" not in nb_plan and "max_by(embedding#" not in nb_plan
+    nb = nb_df.collect()
+
+    exact = sim_topk_cosine(spark, SF_DIR).collect()
+    exact_sets, sim_by_pair = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        sim_by_pair[(r.query_id, r.neighbor_id)] = r.cos_sim
+    ann_sets = {}
+    for r in nb:
+        ann_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        if (r.query_id, r.neighbor_id) in sim_by_pair:
+            # scores are EXACT cosines — rerank never approximates
+            assert r.cos_sim == sim_by_pair[(r.query_id, r.neighbor_id)]
+    recalls = [
+        len(ann_sets.get(q, set()) & s) / len(s) for q, s in exact_sets.items()
+    ]
+    avg = sum(recalls) / len(recalls)
+    # measured 0.67 at sf0.01 — fail if it drops >10 points (verdict #7
+    # gate style; catches e.g. a broken coarse tie-break or a training
+    # regression, which the contract booleans alone would not)
+    assert avg >= 0.57, f"trained two-level recall@10 {avg:.2f} (measured 0.67)"
+
+
 def test_two_level_assign_covers_every_vector(spark):
     """two_level_assign must emit exactly one row per corpus vector: the
     stage-2 inner join on co_id would silently drop any vector whose
