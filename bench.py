@@ -156,8 +156,17 @@ def main() -> None:
             indent=1,
         )
 
+    def _num(v: float, decimals: int) -> float | int:
+        # integral values serialize as ints ("2", not "2.0") — without this
+        # the 0-decimal fallback rung never actually shrank the line
+        # (round(v, 0) is a float, json prints "2.0"), and at 200+ queries
+        # the ".0" tax decides whether the 1-decimal rung fits
+        r = round(v, decimals)
+        i = int(r)
+        return i if i == r else r
+
     def machine_line(decimals: int, keymap: bool = True) -> str:
-        q = {skey[n]: round(t, decimals) for n, t in timings.items()}
+        q = {skey[n]: _num(t, decimals) for n, t in timings.items()}
         # value recomputed FROM the emitted per-query values so the line is
         # internally consistent at any rounding (value == sum(queries))
         payload = {
