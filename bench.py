@@ -187,9 +187,12 @@ def main() -> None:
     # pointer is shed before the final precision drop: 1-decimal timings
     # are worth more than 27 bytes of self-description (the mapping still
     # lives in BENCH_KEYS.json either way).
+    # fit budget: the driver window is 2000 bytes including the trailing
+    # newline; 1940 leaves real margin while keeping the 1-decimal rung
+    # alive at 200+ queries (the contract test pins <= 1950)
     line = machine_line(3)
     for decimals, keymap in ((2, True), (1, True), (1, False), (0, False)):
-        if len(line) <= 1900:
+        if len(line) <= 1940:
             break
         line = machine_line(decimals, keymap)
     print(line)

@@ -91,6 +91,203 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+POSTINGS_HEAD = 16  # head-of-list cap: the full list is sharded at scale
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "merge", "dup")  # two common + one rare (df-contrast)
+BM25_TOP_N = 10
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+    ranked AS (
+        SELECT tok, doc_id, tf,
+               row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+        FROM tf
+    ),
+    head AS (
+        SELECT tok,
+               string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id)
+                   AS head_postings
+        FROM ranked WHERE rn <= {POSTINGS_HEAD} GROUP BY tok
+    ),
+    stats AS (
+        SELECT tok, count(*)::bigint AS df, sum(tf)::bigint AS cf,
+               max(tf)::bigint AS max_tf
+        FROM tf GROUP BY tok
+    )
+    SELECT s.tok, s.df, s.cf, s.max_tf, h.head_postings
+    FROM stats s JOIN head h USING (tok)
+    """,
+    doc=f"Inverted-index posting lists (the retrieval-engine build step): "
+    "tokenize → (doc, term) tf → per-term df/cf/max_tf plus the HEAD of "
+    f"the doc_id-ordered posting list (first {POSTINGS_HEAD} entries, "
+    "rendered 'doc:tf,...' — a string so the cross-engine hash compares "
+    "exact).  The head cap is the scale posture, not a shortcut: a "
+    "common term's full posting list is O(corpus) and belongs in sharded "
+    "segment files (the corpus_shard_manifest discipline — sort by "
+    "(term, doc_id), cut at byte budgets), never in one row of a "
+    "DataFrame; df/cf/max_tf are the segment-header stats computed over "
+    "the FULL list.  Plan: explode → one (doc,term) partial-agg shuffle "
+    "→ one term-key shuffle shared by the stats agg and the head window; "
+    "output is vocabulary-sized.",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    head = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= POSTINGS_HEAD)
+        .groupBy("tok")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("doc_id", "tf"))
+                    ),
+                    lambda x: F.concat_ws(":", x["doc_id"], x["tf"]),
+                ),
+            ).alias("head_postings")
+        )
+    )
+    stats = tf.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max("tf").alias("max_tf"),
+    )
+    return stats.join(head, "tok")
+
+
+@register(
+    "bm25_topk",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT count(*)::bigint AS nd, sum(dl)::bigint AS total_len FROM dl
+    ),
+    dfreq AS (
+        SELECT tok, count(*)::bigint AS df FROM tf
+        WHERE tok IN {BM25_TERMS!r} GROUP BY 1
+    ),
+    per_term AS (
+        SELECT tf.doc_id, tf.tok,
+               ((s.nd - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / (s.total_len::double / s.nd)))
+                   AS s
+        FROM tf
+        JOIN dfreq d USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN tok = '{BM25_TERMS[0]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN tok = '{BM25_TERMS[1]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN tok = '{BM25_TERMS[2]}' THEN s END), 0.0)
+                   AS score,
+               count(*)::bigint AS n_hit
+        FROM per_term GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, score, n_hit,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM per_doc
+    )
+    SELECT doc_id, {duck_trunc6('score')} AS score, n_hit, rank::int AS rank
+    FROM ranked WHERE rank <= {BM25_TOP_N}
+    """,
+    doc=f"BM25 top-{BM25_TOP_N} retrieval for the fixed query "
+    f"{BM25_TERMS} (k1={BM25_K1}, b={BM25_B}) with the RATIONAL idf "
+    "(N-df+0.5)/(df+0.5) — the house log-free rule: libm ln() is not "
+    "bit-identical across JVM and C runtimes, division is (documented "
+    "monotone per-term transform of Okapi idf, not its logarithm).  "
+    "Per-(doc,term) scores are single values extracted with max(CASE) — "
+    "never a float SUM over rows — and the final score adds the three "
+    "term columns in FIXED textual order, so both engines run the "
+    "identical IEEE operation sequence and the hash compares exact.  "
+    "Plan: explode → (doc,term) partial agg, broadcast df (|query| "
+    "rows) + doc-length join, one per-doc agg; the global top-k window "
+    "ranks the ~query-hit-sized relation.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("nd"), F.sum("dl").alias("total_len")
+    )
+    dfreq = (
+        tf.where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("nd")
+    s = (
+        ((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", s.alias("s"))
+    )
+    def _term(t: str):
+        return F.coalesce(
+            F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)
+        )
+
+    per_doc = per_term.groupBy("doc_id").agg(
+        (
+            _term(BM25_TERMS[0]) + _term(BM25_TERMS[1]) + _term(BM25_TERMS[2])
+        ).alias("score"),
+        F.count("*").alias("n_hit"),
+    )
+    # orderBy + limit compiles to TakeOrderedAndProject — distributed
+    # top-k (per-partition heads merged on the driver), never a
+    # single-partition global window over the whole hit relation; the
+    # rank window then runs on the K surviving rows only
+    top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
+        BM25_TOP_N
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        trunc6(F.col("score")).alias("score"),
+        "n_hit",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 @register(
     "rollup_events",
     """

@@ -866,3 +866,81 @@ def test_full_outer_preaggregates_both_sides(spark):
     assert "partial_count" in plan, plan
     keys = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert keys and all("user_id" in ln for ln in keys), plan
+
+
+def test_bm25_topk_matches_hand_computation(spark, tmp_path):
+    """BM25 on a 3-doc corpus where the score is checkable by hand, plus
+    the scale-shape pin: distributed TakeOrderedAndProject top-k, never a
+    single-partition global window over the hit relation."""
+    from pyspark.sql import Row
+
+    from flink_http_full_cache_connector_spark.plans.analytics_queries import (
+        BM25_B,
+        BM25_K1,
+        bm25_topk,
+    )
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    d = str(tmp_path / "bm")
+    rows = [
+        Row(doc_id=0, text="join join merge", lang="en", source="s", n_chars=0),
+        Row(doc_id=1, text="join other words here", lang="en", source="s", n_chars=0),
+        Row(doc_id=2, text="nothing relevant at all", lang="en", source="s", n_chars=0),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r.doc_id: r for r in bm25_topk(spark, d).collect()}
+
+    def score(tf, df, dl, nd=3, avgdl=(3 + 4 + 4) / 3):
+        idf = (nd - df + 0.5) / (df + 0.5)
+        return idf * (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)
+        )
+
+    import math
+
+    exp0 = score(2, 2, 3) + score(1, 1, 3)  # join tf=2 df=2; merge tf=1 df=1
+    exp1 = score(1, 2, 4)
+    assert math.isclose(got[0].score, math.floor(exp0 * 1e6) / 1e6, abs_tol=2e-6)
+    assert math.isclose(got[1].score, math.floor(exp1 * 1e6) / 1e6, abs_tol=2e-6)
+    assert 2 not in got  # no query term -> no hit row
+    assert got[0].rank == 1 and got[1].rank == 2 and got[0].n_hit == 2
+
+    df = all_queries()["bm25_topk"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_inverted_index_head_postings_capped_and_ordered(spark, tmp_path):
+    """The posting-list head is doc_id-ordered and capped at POSTINGS_HEAD
+    while df/cf/max_tf cover the FULL list (the segment-header contract)."""
+    from pyspark.sql import Row
+
+    from flink_http_full_cache_connector_spark.plans.analytics_queries import (
+        POSTINGS_HEAD,
+        inverted_index_postings,
+    )
+
+    d = str(tmp_path / "inv")
+    n = POSTINGS_HEAD + 7
+    rows = [
+        Row(doc_id=i, text="alpha " * (i % 3 + 1) + ("beta" if i == 0 else ""),
+            lang="en", source="s", n_chars=0)
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r.tok: r for r in inverted_index_postings(spark, d).collect()}
+    a = got["alpha"]
+    assert a.df == n  # full-list stats, not head stats
+    assert a.cf == sum(i % 3 + 1 for i in range(n))
+    assert a.max_tf == 3
+    head = a.head_postings.split(",")
+    assert len(head) == POSTINGS_HEAD
+    ids = [int(p.split(":")[0]) for p in head]
+    assert ids == sorted(ids) == list(range(POSTINGS_HEAD))
+    assert [int(p.split(":")[1]) for p in head] == [i % 3 + 1 for i in range(POSTINGS_HEAD)]
+    assert got["beta"].head_postings == "0:1"
