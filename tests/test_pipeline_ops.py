@@ -1125,6 +1125,41 @@ def test_ann_ivf_2level_trained_recall_and_plan(spark):
     assert avg >= 0.52, f"trained two-level recall@10 {avg:.2f} (measured 0.62)"
 
 
+def test_two_level_assign_survives_colinear_duplicate_centroids(spark):
+    """The exact round-7 ADVICE scenario: coarse centroid 0 and fine
+    centroid 1 are COLINEAR SCALED DUPLICATES (cosine(v, c) vs
+    cosine(v, 2c) need not tie bit-exactly), so before the j<k pin a
+    float ulp could re-home fine centroid 0 and orphan coarse cell 0 —
+    silently dropping every vector that picked it in stage 1.  With the
+    pin, assignment must stay complete for BOTH probe settings."""
+    import math
+
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        two_level_assign,
+        two_level_index,
+    )
+
+    # 12 vectors: id 1 = 2x id 0 (scaled duplicate), rest rotate through
+    # near-orthogonal directions with small perturbations
+    rows = []
+    for i in range(12):
+        if i == 1:
+            v = [2.0 * x for x in rows[0][1]]
+        else:
+            a = (i * 0.7) % math.pi
+            v = [math.cos(a), math.sin(a), 0.01 * i, 1.0 - 0.01 * i]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cells, k = 8, 4  # fine centroids 0..7, coarse 0..3 — ids 0 and 1 collide
+    coarse, fine_grouped = two_level_index(emb, cells=cells, k=k)
+    # every coarse cell owns at least its own anchor fine centroid
+    anchors = {r.co_id for r in fine_grouped.collect()}
+    assert set(range(k)) <= anchors
+    for probes in (1, 2):
+        assign = two_level_assign(emb, coarse, fine_grouped, coarse_probes=probes)
+        assert assign.count() == 12, f"rows lost at coarse_probes={probes}"
+
+
 def test_two_level_assign_covers_every_vector(spark):
     """two_level_assign must emit exactly one row per corpus vector: the
     stage-2 inner join on co_id would silently drop any vector whose
