@@ -1,0 +1,132 @@
+"""Retrieval operators: inverted-index posting lists and BM25 ranking.
+
+Library surface behind the registered ``inverted_index_postings`` /
+``bm25_topk`` queries (plans/analytics_queries.py holds their DuckDB oracle
+twins) — parameterized here so a user can run any query terms / constants,
+not just the registry fixtures.
+
+Cross-engine exactness rules (the house discipline, see
+plans/analytics_queries.py module docstring): BM25 uses the RATIONAL idf
+(N-df+0.5)/(df+0.5) — a documented monotone per-term transform of Okapi's
+log idf; libm ln() is not bit-identical across JVM and C runtimes, division
+is.  Per-(doc,term) scores are single values extracted with max(CASE) —
+never a float SUM over rows — and the final score adds the per-term columns
+in FIXED argument order, so any two engines run the identical IEEE sequence.
+
+Scale shape: tokenize is a scan-side explode; (doc, term) tf and per-term
+stats are partial-agg shuffles on high-cardinality keys; posting-list output
+carries only a capped HEAD per term (a common term's full list is O(corpus)
+and belongs in sharded segment files — the corpus_shard_manifest
+discipline — never in one DataFrame row); BM25 top-k compiles to
+TakeOrderedAndProject (per-partition heads merged on the driver), never a
+single-partition global sort or window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_http_full_cache_connector_spark.functions.rounding import trunc6
+
+__all__ = ["tokenize_docs", "posting_lists", "bm25_topk_scores"]
+
+
+def tokenize_docs(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, tok) — lowercased whitespace tokens, one row per occurrence."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("tok"),
+    )
+
+
+def posting_lists(docs: DataFrame, *, head: int = 16) -> DataFrame:
+    """(tok, df, cf, max_tf, head_postings) — segment-header stats over the
+    FULL posting list plus its doc_id-ordered HEAD rendered ``doc:tf,...``
+    (a string, so cross-engine hashes compare exact)."""
+    tf = (
+        tokenize_docs(docs)
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .persist()
+    )
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    head_df = (
+        tf.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= head)
+        .groupBy("tok")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda x: F.concat_ws(":", x["doc_id"], x["tf"]),
+                ),
+            ).alias("head_postings")
+        )
+    )
+    stats = tf.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.max("tf").alias("max_tf"),
+    )
+    return stats.join(head_df, "tok")
+
+
+def bm25_topk_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...] | list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topn: int = 10,
+) -> DataFrame:
+    """(doc_id, score, n_hit, rank) — BM25 top-``topn`` documents for the
+    fixed term set ``terms`` with the rational log-free idf."""
+    toks = tokenize_docs(docs)
+    tf = (
+        toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("nd"), F.sum("dl").alias("total_len"))
+    dfreq = (
+        tf.where(F.col("tok").isin(*terms))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("nd")
+    s = (
+        ((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", s.alias("s"))
+    )
+
+    def _term(t: str):
+        return F.coalesce(
+            F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)
+        )
+
+    score = _term(terms[0])
+    for t in terms[1:]:
+        score = score + _term(t)  # fixed argument order — IEEE-identical
+    per_doc = per_term.groupBy("doc_id").agg(
+        score.alias("score"), F.count("*").alias("n_hit")
+    )
+    top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(topn)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        trunc6(F.col("score")).alias("score"),
+        "n_hit",
+        F.col("rank").cast("int").alias("rank"),
+    )

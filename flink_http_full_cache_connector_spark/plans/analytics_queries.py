@@ -140,35 +140,12 @@ BM25_TOP_N = 10
     "output is vocabulary-sized.",
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        posting_lists,
+    )
+
     docs = widen(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
-    )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
-    w = Window.partitionBy("tok").orderBy("doc_id")
-    head = (
-        tf.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= POSTINGS_HEAD)
-        .groupBy("tok")
-        .agg(
-            F.concat_ws(
-                ",",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("doc_id", "tf"))
-                    ),
-                    lambda x: F.concat_ws(":", x["doc_id"], x["tf"]),
-                ),
-            ).alias("head_postings")
-        )
-    )
-    stats = tf.groupBy("tok").agg(
-        F.count("*").alias("df"),
-        F.sum("tf").alias("cf"),
-        F.max("tf").alias("max_tf"),
-    )
-    return stats.join(head, "tok")
+    return posting_lists(docs, head=POSTINGS_HEAD)
 
 
 @register(
@@ -231,60 +208,13 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ranks the ~query-hit-sized relation.",
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = widen(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_topk_scores,
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")).persist()
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("nd"), F.sum("dl").alias("total_len")
-    )
-    dfreq = (
-        tf.where(F.col("tok").isin(*BM25_TERMS))
-        .groupBy("tok")
-        .agg(F.count("*").alias("df"))
-    )
-    avgdl = F.col("total_len").cast("double") / F.col("nd")
-    s = (
-        ((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-        * (F.col("tf") * (BM25_K1 + 1.0))
-        / (
-            F.col("tf")
-            + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / avgdl)
-        )
-    )
-    per_term = (
-        tf.join(F.broadcast(dfreq), "tok")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", "tok", s.alias("s"))
-    )
-    def _term(t: str):
-        return F.coalesce(
-            F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0)
-        )
 
-    per_doc = per_term.groupBy("doc_id").agg(
-        (
-            _term(BM25_TERMS[0]) + _term(BM25_TERMS[1]) + _term(BM25_TERMS[2])
-        ).alias("score"),
-        F.count("*").alias("n_hit"),
-    )
-    # orderBy + limit compiles to TakeOrderedAndProject — distributed
-    # top-k (per-partition heads merged on the driver), never a
-    # single-partition global window over the whole hit relation; the
-    # rank window then runs on the K surviving rows only
-    top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(
-        BM25_TOP_N
-    )
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return top.withColumn("rank", F.row_number().over(w)).select(
-        "doc_id",
-        trunc6(F.col("score")).alias("score"),
-        "n_hit",
-        F.col("rank").cast("int").alias("rank"),
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    return bm25_topk_scores(
+        docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, topn=BM25_TOP_N
     )
 
 
