@@ -641,6 +641,70 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+def ivf_index_save(emb: DataFrame, out_dir: str) -> None:
+    """Persist an IVF index: centroids to ``{out_dir}/centroids`` and the
+    full assignment (vec_id, v, cell_id) to ``{out_dir}/assign``
+    PARTITIONED BY cell_id — the layout that makes a probe read touch only
+    the nprobe probed cells' files (partition pruning), the 'build once,
+    query many' posture: at 100 TB the corpus scan + assignment shuffle is
+    paid once at build time, and every subsequent query reads
+    ~nprobe/C of the index bytes."""
+    cent = emb.where(F.col("vec_id") < NUM_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
+    )
+    assign = ivf_assign(emb, cent)
+    cent.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+    assign.write.mode("overwrite").partitionBy("cell_id").parquet(
+        f"{out_dir}/assign"
+    )
+
+
+def ivf_index_load(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignment) back from :func:`ivf_index_save`'s layout."""
+    cent = spark.read.parquet(f"{out_dir}/centroids")
+    assign = spark.read.parquet(f"{out_dir}/assign").select(
+        "vec_id", F.col("cell_id").cast("long").alias("cell_id"), "v"
+    )
+    return cent, assign
+
+
+@register(
+    "sim_ann_ivf_persisted",
+    _ivf_oracle(),
+    doc=f"IVF ANN top-{TOP_K} answered from a PERSISTED index — the 'build "
+    "once, query many' production shape: ivf_index_save writes centroids "
+    "plus the (vec_id, v, cell_id) assignment partitioned by cell_id, and "
+    "the probe walk runs entirely against the reloaded parquet relations "
+    "(never the original corpus — only the query vectors come from it).  "
+    "Answers must hash-match sim_ann_ivf's oracle exactly: doubles "
+    "round-trip parquet bit-exactly, so index persistence is lossless by "
+    "construction and this gate proves it.  The cell_id partitioning is "
+    "the scale story: a probe of nprobe cells reads ~nprobe/C of the "
+    "index files (partition pruning / DPP on the candidate join) instead "
+    "of rescanning 100 TB of embeddings per query batch.",
+)
+def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.sources.lookup import (
+        _local_relation,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="spark_graft_ivfidx_")
+    try:
+        ivf_index_save(emb, work)
+        cent, assign = ivf_index_load(spark, work)
+        out = _ivf_probe_topk(emb, cent, assign)
+        # materialize the queries*k-sized result so the temp index dir
+        # can be removed (the relation is lazily read from it)
+        rows = [tuple(r) for r in out.collect()]
+        return _local_relation(spark, rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def lsh_planes(
     emb: DataFrame,
     *,
