@@ -11,12 +11,18 @@ import pytest
 
 
 @pytest.mark.slow
-def test_bench_emits_one_json_line_with_required_keys():
+def test_bench_emits_one_json_line_with_required_keys(tmp_path):
+    # SPARK_GRAFT_BENCH_OUT redirects the full-timings + key-map artifacts
+    # to tmp: without it this test CLOBBERS the committed sf0.1
+    # BENCH_FULL.json / BENCH_KEYS.json with an sf0.001 test run (which is
+    # exactly how round 6 accidentally committed the sf0.001 version)
+    out_full = str(tmp_path / "BENCH_TEST.json")
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
         SPARK_GRAFT_CPUS="4",
         SPARK_GRAFT_BENCH_RUNS="1",
+        SPARK_GRAFT_BENCH_OUT=out_full,
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
@@ -41,13 +47,19 @@ def test_bench_emits_one_json_line_with_required_keys():
     names = list(all_queries())
     skey = short_keys(names)
     assert set(payload["queries"]) == set(skey.values())
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "BENCH_KEYS.json")) as f:
+    # subset-run artifacts land NEXT TO out_full (bench.py writes the run's
+    # own key mapping to a sibling so SPARK_GRAFT_ONLY spot runs can never
+    # point the machine line at a stale committed BENCH_KEYS.json)
+    with open(str(tmp_path / "BENCH_TEST.keys.json")) as f:
         keymap = json.load(f)
     assert set(keymap.values()) == set(names)
-    with open(os.path.join(repo, "BENCH_FULL.json")) as f:
+    with open(out_full) as f:
         full = json.load(f)
     assert set(full["queries"]) == set(names)
+    # the committed sf0.1 artifacts were NOT touched
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "BENCH_FULL.json")) as f:
+        assert json.load(f)["sf"] != 0.001
 
 
 def test_short_keys_unique_and_stable():
