@@ -944,3 +944,43 @@ def test_inverted_index_head_postings_capped_and_ordered(spark, tmp_path):
     assert ids == sorted(ids) == list(range(POSTINGS_HEAD))
     assert [int(p.split(":")[1]) for p in head] == [i % 3 + 1 for i in range(POSTINGS_HEAD)]
     assert got["beta"].head_postings == "0:1"
+
+
+def test_bm25_library_surface_parameterized(spark, tmp_path):
+    """operators.retrieval.bm25_topk_scores accepts arbitrary term counts
+    and knobs (the user-facing surface behind the registry fixture) — pin
+    the generic fixed-order score fold at 2 terms with custom k1/b/topn."""
+    import math
+
+    from pyspark.sql import Row
+
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_topk_scores,
+        posting_lists,
+    )
+
+    d = str(tmp_path / "bm2")
+    rows = [
+        Row(doc_id=0, text="alpha alpha beta", lang="en", source="s", n_chars=0),
+        Row(doc_id=1, text="alpha gamma gamma gamma", lang="en", source="s", n_chars=0),
+    ]
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in bm25_topk_scores(
+        docs, ["alpha", "gamma"], k1=1.5, b=0.5, topn=1
+    ).collect()}
+    assert list(got) == [1] and got[1].rank == 1  # topn=1 honored
+
+    def s(tf, df, dl, k1=1.5, b=0.5, nd=2, avgdl=3.5):
+        return ((nd - df + 0.5) / (df + 0.5)) * (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * dl / avgdl)
+        )
+
+    exp1 = s(1, 2, 4) + s(3, 1, 4)
+    assert math.isclose(got[1].score, math.floor(exp1 * 1e6) / 1e6, abs_tol=2e-6)
+
+    heads = {r.tok: r for r in posting_lists(docs, head=1).collect()}
+    assert heads["alpha"].head_postings == "0:2"  # cap=1, doc order
+    assert heads["alpha"].df == 2 and heads["alpha"].cf == 3
