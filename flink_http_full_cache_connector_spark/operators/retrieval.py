@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 
 from flink_http_full_cache_connector_spark.functions.rounding import trunc6
 
-__all__ = ["tokenize_docs", "posting_lists", "bm25_topk_scores"]
+__all__ = [
+    "tokenize_docs",
+    "posting_lists",
+    "bm25_topk_scores",
+    "cosine_topk_ranks",
+    "rrf_fuse",
+]
 
 
 def tokenize_docs(
@@ -128,5 +134,80 @@ def bm25_topk_scores(
         "doc_id",
         trunc6(F.col("score")).alias("score"),
         "n_hit",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def cosine_topk_ranks(
+    emb: DataFrame,
+    query_vec_id: int,
+    *,
+    topn: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(doc_id, rank) — the ``topn`` nearest corpus vectors to the corpus
+    vector ``query_vec_id`` by exact cosine (self excluded), rank ties
+    broken on id.  TakeOrderedAndProject top-k — the query is one
+    broadcast row, the corpus is scanned once, nothing global-sorts."""
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+
+    q = emb.where(F.col(id_col) == query_vec_id).select(
+        as_double(F.col(vec_col)).alias("qv")
+    )
+    scored = (
+        emb.where(F.col(id_col) != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            cosine(as_double(F.col(vec_col)), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    top = scored.orderBy(F.col("cos_sim").desc(), F.col("doc_id")).limit(topn)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def rrf_fuse(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    *,
+    k: int = RRF_K,
+    topn: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two (doc_id, rank) lists →
+    (doc_id, rrf_score, rank_a, rank_b, rank).
+
+    ``rrf = 1/(k + rank_a) + 1/(k + rank_b)`` with a missing list
+    contributing 0 (Cormack et al.'s convention) — TWO divisions and one
+    addition in fixed argument order, so the float is bit-identical in
+    any engine; ranks are integers, no float ever feeds a comparison
+    except the final ordered output (ties broken on doc_id)."""
+    a = ranks_a.select("doc_id", F.col("rank").alias("rank_a"))
+    b = ranks_b.select("doc_id", F.col("rank").alias("rank_b"))
+    fused = a.join(b, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0))
+        ).alias("rrf"),
+        "rank_a",
+        "rank_b",
+    )
+    top = fused.orderBy(F.col("rrf").desc(), F.col("doc_id")).limit(topn)
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        trunc6(F.col("rrf")).alias("rrf_score"),
+        F.col("rank_a").cast("int").alias("rank_a"),
+        F.col("rank_b").cast("int").alias("rank_b"),
         F.col("rank").cast("int").alias("rank"),
     )

@@ -218,6 +218,119 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_POOL = 50  # per-ranker candidate pool fused down to BM25_TOP_N
+RRF_QUERY_VEC = 0  # corpus vector used as the dense query
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+
+
+def _hybrid_rrf_oracle() -> str:
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        duck_cosine,
+    )
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT count(*)::bigint AS nd, sum(dl)::bigint AS total_len FROM dl
+    ),
+    dfreq AS (
+        SELECT tok, count(*)::bigint AS df FROM tf
+        WHERE tok IN {BM25_TERMS!r} GROUP BY 1
+    ),
+    per_term AS (
+        SELECT tf.doc_id, tf.tok,
+               ((s.nd - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / (s.total_len::double / s.nd)))
+                   AS s
+        FROM tf
+        JOIN dfreq d USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN tok = '{BM25_TERMS[0]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN tok = '{BM25_TERMS[1]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN tok = '{BM25_TERMS[2]}' THEN s END), 0.0)
+                   AS score
+        FROM per_term GROUP BY doc_id
+    ),
+    bm AS (
+        SELECT doc_id, rank_a FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+            FROM per_doc
+        ) WHERE rank_a <= {RRF_POOL}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+    cos_scored AS (
+        SELECT e.vec_id AS doc_id, {duck_cosine('e.embedding', 'q.qv')} AS cs
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> {RRF_QUERY_VEC}
+    ),
+    cb AS (
+        SELECT doc_id, rank_b FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cs DESC, doc_id) AS rank_b
+            FROM cos_scored
+        ) WHERE rank_b <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT coalesce(bm.doc_id, cb.doc_id) AS doc_id,
+               coalesce(1.0 / ({RRF_K} + bm.rank_a), 0.0)
+             + coalesce(1.0 / ({RRF_K} + cb.rank_b), 0.0) AS rrf,
+               bm.rank_a, cb.rank_b
+        FROM bm FULL OUTER JOIN cb ON cb.doc_id = bm.doc_id
+    ),
+    out AS (
+        SELECT doc_id, rrf, rank_a, rank_b,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused
+    )
+    SELECT doc_id, {duck_trunc6('rrf')} AS rrf_score,
+           rank_a::int AS rank_a, rank_b::int AS rank_b, rank::int AS rank
+    FROM out WHERE rank <= {BM25_TOP_N}
+    """
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    _hybrid_rrf_oracle(),
+    doc=f"Hybrid retrieval with reciprocal-rank fusion — the modern "
+    f"lexical+dense search pattern: BM25 top-{RRF_POOL} for the fixed "
+    f"query {BM25_TERMS} fused with exact-cosine top-{RRF_POOL} for "
+    f"corpus query vector {RRF_QUERY_VEC} via "
+    f"rrf = 1/({RRF_K}+rank_lex) + 1/({RRF_K}+rank_dense) (missing list "
+    "contributes 0, Cormack et al.).  RRF works on integer RANKS, so "
+    "the only float is two divisions and one addition in fixed argument "
+    "order — bit-identical cross-engine by construction.  Both rankers "
+    f"and the fused top-{BM25_TOP_N} use TakeOrderedAndProject "
+    "(distributed top-k); the fusion join touches 2x pool rows — "
+    "metadata-sized regardless of corpus scale.",
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_topk_scores,
+        cosine_topk_ranks,
+        rrf_fuse,
+    )
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk_scores(
+        docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, topn=RRF_POOL
+    ).select("doc_id", "rank")
+    cos = cosine_topk_ranks(emb, RRF_QUERY_VEC, topn=RRF_POOL)
+    return rrf_fuse(bm, cos, k=RRF_K, topn=BM25_TOP_N)
+
+
 @register(
     "rollup_events",
     """

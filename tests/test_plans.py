@@ -984,3 +984,30 @@ def test_bm25_library_surface_parameterized(spark, tmp_path):
     heads = {r.tok: r for r in posting_lists(docs, head=1).collect()}
     assert heads["alpha"].head_postings == "0:2"  # cap=1, doc order
     assert heads["alpha"].df == 2 and heads["alpha"].cf == 3
+
+
+def test_hybrid_rrf_fusion_hand_checkable(spark, tmp_path):
+    """RRF on tiny hand-checkable rank lists: a doc present in only one
+    list contributes 0 for the missing list (the Cormack convention), the
+    two reciprocal terms add in fixed order, ties break on doc_id."""
+    import math
+
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame([(10, 1), (20, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (30, 2)], "doc_id long, rank int")
+    got = {r.doc_id: r for r in rrf_fuse(a, b, k=60, topn=10).collect()}
+    assert set(got) == {10, 20, 30}
+    assert math.isclose(got[20].rrf_score, math.floor((1/62 + 1/61) * 1e6) / 1e6, abs_tol=2e-6)
+    assert math.isclose(got[10].rrf_score, math.floor((1/61) * 1e6) / 1e6, abs_tol=2e-6)
+    assert math.isclose(got[30].rrf_score, math.floor((1/62) * 1e6) / 1e6, abs_tol=2e-6)
+    assert got[20].rank == 1 and got[10].rank == 2 and got[30].rank == 3
+    assert got[10].rank_b is None and got[30].rank_a is None
+
+    # tie case: identical rrf scores order by doc_id
+    t1 = spark.createDataFrame([(5, 1), (7, 1)], "doc_id long, rank int")
+    # feed the same relation twice -> both docs score 2/(60+1)
+    tied = rrf_fuse(t1, t1, k=60, topn=10).collect()
+    assert [r.doc_id for r in sorted(tied, key=lambda r: r.rank)] == [5, 7]
