@@ -187,12 +187,15 @@ def main() -> None:
     # pointer is shed before the final precision drop: 1-decimal timings
     # are worth more than 27 bytes of self-description (the mapping still
     # lives in BENCH_KEYS.json either way).
-    # fit budget: the driver window is 2000 bytes including the trailing
-    # newline; 1940 leaves real margin while keeping the 1-decimal rung
-    # alive at 200+ queries (the contract test pins <= 1950)
+    # fit budget: the driver window is the LAST 2000 stdout bytes and this
+    # line (plus its newline) is the last thing printed, so anything
+    # <= 1985 survives whole; keeping the budget high is what keeps the
+    # 1-decimal rung alive at 207 queries under noisy (longer-digit)
+    # timings — the 0-decimal fallback costs sub-second fidelity for most
+    # of the registry (the contract test pins <= 1990)
     line = machine_line(3)
     for decimals, keymap in ((2, True), (1, True), (1, False), (0, False)):
-        if len(line) <= 1940:
+        if len(line) <= 1985:
             break
         line = machine_line(decimals, keymap)
     print(line)

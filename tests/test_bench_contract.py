@@ -37,7 +37,7 @@ def test_bench_emits_one_json_line_with_required_keys(tmp_path):
     assert len(lines) == 1, proc.stdout
     # the driver records only the last 2000 stdout bytes; the machine line
     # must survive that window whole (BENCH_r01 lost 34 timings to it)
-    assert len(lines[0]) <= 1950, len(lines[0])
+    assert len(lines[0]) <= 1990, len(lines[0])
     payload = json.loads(lines[0])
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
