@@ -331,6 +331,150 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(bm, cos, k=RRF_K, topn=BM25_TOP_N)
 
 
+def _rank_agreement_oracle() -> str:
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        duck_cosine,
+    )
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT count(*)::bigint AS nd, sum(dl)::bigint AS total_len FROM dl
+    ),
+    dfreq AS (
+        SELECT tok, count(*)::bigint AS df FROM tf
+        WHERE tok IN {BM25_TERMS!r} GROUP BY 1
+    ),
+    per_term AS (
+        SELECT tf.doc_id, tf.tok,
+               ((s.nd - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / (s.total_len::double / s.nd)))
+                   AS s
+        FROM tf
+        JOIN dfreq d USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN tok = '{BM25_TERMS[0]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN tok = '{BM25_TERMS[1]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN tok = '{BM25_TERMS[2]}' THEN s END), 0.0)
+                   AS score
+        FROM per_term GROUP BY doc_id
+    ),
+    bm AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+            FROM per_doc
+        ) WHERE rnk <= {RRF_POOL}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+    cos_scored AS (
+        SELECT e.vec_id AS doc_id, {duck_cosine('e.embedding', 'q.qv')} AS cs
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> {RRF_QUERY_VEC}
+    ),
+    cb AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cs DESC, doc_id) AS rnk
+            FROM cos_scored
+        ) WHERE rnk <= {RRF_POOL}
+    ),
+    hy AS (
+        SELECT doc_id, rnk FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+            FROM (
+                SELECT coalesce(bm.doc_id, cb.doc_id) AS doc_id,
+                       coalesce(1.0 / ({RRF_K} + bm.rnk), 0.0)
+                     + coalesce(1.0 / ({RRF_K} + cb.rnk), 0.0) AS rrf
+                FROM bm FULL OUTER JOIN cb ON cb.doc_id = bm.doc_id
+            )
+        ) WHERE rnk <= {RRF_POOL}
+    ),
+    pairs AS (
+        SELECT 'bm25_vs_cosine' AS pair, * FROM bm a
+            FULL OUTER JOIN cb b ON b.doc_id = a.doc_id
+        UNION ALL
+        SELECT 'bm25_vs_hybrid', * FROM bm a
+            FULL OUTER JOIN hy b ON b.doc_id = a.doc_id
+        UNION ALL
+        SELECT 'cosine_vs_hybrid', * FROM cb a
+            FULL OUTER JOIN hy b ON b.doc_id = a.doc_id
+    )
+    SELECT pair,
+           sum(CASE WHEN rnk IS NOT NULL AND rnk_1 IS NOT NULL
+                    THEN 1 ELSE 0 END)::bigint AS n_common,
+           sum(CASE WHEN rnk IS NOT NULL AND rnk_1 IS NOT NULL
+                    THEN abs(rnk - rnk_1) ELSE 0 END)::bigint AS footrule,
+           sum(CASE WHEN rnk IS NULL OR rnk_1 IS NULL
+                    THEN 1 ELSE 0 END)::bigint AS n_only_one
+    FROM pairs GROUP BY pair
+    """
+
+
+@register(
+    "retrieval_rank_agreement",
+    _rank_agreement_oracle(),
+    doc=f"Offline ranker-comparison harness over the three retrieval "
+    f"surfaces (BM25, exact-cosine, RRF hybrid; top-{RRF_POOL} pools): "
+    "per ranker pair, the common-doc count, the Spearman FOOTRULE "
+    "(sum |rank_a - rank_b| over common docs — pure integer arithmetic, "
+    "no correlation float in sight) and the symmetric-difference count.  "
+    "This is the eval loop a retrieval stack runs offline to decide "
+    "whether a ranker change shifted results; all three pools are "
+    "metadata-sized, so the whole comparison is a few tiny full-outer "
+    "joins after the rankers' own scans.",
+)
+def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_topk_scores,
+        cosine_topk_ranks,
+        rrf_fuse,
+    )
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk_scores(
+        docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, topn=RRF_POOL
+    ).select("doc_id", "rank").persist()
+    cos = cosine_topk_ranks(emb, RRF_QUERY_VEC, topn=RRF_POOL).persist()
+    hy = rrf_fuse(bm, cos, k=RRF_K, topn=RRF_POOL).select(
+        "doc_id", "rank"
+    )
+
+    def agreement(pair: str, a: DataFrame, b: DataFrame) -> DataFrame:
+        j = a.select("doc_id", F.col("rank").alias("ra")).join(
+            b.select("doc_id", F.col("rank").alias("rb")), "doc_id",
+            "full_outer",
+        )
+        both = F.col("ra").isNotNull() & F.col("rb").isNotNull()
+        return j.agg(
+            F.lit(pair).alias("pair"),
+            F.sum(F.when(both, 1).otherwise(0)).alias("n_common"),
+            F.sum(
+                F.when(both, F.abs(F.col("ra") - F.col("rb"))).otherwise(0)
+            ).alias("footrule"),
+            F.sum(F.when(~both, 1).otherwise(0)).alias("n_only_one"),
+        )
+
+    return (
+        agreement("bm25_vs_cosine", bm, cos)
+        .unionByName(agreement("bm25_vs_hybrid", bm, hy))
+        .unionByName(agreement("cosine_vs_hybrid", cos, hy))
+    )
+
+
 @register(
     "rollup_events",
     """
