@@ -184,8 +184,15 @@ def decode_avi_mjpeg(data: bytes) -> tuple[int, int, int, list[bytes]]:
                                 scale, rate = struct.unpack_from(
                                     "<2I", data, p3 + 20
                                 )
-                                if scale == 0 or rate % scale:
-                                    raise AviError("non-integer frame rate")
+                                if scale == 0:
+                                    raise AviError("zero frame-rate scale")
+                                if rate % scale:
+                                    # legal AVI rational fps outside the
+                                    # vendored integer-fps decode subset
+                                    raise AviError(
+                                        "non-integer frame rate",
+                                        unsupported=True,
+                                    )
                                 fps = rate // scale
             elif ltype == b"movi":
                 for f2, p2, s2 in _walk_chunks(data, p + 4, p + size):

@@ -237,9 +237,12 @@ def decode_gif(data: bytes) -> tuple[int, int, str, bytearray]:
     left, top, fw, fh, fpacked = struct.unpack("<HHHHB", data[pos : pos + 9])
     pos += 9
     if (left, top, fw, fh) != (0, 0, width, height):
+        # spec-valid GIF (partial first frame is legal GIF89a) outside the
+        # vendored full-screen-frame subset — unsupported, not malformed
         raise GifError(
             "first frame does not cover the logical screen "
-            f"(frame {fw}x{fh}@{left},{top} vs screen {width}x{height})"
+            f"(frame {fw}x{fh}@{left},{top} vs screen {width}x{height})",
+            unsupported=True,
         )
     palette = global_palette
     if fpacked & 0x80:

@@ -34,6 +34,7 @@ from pyspark.sql.types import ArrayType, StringType
 
 from flink_http_full_cache_connector_spark.operators.scale import widen
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+from flink_http_full_cache_connector_spark.functions.tokenize import TOKEN_DELIM_RE
 
 NUM_MERGES = 8
 EOW = "</w>"  # end-of-word marker (standard BPE; makes suffixes distinct)
@@ -44,7 +45,7 @@ def word_freq(docs: DataFrame) -> DataFrame:
     pass; everything after operates on the distinct-word table."""
     return (
         widen(docs)
-        .select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"))
+        .select(F.explode(F.split(F.trim(F.col("text")), TOKEN_DELIM_RE)).alias("word"))
         .where(F.length("word") > 0)
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
@@ -142,7 +143,7 @@ def _bpe_oracle() -> str:
     self-consistency booleans for the later merges."""
     return f"""
     WITH words AS (
-        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM documents
+        SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w FROM documents
     ),
     freq AS (
         SELECT w, count(*)::bigint AS f FROM words WHERE length(w) > 0 GROUP BY w
@@ -271,7 +272,7 @@ def bpe_encode(docs: DataFrame, merges: list[tuple[int, str, str, str, int]]) ->
     "bpe_encode_stats",
     f"""
     SELECT doc_id,
-           len(list_filter(string_split_regex(trim(text), '\\s+'),
+           len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
                            w -> length(w) > 0))::bigint AS n_words,
            TRUE AS subwords_ge_words_ok,
            TRUE AS subwords_le_initial_ok

@@ -45,6 +45,7 @@ from flink_http_full_cache_connector_spark.plans.registry import (
     normalize_events_ts,
     register,
 )
+from flink_http_full_cache_connector_spark.functions.tokenize import TOKEN_DELIM_RE
 
 # ---------------------------------------------------------------------------
 # shared constants (identical in Spark exprs and DuckDB SQL twins)
@@ -62,7 +63,7 @@ SIMHASH_BITS = 60  # 15 md5 hex chars → fits signed 64-bit with headroom
 MINHASH_A = [(2 * j + 1) * 12345679 % P for j in range(NUM_MINHASHES)]
 MINHASH_B = [(j * 987654321 + 13) % P for j in range(NUM_MINHASHES)]
 
-_DUCK_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_DUCK_TOKENS = r"string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')"
 _DUCK_SHINGLES = (
     f"list_distinct(list_transform(range(1, len({_DUCK_TOKENS})-1), "
     f"i -> {_DUCK_TOKENS}[i] || ' ' || {_DUCK_TOKENS}[i+1] || ' ' || {_DUCK_TOKENS}[i+2]))"
@@ -77,7 +78,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     of returning empty (DuckDB's ``range`` never descends, so an unguarded
     short doc would diverge from every shingle oracle).
     """
-    toks = F.split(F.trim(text), r"\s+")
+    toks = F.split(F.trim(text), TOKEN_DELIM_RE)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
@@ -500,7 +501,7 @@ SELECT doc_id, ({fp})::bigint AS simhash FROM votes
 def simhash(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 60-bit TF-weighted fingerprint, map-side only."""
     toks = widen(docs).select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("t")
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), TOKEN_DELIM_RE)).alias("t")
     ).withColumn("th", F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("long"))
     votes = toks.groupBy("doc_id").agg(
         *[

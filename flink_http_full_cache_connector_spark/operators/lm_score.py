@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
 from flink_http_full_cache_connector_spark.operators.scale import widen
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+from flink_http_full_cache_connector_spark.functions.tokenize import TOKEN_DELIM_RE
 
 #: vocabulary cap: constant-size model, broadcastable at any corpus SF.
 LM_VOCAB_K = 50_000
@@ -39,7 +40,7 @@ LM_VOCAB_K = 50_000
     "text_surprisal_lm",
     f"""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+        SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
         FROM documents
     ),
     toks_ne AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
@@ -73,7 +74,7 @@ LM_VOCAB_K = 50_000
 def text_surprisal_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), TOKEN_DELIM_RE)).alias("w")
     ).where(F.length("w") > 0)
     vocab = (
         toks.groupBy("w")

@@ -23,6 +23,7 @@ from flink_http_full_cache_connector_spark.operators.text import (
     quality_score,
 )
 from flink_http_full_cache_connector_spark.plans.registry import register
+from flink_http_full_cache_connector_spark.functions.tokenize import TOKEN_DELIM_RE
 
 QUALITY_CUT = 0.5
 KEEP_LANG = "en"
@@ -33,7 +34,7 @@ KEEP_LANG = "en"
     f"""
     WITH scored AS (
         SELECT doc_id,
-               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+               md5(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp,
                {duck_lang_expr()} AS lang_pred,
                {duck_quality_expr()} AS quality
         FROM documents
@@ -200,7 +201,7 @@ def observe_corpus_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH scored AS (
         SELECT doc_id,
-               md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp,
+               md5(lower(regexp_replace(trim(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp,
                {duck_lang_expr()} AS lang_pred,
                {duck_quality_expr()} AS quality
         FROM documents
@@ -257,7 +258,7 @@ PACK_BUCKETS = 32  # packing parallelism: packs are built independently per
         SELECT doc_id,
                (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint
                    % {PACK_BUCKETS}) AS bucket,
-               len(string_split_regex(trim(text), '\\s+'))::bigint AS n_tokens
+               len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))::bigint AS n_tokens
         FROM documents
     ),
     packed AS (
@@ -319,7 +320,7 @@ DECON_EVAL_MOD = 97  # doc_id % MOD == 0 stands in for the benchmark set
 
 
 def _duck_ngrams(n: int) -> str:
-    toks = r"string_split_regex(trim(text), '\s+')"
+    toks = r"string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')"
     gram = " || ' ' || ".join(f"{toks}[i+{k}]" for k in range(n))
     return (
         f"list_distinct(list_transform(range(1, len({toks}) - {n - 2}), "
@@ -616,7 +617,7 @@ SHARD_SORT_PARTITIONS = 32  # minimum range-partition width of the global sort
     f"""
     WITH toks AS (
         SELECT doc_id, md5(doc_id::varchar) AS h,
-               len(string_split_regex(trim(text), '\\s+'))::bigint AS n_tokens
+               len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))::bigint AS n_tokens
         FROM documents
     ),
     ordered AS (
@@ -713,7 +714,7 @@ DSIR_SCALE = 1_000_000  # integer micro-units for the importance ratio
     "corpus_importance_weights",
     f"""
     WITH ws AS (
-        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
         FROM documents
     ),
     grams AS (
@@ -757,7 +758,7 @@ DSIR_SCALE = 1_000_000  # integer micro-units for the importance ratio
 )
 def corpus_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    ws = docs.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w"))
+    ws = docs.select("doc_id", F.split(F.trim(F.col("text")), TOKEN_DELIM_RE).alias("w"))
     # guard: sequence(1, 0) is the DESCENDING [1, 0] in Spark (it never
     # returns empty), so a single-token doc would index element_at(w, 0)
     # and abort the query; DuckDB's range(1, 1) is empty for the same doc

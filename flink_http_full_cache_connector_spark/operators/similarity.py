@@ -27,7 +27,7 @@ the DuckDB oracle twins).
 from __future__ import annotations
 
 import pandas as pd  # module-level: pandas_udf type hints resolve against globals
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_http_full_cache_connector_spark.functions.vectors import (

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
 from flink_http_full_cache_connector_spark.operators.scale import widen
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+from flink_http_full_cache_connector_spark.functions.tokenize import TOKEN_DELIM_RE
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,7 +38,7 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def token_count(text: Column) -> Column:
     """Whitespace token count (regex split, trim first)."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    return F.size(F.split(F.trim(text), TOKEN_DELIM_RE))
 
 
 #: BPE-ish tokenizer regex: letter runs, digit runs, single punctuation —
@@ -239,7 +240,7 @@ def quality_score(text: Column) -> Column:
 
 def md5_fingerprint(text: Column) -> Column:
     """Exact-dup fingerprint: md5 of whitespace-normalized lowercase text."""
-    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    normalized = F.lower(F.regexp_replace(F.trim(text), TOKEN_DELIM_RE, " "))
     return F.md5(normalized)
 
 
@@ -253,7 +254,7 @@ def rolling_hash(text: Column) -> Column:
     """
     p = 2147483647  # 2^31 - 1
     tok_hashes = F.transform(
-        F.split(F.trim(text), r"\s+"),
+        F.split(F.trim(text), TOKEN_DELIM_RE),
         lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % p,
     )
     return F.aggregate(
@@ -267,7 +268,7 @@ def rolling_hash(text: Column) -> Column:
 # registered queries (oracle twins in DuckDB dialect)
 # ---------------------------------------------------------------------------
 
-_DUCK_TOKENS = r"string_split_regex(trim(text), '\s+')"
+_DUCK_TOKENS = r"string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')"
 
 
 @register(
@@ -533,7 +534,7 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     toks = docs.select(
-        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+        F.explode(F.split(F.trim(F.col("text")), TOKEN_DELIM_RE)).alias("tok")
     )
     return toks.agg(
         F.countDistinct("tok").alias("vocab_size"),
@@ -547,7 +548,7 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     rf"""
     SELECT doc_id,
-           md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp_md5,
+           md5(lower(regexp_replace(trim(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp_md5,
            list_reduce(
              list_transform({_DUCK_TOKENS},
                t -> ('0x' || substr(md5(t), 1, 8))::bigint % 2147483647),
@@ -642,7 +643,7 @@ TOP_BIGRAMS = 20
 )
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), TOKEN_DELIM_RE)
     grams = docs.select(
         F.explode(
             F.transform(
@@ -717,7 +718,7 @@ CHUNK_STRIDE = 12
     rf"""
     WITH toks AS (
         SELECT doc_id,
-               list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts
+               list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '') AS ts
         FROM documents
     ),
     starts AS (
@@ -784,7 +785,7 @@ BOILERPLATE_MIN_DF = 3
     SELECT s AS shingle, count(*)::bigint AS df,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM sh GROUP BY s HAVING count(*) >= {BOILERPLATE_MIN_DF}
-    """.format(shingles="list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '\\s+'))-1), i -> string_split_regex(trim(text), '\\s+')[i] || ' ' || string_split_regex(trim(text), '\\s+')[i+1] || ' ' || string_split_regex(trim(text), '\\s+')[i+2]))"),
+    """.format(shingles="list_distinct(list_transform(range(1, len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'))-1), i -> string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i] || ' ' || string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i+1] || ' ' || string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i+2]))"),
     doc=f"Boilerplate detection: 3-gram shingles appearing in >= "
     f"{BOILERPLATE_MIN_DF} distinct documents — navigation chrome, "
     "licenses, and templates that inflate near-dup candidate volume and "
@@ -815,7 +816,7 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_gini",
     r"""
     WITH toks AS (
-        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
                x -> x <> '')) AS t
         FROM documents
     ),
@@ -843,7 +844,7 @@ def text_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+            F.filter(F.split(F.col("text"), TOKEN_DELIM_RE), lambda x: x != "")
         ).alias("t"),
     )
     cnts = toks.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
@@ -878,7 +879,7 @@ GOPHER_MAX_TOP_SHARE = 0.2  # most frequent token may claim at most 20%
     "text_quality_gopher",
     rf"""
     WITH toks AS (
-        SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'),
                x -> x <> '')) AS t
         FROM documents
     ),
@@ -913,7 +914,7 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.explode(
-            F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+            F.filter(F.split(F.col("text"), TOKEN_DELIM_RE), lambda x: x != "")
         ).alias("t"),
     )
     cnts = toks.groupBy("doc_id", "t").agg(F.count("*").alias("c"))
@@ -950,7 +951,7 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
     WITH toks AS (
         SELECT doc_id,
-               len(string_split_regex(trim(text), '\s+'))::bigint AS n_tokens
+               len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))::bigint AS n_tokens
         FROM documents
     )
     SELECT (length(bin(n_tokens)) - 1)::int AS bucket,
@@ -997,7 +998,7 @@ def word_ngrams_all(text: Column, n: int = REP_NGRAM) -> Column:
     ``dedup.word_shingles`` which deduplicates into a set).  Same short-doc
     guard: Spark's ``sequence(0, negative)`` descends instead of returning
     empty, so docs with fewer than ``n`` tokens must yield [] explicitly."""
-    toks = F.split(F.trim(text), r"\s+")
+    toks = F.split(F.trim(text), TOKEN_DELIM_RE)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
@@ -1142,7 +1143,7 @@ def _colloc_oracle() -> str:
 )
 def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), TOKEN_DELIM_RE)
     tok = docs.select(F.explode(toks).alias("w")).where(F.length("w") > 0)
     uni = tok.groupBy("w").agg(F.count("*").alias("c"))
     pairs = F.zip_with(
@@ -1201,10 +1202,10 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH sh AS (
         SELECT doc_id,
                unnest(list_distinct(list_transform(
-                   range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
-                   i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
-                        string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
-                        string_split_regex(trim(text), '\\s+')[i+2]))) AS s
+                   range(1, len(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) - 1),
+                   i -> string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i] || ' ' ||
+                        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i+1] || ' ' ||
+                        string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')[i+2]))) AS s
         FROM documents
     ),
     df AS (SELECT s, count(*) AS df FROM sh GROUP BY s)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
 from flink_http_full_cache_connector_spark.operators.scale import widen
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+from flink_http_full_cache_connector_spark.functions.tokenize import TOKEN_DELIM_RE
 
 TFIDF_TOP_N = 3
 
@@ -31,7 +32,7 @@ TFIDF_TOP_N = 3
     f"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
         FROM documents
     ),
     tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
@@ -59,7 +60,7 @@ TFIDF_TOP_N = 3
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
-        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+        "doc_id", F.explode(F.split(F.trim(F.lower(F.col("text"))), TOKEN_DELIM_RE)).alias("tok")
     )
     # df is derived from tf (one row per (doc, tok) already), not from the
     # raw token table: count replaces a two-phase countDistinct and the
@@ -103,7 +104,7 @@ BM25_TOP_N = 10
     f"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
         FROM documents
     ),
     tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
@@ -153,7 +154,7 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
         FROM documents
     ),
     tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
@@ -231,7 +232,7 @@ def _hybrid_rrf_oracle() -> str:
     return f"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
         FROM documents
     ),
     tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
@@ -339,7 +340,7 @@ def _rank_agreement_oracle() -> str:
     return f"""
     WITH toks AS (
         SELECT doc_id,
-               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+               unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
         FROM documents
     ),
     tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
@@ -445,10 +446,13 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = widen(load_table(spark, sf_dir, "documents"))
     emb = load_table(spark, sf_dir, "embeddings")
+    # not persisted: the three pools are metadata-sized and every reuse
+    # derives an identical subplan from the same object, so exchange reuse
+    # shares the heavy scans; a persist here outlived the query (r7 ADVICE)
     bm = bm25_topk_scores(
         docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, topn=RRF_POOL
-    ).select("doc_id", "rank").persist()
-    cos = cosine_topk_ranks(emb, RRF_QUERY_VEC, topn=RRF_POOL).persist()
+    ).select("doc_id", "rank")
+    cos = cosine_topk_ranks(emb, RRF_QUERY_VEC, topn=RRF_POOL)
     hy = rrf_fuse(bm, cos, k=RRF_K, topn=RRF_POOL).select(
         "doc_id", "rank"
     )

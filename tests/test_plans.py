@@ -77,6 +77,35 @@ def test_topk_has_no_query_id_only_exchange(spark):
     assert any("_pid" in ln for ln in lines if "Exchange" in ln), plan
 
 
+def test_posting_head_prunes_hot_terms_map_side(spark):
+    """posting_lists' head cap must never route a hot term's full posting
+    list through one task (Zipf: a stop-word's df ≈ corpus doc count).
+    The rn<=head filter sits directly above the per-term window, so
+    Catalyst's InferWindowGroupLimit plants a PARTIAL WindowGroupLimit
+    below the term exchange — every map task ships <= head rows per term
+    and the final task ranks <= partitions*head survivors.  Pin both the
+    Partial node and its position below the exchange."""
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        posting_lists,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = plan_of(posting_lists(docs))
+    lines = plan.splitlines()
+    partials = [
+        i for i, ln in enumerate(lines)
+        if "WindowGroupLimit" in ln and "Partial" in ln
+    ]
+    assert partials, plan  # the rewrite fired at all
+    # tree prints parents first: the map-side Partial must sit BELOW
+    # (later than) the tok exchange that feeds the final per-term rank
+    tok_exchanges = [
+        i for i, ln in enumerate(lines)
+        if "Exchange hashpartitioning(tok" in ln
+    ]
+    assert tok_exchanges and max(partials) > min(tok_exchanges), plan
+
+
 def test_ivf_assign_uses_partial_aggregation(spark):
     from flink_http_full_cache_connector_spark.functions.vectors import as_double
     from flink_http_full_cache_connector_spark.operators.similarity import ivf_assign
