@@ -37,6 +37,7 @@ __all__ = [
     "posting_lists",
     "bm25_topk_scores",
     "cosine_topk_ranks",
+    "ivf_topk_ranks",
     "rrf_fuse",
 ]
 
@@ -192,6 +193,57 @@ def cosine_topk_ranks(
         )
     )
     top = scored.orderBy(F.col("cos_sim").desc(), F.col("doc_id")).limit(topn)
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def ivf_topk_ranks(
+    emb: DataFrame,
+    cent: DataFrame,
+    assign: DataFrame,
+    query_vec_id: int,
+    *,
+    topn: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(doc_id, rank) — approximate nearest neighbors of corpus vector
+    ``query_vec_id`` answered FROM AN IVF INDEX (``cent`` = (cent_id, cv)
+    centroids, ``assign`` = (vec_id, cell_id, v) — typically the reloaded
+    cell_id-partitioned parquet of ``ivf_index_save``): rank the centroids
+    for the one query, probe the top-``nprobe`` cells, exact-cosine rerank
+    only their members.  The probe→assign join on cell_id dynamically
+    prunes the partitioned index scan (DPP — pinned in
+    tests/test_pipeline_ops.py), so a query batch reads ~nprobe/C of the
+    index bytes instead of scanning the corpus, which is what makes this
+    the production dense leg for hybrid retrieval (the exact-cosine
+    ``cosine_topk_ranks`` scans the full corpus per query)."""
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        as_double,
+        cosine,
+    )
+
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        as_double(F.col("embedding")).alias("qv")
+    )
+    probes = (
+        cent.crossJoin(F.broadcast(q))
+        .select("cent_id", cosine(F.col("cv"), F.col("qv")).alias("psim"))
+        .orderBy(F.col("psim").desc(), F.col("cent_id"))
+        .limit(nprobe)
+        .select(F.col("cent_id").alias("cell_id"))
+    )
+    cand = (
+        probes.join(assign, "cell_id")
+        .where(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("v"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    top = cand.orderBy(F.col("cos_sim").desc(), F.col("doc_id")).limit(topn)
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", F.col("rank").cast("int").alias("rank")

@@ -332,6 +332,174 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(bm, cos, k=RRF_K, topn=BM25_TOP_N)
 
 
+def _hybrid_rrf_ann_oracle() -> str:
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        duck_cosine,
+    )
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        NPROBE,
+        NUM_CENTROIDS,
+    )
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '{TOKEN_DELIM_RE}')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT count(*)::bigint AS nd, sum(dl)::bigint AS total_len FROM dl
+    ),
+    dfreq AS (
+        SELECT tok, count(*)::bigint AS df FROM tf
+        WHERE tok IN {BM25_TERMS!r} GROUP BY 1
+    ),
+    per_term AS (
+        SELECT tf.doc_id, tf.tok,
+               ((s.nd - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / (s.total_len::double / s.nd)))
+                   AS s
+        FROM tf
+        JOIN dfreq d USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN tok = '{BM25_TERMS[0]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN tok = '{BM25_TERMS[1]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN tok = '{BM25_TERMS[2]}' THEN s END), 0.0)
+                   AS score
+        FROM per_term GROUP BY doc_id
+    ),
+    bm AS (
+        SELECT doc_id, rank_a FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a
+            FROM per_doc
+        ) WHERE rank_a <= {RRF_POOL}
+    ),
+    -- the dense leg replays the PERSISTED IVF index: build (first
+    -- {NUM_CENTROIDS} vectors as centroids, full-corpus nearest-centroid
+    -- assignment), probe the query's top-{NPROBE} cells, exact-cosine
+    -- rerank only their members
+    cent AS (
+        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        WHERE vec_id < {NUM_CENTROIDS}
+    ),
+    assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cent_id AS cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC,
+                                c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings
+          WHERE vec_id = {RRF_QUERY_VEC}),
+    probes AS (
+        SELECT cell_id FROM (
+            SELECT c.cent_id AS cell_id,
+                   row_number() OVER (ORDER BY {duck_cosine('q.qv', 'c.cv')}
+                       DESC, c.cent_id) AS rn
+            FROM cent c CROSS JOIN q
+        ) WHERE rn <= {NPROBE}
+    ),
+    cos_scored AS (
+        SELECT a.vec_id AS doc_id, {duck_cosine('e.embedding', 'q.qv')} AS cs
+        FROM assign a
+        JOIN probes p USING (cell_id)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        CROSS JOIN q
+        WHERE a.vec_id <> {RRF_QUERY_VEC}
+    ),
+    cb AS (
+        SELECT doc_id, rank_b FROM (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY cs DESC, doc_id) AS rank_b
+            FROM cos_scored
+        ) WHERE rank_b <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT coalesce(bm.doc_id, cb.doc_id) AS doc_id,
+               coalesce(1.0 / ({RRF_K} + bm.rank_a), 0.0)
+             + coalesce(1.0 / ({RRF_K} + cb.rank_b), 0.0) AS rrf,
+               bm.rank_a, cb.rank_b
+        FROM bm FULL OUTER JOIN cb ON cb.doc_id = bm.doc_id
+    ),
+    out AS (
+        SELECT doc_id, rrf, rank_a, rank_b,
+               row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused
+    )
+    SELECT doc_id, {duck_trunc6('rrf')} AS rrf_score,
+           rank_a::int AS rank_a, rank_b::int AS rank_b, rank::int AS rank
+    FROM out WHERE rank <= {BM25_TOP_N}
+    """
+
+
+@register(
+    "hybrid_rrf_ann",
+    _hybrid_rrf_ann_oracle(),
+    doc=f"PRODUCTION hybrid retrieval (round-7 verdict #2): BM25 "
+    f"top-{RRF_POOL} fused via RRF with an ANN top-{RRF_POOL} answered "
+    "from the PERSISTED cell_id-partitioned IVF index — unlike "
+    "hybrid_rrf_retrieval (kept as the exact-dense correctness anchor), "
+    "the dense leg never scans the embedding corpus per query: the index "
+    "is built once (ivf_index_save), reloaded, and the probe's candidate "
+    "join dynamically prunes the partitioned parquet to the query's "
+    "probed cells (DPP plan pin in tests/test_pipeline_ops.py).  The "
+    "oracle replays the whole stack in SQL — index build (nearest-of-"
+    "first-16 centroids assignment), top-nprobe probe, in-cell exact-"
+    "cosine rerank, then the identical fixed-order RRF float.  Doubles "
+    "round-trip parquet bit-exactly, so persistence is invisible to the "
+    "hash.  ANN-vs-exact dense-leg overlap is pinned measured-minus-"
+    "slack in tests/test_pipeline_ops.py.",
+)
+def hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_topk_scores,
+        ivf_topk_ranks,
+        rrf_fuse,
+    )
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        NPROBE,
+        ivf_index_load,
+        ivf_index_save,
+    )
+    from flink_http_full_cache_connector_spark.sources.lookup import (
+        _local_relation,
+    )
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk_scores(
+        docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, topn=RRF_POOL
+    ).select("doc_id", "rank")
+    work = tempfile.mkdtemp(prefix="spark_graft_hybridivf_")
+    try:
+        ivf_index_save(emb, work)
+        cent, assign = ivf_index_load(spark, work)
+        dense = ivf_topk_ranks(
+            emb, cent, assign, RRF_QUERY_VEC, topn=RRF_POOL, nprobe=NPROBE
+        )
+        out = rrf_fuse(bm, dense, k=RRF_K, topn=BM25_TOP_N)
+        # materialize the fused top-N (metadata-sized) so the temp index
+        # dir can be removed (the dense leg reads lazily from it)
+        rows = [tuple(r) for r in out.collect()]
+        return _local_relation(spark, rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _rank_agreement_oracle() -> str:
     from flink_http_full_cache_connector_spark.functions.vectors import (
         duck_cosine,
