@@ -24,7 +24,7 @@ single-partition global sort or window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_http_full_cache_connector_spark.functions.rounding import trunc6
@@ -36,8 +36,12 @@ __all__ = [
     "doc_term_freq",
     "posting_lists",
     "bm25_topk_scores",
+    "bm25_from_segments",
     "cosine_topk_ranks",
     "ivf_topk_ranks",
+    "posting_segment_assignments",
+    "posting_segments_save",
+    "posting_segments_load",
     "rrf_fuse",
 ]
 
@@ -130,6 +134,26 @@ def bm25_topk_scores(
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
     )
+    return _bm25_rank(tf, dl, stats, dfreq, terms, k1=k1, b=b, topn=topn)
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    dfreq: DataFrame,
+    terms: tuple[str, ...] | list[str],
+    *,
+    k1: float,
+    b: float,
+    topn: int,
+) -> DataFrame:
+    """The BM25 scoring tail shared by the corpus path
+    (:func:`bm25_topk_scores`) and the segment-file path
+    (:func:`bm25_from_segments`): same relations in → the identical IEEE
+    operation sequence out, which is what lets the segment round-trip
+    hash-match the in-memory ranking.  ``tf`` may be pre-filtered to the
+    query terms (the dfreq join restricts to them anyway)."""
     avgdl = F.col("total_len").cast("double") / F.col("nd")
     s = (
         ((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
@@ -197,6 +221,188 @@ def cosine_topk_ranks(
     return top.withColumn("rank", F.row_number().over(w)).select(
         "doc_id", F.col("rank").cast("int").alias("rank")
     )
+
+
+#: Byte budget per posting segment file.  A knob: the test/registry value
+#: keeps several segments alive at sf0.01 so the layout logic is exercised;
+#: a production deployment sets ~512 MB.  A term never splits across
+#: segments at this granularity (the corpus_shard_manifest discipline cut
+#: at term boundaries); a true stop-word list bigger than one segment would
+#: additionally block-split WITHIN the term by doc_id range — layered on
+#: the same manifest, not implemented here.
+POSTING_SEG_BYTES = 16384
+
+
+def posting_entry_bytes() -> Column:
+    """Rendered size of one ``doc:tf,`` posting entry — a deterministic
+    integer both engines compute identically (no float, no estimate)."""
+    return (
+        F.length(F.col("doc_id").cast("string"))
+        + F.length(F.col("tf").cast("string"))
+        + F.lit(2)
+    ).cast("long")
+
+
+def posting_segment_assignments(
+    tf: DataFrame, *, seg_bytes: int = POSTING_SEG_BYTES,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """(tok, df, cf, term_bytes, segment_id) — byte-budget segment cuts
+    over the tok-ordered full posting lists.
+
+    The semantic is a GLOBAL byte prefix-sum over terms in tok order —
+    SQL's one-partition window — which the distributed plan must never
+    serialize: repartitionByRange(tok) + sortWithinPartitions gives the
+    total order, ONE metadata-sized collect fetches per-partition byte
+    subtotals, and an Arrow pass stamps
+    ``segment_id = (offset[pid] + local_prefix) div seg_bytes`` — the
+    corpus_shard_manifest discipline applied to the vocabulary relation
+    (vocab-sized input, so every stage here is already the cheap side of
+    the corpus scan that produced ``tf``).  Prefix sums depend only on
+    the unique sort key, so the layout is partitioning-invariant and
+    exactly reproducible."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from flink_http_full_cache_connector_spark.operators.pipeline import (
+        _sort_width,
+    )
+
+    per_term = tf.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.sum(posting_entry_bytes()).alias("term_bytes"),
+    )
+    width = _sort_width(per_term, num_partitions)
+    # persisted because TWO actions walk it — the subtotal collect now and
+    # the caller's materialization of the stamped result; the registry's
+    # per-query clearCache reclaims it (an eager scoped unpersist would
+    # drop the cache before the lazy result ever ran)
+    arranged = (
+        per_term.repartitionByRange(width, "tok")
+        .sortWithinPartitions("tok")
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    subtotal = {
+        r["pid"]: r["b"]
+        for r in arranged.groupBy("pid")
+        .agg(F.sum("term_bytes").alias("b"))
+        .collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(subtotal):
+        offsets[pid] = acc
+        acc += subtotal[pid]
+
+    def stamp(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pos = None
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            if pos is None:
+                pos = offsets[int(pdf["pid"].iloc[0])]
+            out = pdf[["tok", "df", "cf", "term_bytes"]].copy()
+            prefix = pdf["term_bytes"].cumsum().shift(fill_value=0) + pos
+            out["segment_id"] = prefix // seg_bytes
+            pos = int(prefix.iloc[-1]) + int(pdf["term_bytes"].iloc[-1])
+            yield out
+
+    return arranged.mapInPandas(
+        stamp,
+        "tok string, df long, cf long, term_bytes long, segment_id long",
+    )
+
+
+def posting_segments_save(
+    docs: DataFrame, out_dir: str, *, seg_bytes: int = POSTING_SEG_BYTES
+) -> None:
+    """Persist the FULL inverted index as sharded segment files — the
+    layout ``inverted_index_postings``' head-capped DataFrame points at
+    (its docstring: full lists belong in segment files, never in one
+    row).  Three relations:
+
+    - ``{out}/postings`` — (tok, doc_id, tf) PARTITIONED BY segment_id,
+      sorted (tok, doc_id) within files: a query for a term reads only
+      its segment's files (partition pruning), and within the file the
+      postings are doc_id-contiguous — the on-disk shape every retrieval
+      engine serves from (cf. the reference's own persist-then-serve
+      full-cache scan, HttpInputFormatProvider.scala:126-161).
+    - ``{out}/manifest`` — (tok, df, cf, term_bytes, segment_id): the
+      vocabulary → segment map plus the exact per-term stats BM25 needs
+      (df over the FULL list, not the stored head).
+    - ``{out}/doclens`` — (doc_id, dl): document lengths, the other
+      BM25 input; corpus-level nd/total_len are one agg over it at read
+      time (two bigints — cheaper to recompute than to version).
+    """
+    tf = doc_term_freq(docs)
+    manifest = posting_segment_assignments(tf, seg_bytes=seg_bytes)
+    manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+    seg_of = manifest.sparkSession.read.parquet(f"{out_dir}/manifest").select(
+        "tok", "segment_id"
+    )
+    (
+        tf.join(seg_of, "tok")
+        .repartition("segment_id")
+        .sortWithinPartitions("tok", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("segment_id")
+        .parquet(f"{out_dir}/postings")
+    )
+    (
+        tokenize_docs(docs)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/doclens")
+    )
+
+
+def posting_segments_load(
+    spark, out_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(manifest, postings, doclens) back from
+    :func:`posting_segments_save`'s layout."""
+    manifest = spark.read.parquet(f"{out_dir}/manifest")
+    postings = spark.read.parquet(f"{out_dir}/postings").select(
+        "tok", "doc_id", "tf", F.col("segment_id").cast("long").alias("segment_id")
+    )
+    doclens = spark.read.parquet(f"{out_dir}/doclens")
+    return manifest, postings, doclens
+
+
+def bm25_from_segments(
+    spark,
+    out_dir: str,
+    terms: tuple[str, ...] | list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topn: int = 10,
+) -> DataFrame:
+    """BM25 top-``topn`` answered ENTIRELY from reloaded segment files —
+    the corpus is never touched: term→segment lookups come from the
+    manifest (which also carries the exact full-list df), the tf rows
+    come from ONLY the probed segments' files (static partition pruning:
+    the segment ids are collected driver-side — a handful of ints — and
+    pushed as a literal IN filter on the partition column), dl/nd/
+    total_len from the doclens relation.  Same integer inputs → the
+    identical IEEE score sequence as :func:`bm25_topk_scores`; the
+    round-trip is pinned by hash-match in the registry."""
+    manifest, postings, doclens = posting_segments_load(spark, out_dir)
+    probe = manifest.where(F.col("tok").isin(*terms)).select(
+        "tok", "df", "segment_id"
+    )
+    seg_ids = [int(r["segment_id"]) for r in probe.select("segment_id").distinct().collect()]
+    tf = postings.where(
+        F.col("segment_id").isin(seg_ids) & F.col("tok").isin(*terms)
+    ).select("doc_id", "tok", "tf")
+    dl = doclens.select("doc_id", "dl")
+    stats = dl.agg(F.count("*").alias("nd"), F.sum("dl").alias("total_len"))
+    dfreq = probe.select("tok", "df")
+    return _bm25_rank(tf, dl, stats, dfreq, terms, k1=k1, b=b, topn=topn)
 
 
 def ivf_topk_ranks(

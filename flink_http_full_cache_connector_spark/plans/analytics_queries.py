@@ -149,9 +149,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return posting_lists(docs, head=POSTINGS_HEAD)
 
 
-@register(
-    "bm25_topk",
-    f"""
+def _bm25_topk_oracle() -> str:
+    """Shared by ``bm25_topk`` and ``bm25_segments_roundtrip`` — the
+    segment round-trip must hash-match the in-memory ranking exactly, so
+    both registrations pin the SAME SQL."""
+    return f"""
     WITH toks AS (
         SELECT doc_id,
                unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
@@ -194,7 +196,12 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, {duck_trunc6('score')} AS score, n_hit, rank::int AS rank
     FROM ranked WHERE rank <= {BM25_TOP_N}
-    """,
+    """
+
+
+@register(
+    "bm25_topk",
+    _bm25_topk_oracle(),
     doc=f"BM25 top-{BM25_TOP_N} retrieval for the fixed query "
     f"{BM25_TERMS} (k1={BM25_K1}, b={BM25_B}) with the RATIONAL idf "
     "(N-df+0.5)/(df+0.5) — the house log-free rule: libm ln() is not "
@@ -217,6 +224,107 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_scores(
         docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, topn=BM25_TOP_N
     )
+
+
+def _posting_segment_manifest_oracle() -> str:
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        POSTING_SEG_BYTES,
+    )
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '{TOKEN_DELIM_RE}')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+    per_term AS (
+        SELECT tok, count(*)::bigint AS df, sum(tf)::bigint AS cf,
+               sum(length(doc_id::varchar) + length(tf::varchar) + 2)::bigint
+                   AS term_bytes
+        FROM tf GROUP BY tok
+    ),
+    ordered AS (
+        SELECT tok, df, cf, term_bytes,
+               sum(term_bytes) OVER (ORDER BY tok
+                   ROWS UNBOUNDED PRECEDING) - term_bytes AS prefix
+        FROM per_term
+    )
+    SELECT tok, df, cf, term_bytes,
+           (prefix // {POSTING_SEG_BYTES})::bigint AS segment_id
+    FROM ordered
+    """
+
+
+@register(
+    "posting_segment_manifest",
+    _posting_segment_manifest_oracle(),
+    doc="Byte-budget segment layout for the FULL posting lists — the "
+    "sharded segment files inverted_index_postings' head-capped rows "
+    "point at (round-7 verdict #3): per term, the exact rendered bytes "
+    "of its 'doc:tf,' entries (integers both engines compute "
+    "identically), then segment_id = global byte prefix-sum in tok "
+    "order div the budget — a term never splits at this granularity.  "
+    "The prefix-sum is SQL's one-partition window; the Spark plan "
+    "refuses to serialize it: repartitionByRange(tok) + "
+    "sortWithinPartitions + ONE metadata-sized per-partition subtotal "
+    "collect + an Arrow stamp pass (the corpus_shard_manifest "
+    "discipline on the vocabulary relation).  Partitioning-invariant "
+    "and exactly reproducible; posting_segments_save materializes this "
+    "layout to parquet and bm25_segments_roundtrip pins losslessness.",
+)
+def posting_segment_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        doc_term_freq,
+        posting_segment_assignments,
+    )
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    return posting_segment_assignments(doc_term_freq(docs))
+
+
+@register(
+    "bm25_segments_roundtrip",
+    _bm25_topk_oracle(),  # the round-trip must match the in-memory ranking
+    doc=f"BM25 top-{BM25_TOP_N} answered ENTIRELY from reloaded posting "
+    "segment files — the persist-then-serve posture (the reference's own "
+    "full-cache scan pattern, HttpInputFormatProvider.scala:126-161, "
+    "applied to text): posting_segments_save writes (tok, doc_id, tf) "
+    "partitioned by byte-budget segment_id plus the manifest (exact "
+    "full-list df/cf per term) and doclens; the query loads the "
+    "manifest, resolves the query terms' segment ids (a handful of ints, "
+    "pushed as a LITERAL partition filter — only those segments' files "
+    "are read), and scores with the same integer inputs through the "
+    "same _bm25_rank tail.  The oracle IS bm25_topk's oracle: the "
+    "round-trip must hash-match the in-memory ranking exactly, proving "
+    "the segment store lossless (the sim_ann_ivf_persisted gate, for "
+    "text).",
+)
+def bm25_segments_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_from_segments,
+        posting_segments_save,
+    )
+    from flink_http_full_cache_connector_spark.sources.lookup import (
+        _local_relation,
+    )
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    work = tempfile.mkdtemp(prefix="spark_graft_postseg_")
+    try:
+        posting_segments_save(docs, work)
+        out = bm25_from_segments(
+            spark, work, BM25_TERMS, k1=BM25_K1, b=BM25_B, topn=BM25_TOP_N
+        )
+        # materialize the top-N (metadata-sized) so the temp segment dir
+        # can be removed (the relations read lazily from it)
+        rows = [tuple(r) for r in out.collect()]
+        return _local_relation(spark, rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 RRF_POOL = 50  # per-ranker candidate pool fused down to BM25_TOP_N

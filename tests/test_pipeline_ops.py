@@ -1081,6 +1081,53 @@ def test_ivf_persisted_index_lossless_and_partition_pruned(spark, tmp_path):
     assert persisted == memory
 
 
+def test_posting_segments_layout_invariant_and_lossless(spark, tmp_path):
+    """Posting segment files (round-7 verdict #3): the byte-budget layout
+    is identical at sort widths 3 and 16 (prefix sums depend only on the
+    tok order, never on range boundaries), the on-disk store holds the
+    FULL posting lists (reload == doc_term_freq exactly), and the BM25
+    read path prunes to the probed segments' partitions."""
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_from_segments,
+        doc_term_freq,
+        posting_segment_assignments,
+        posting_segments_load,
+        posting_segments_save,
+    )
+    from flink_http_full_cache_connector_spark.plans.registry import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tf = doc_term_freq(docs)
+    a = sorted(
+        tuple(r) for r in posting_segment_assignments(tf, num_partitions=3).collect()
+    )
+    b = sorted(
+        tuple(r) for r in posting_segment_assignments(tf, num_partitions=16).collect()
+    )
+    assert a == b
+    n_segments = len({r[4] for r in a})
+    assert n_segments >= 2, f"budget produced {n_segments} segment(s) at sf0.01"
+
+    work = str(tmp_path / "segs")
+    posting_segments_save(docs, work)
+    _, postings, _ = posting_segments_load(spark, work)
+    stored = sorted(
+        tuple(r) for r in postings.select("tok", "doc_id", "tf").collect()
+    )
+    source = sorted(tuple(r) for r in tf.select("tok", "doc_id", "tf").collect())
+    assert stored == source  # full lists, not heads — lossless on disk
+
+    out = bm25_from_segments(spark, work, ("join", "merge", "dup"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        ln for ln in plan.splitlines()
+        if "FileScan parquet" in ln
+        and "PartitionFilters: [" in ln
+        and "segment_id" in ln.split("PartitionFilters:")[1]
+    ]
+    assert pruned, plan  # the postings scan carries the segment_id filter
+
+
 def test_hybrid_ann_dense_leg_dpp_and_overlap(spark, tmp_path):
     """hybrid_rrf_ann (round-7 verdict #2): the dense leg probes the
     persisted cell_id-partitioned IVF index with dynamic partition
