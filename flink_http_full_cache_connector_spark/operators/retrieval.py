@@ -36,6 +36,7 @@ __all__ = [
     "doc_term_freq",
     "posting_lists",
     "bm25_topk_scores",
+    "bm25_batch_topk",
     "bm25_from_segments",
     "cosine_topk_ranks",
     "ivf_topk_ranks",
@@ -185,6 +186,95 @@ def _bm25_rank(
         trunc6(F.col("score")).alias("score"),
         "n_hit",
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+#: Per-query term-slot ceiling for the batched ranker: the per-(query,doc)
+#: score folds term-POSITION columns in fixed order (max(CASE pos=k)) so
+#: any two engines run the identical IEEE sequence for ANY query mix — a
+#: float SUM over rows would not.  Raise it and both the Spark fold and
+#: the oracle twin grow by one coalesce column per slot.
+BM25_BATCH_MAX_TERMS = 3
+
+
+def bm25_batch_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topn: int = 10,
+) -> DataFrame:
+    """(query_id, doc_id, score, n_hit, rank) — BM25 top-``topn`` per
+    query for a WHOLE BATCH of queries in one job (round-7 verdict #4):
+    ``queries`` is a (query_id, pos, tok) relation (pos <
+    BM25_BATCH_MAX_TERMS, terms distinct within a query), the shape an
+    eval/ranking pipeline actually runs — never a per-query job.
+
+    Scale shape: the corpus is tokenized and tf-aggregated ONCE for the
+    whole batch; the query relation is broadcast onto tf (query-batch
+    rows are metadata); per-(query, doc) scores fold the term-slot
+    columns in fixed order (cross-engine IEEE-identical for arbitrary
+    queries — the batched generalization of bm25_topk's fixed textual
+    fold); the per-query top-k is the TWO-STAGE pre-rank (pre-rank per
+    (input-partition, query), then rank the ≤ partitions×topn
+    survivors) so no exchange ever partitions the scored relation by
+    the few-key query_id alone — pinned in tests/test_plans.py."""
+    toks = tokenize_docs(docs)
+    tf = doc_term_freq(docs)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("nd"), F.sum("dl").alias("total_len"))
+    qterms = queries.select("tok").distinct()
+    dfreq = (
+        tf.join(F.broadcast(qterms), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("nd")
+    s = (
+        ((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    per_term = (
+        tf.join(F.broadcast(queries), "tok")
+        .join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "pos", s.alias("s"))
+    )
+
+    def _slot(p: int):
+        return F.coalesce(
+            F.max(F.when(F.col("pos") == p, F.col("s"))), F.lit(0.0)
+        )
+
+    score = _slot(0)
+    for p in range(1, BM25_BATCH_MAX_TERMS):
+        score = score + _slot(p)  # fixed slot order — IEEE-identical
+    per_qd = per_term.groupBy("query_id", "doc_id").agg(
+        score.alias("score"), F.count("*").alias("n_hit")
+    )
+    pre = Window.partitionBy("_pid", "query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    final = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        per_qd.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prank", F.row_number().over(pre))
+        .where(F.col("_prank") <= topn)
+        .drop("_pid", "_prank")
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= topn)
+        .select(
+            "query_id",
+            "doc_id",
+            trunc6(F.col("score")).alias("score"),
+            "n_hit",
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 

@@ -327,6 +327,100 @@ def bm25_segments_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+#: The batched-retrieval fixture: (query_id, pos, tok) — four queries of
+#: 1-3 distinct terms over the corpus vocabulary, mixing rare and
+#: stop-word-grade df so the idf contrast is exercised in one batch.
+BM25_BATCH = (
+    (0, 0, "join"), (0, 1, "merge"),
+    (1, 0, "dup"), (1, 1, "scan"), (1, 2, "filter"),
+    (2, 0, "vector"), (2, 1, "hash"),
+    (3, 0, "the"),
+)
+
+
+def _bm25_batch_oracle() -> str:
+    values = ", ".join(f"({q}, {p}, '{t}')" for q, p, t in BM25_BATCH)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '{TOKEN_DELIM_RE}')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT count(*)::bigint AS nd, sum(dl)::bigint AS total_len FROM dl
+    ),
+    q AS (
+        SELECT query_id::bigint AS query_id, pos::int AS pos, tok
+        FROM (VALUES {values}) AS v(query_id, pos, tok)
+    ),
+    dfreq AS (
+        SELECT tok, count(*)::bigint AS df FROM tf
+        WHERE tok IN (SELECT DISTINCT tok FROM q) GROUP BY 1
+    ),
+    per_term AS (
+        SELECT q.query_id, tf.doc_id, q.pos,
+               ((s.nd - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / (s.total_len::double / s.nd)))
+                   AS s
+        FROM tf
+        JOIN q USING (tok)
+        JOIN dfreq d USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    per_qd AS (
+        SELECT query_id, doc_id,
+               coalesce(max(CASE WHEN pos = 0 THEN s END), 0.0)
+             + coalesce(max(CASE WHEN pos = 1 THEN s END), 0.0)
+             + coalesce(max(CASE WHEN pos = 2 THEN s END), 0.0) AS score,
+               count(*)::bigint AS n_hit
+        FROM per_term GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, doc_id, score, n_hit,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id) AS rank
+        FROM per_qd
+    )
+    SELECT query_id, doc_id, {duck_trunc6('score')} AS score, n_hit,
+           rank::int AS rank
+    FROM ranked WHERE rank <= {BM25_TOP_N}
+    """
+
+
+@register(
+    "bm25_batch_topk",
+    _bm25_batch_oracle(),
+    doc=f"BATCHED multi-query BM25 (round-7 verdict #4): "
+    f"{len(set(q for q, _, _ in BM25_BATCH))} queries as a (query_id, "
+    "pos, tok) relation ranked in ONE job — the shape a ranking/eval "
+    "pipeline actually runs (bm25_topk serves one literal query).  The "
+    "corpus is tokenized/tf-aggregated once for the whole batch; the "
+    "query relation broadcasts onto tf; per-(query,doc) scores fold the "
+    "term-SLOT columns in fixed order (max(CASE pos=k)) so the IEEE "
+    "sequence is engine-identical for ANY query mix; per-query top-k "
+    "runs the two-stage pre-rank — no exchange ever partitions the "
+    "scored relation by the few-key query_id alone (plan pin in "
+    "tests/test_plans.py).",
+)
+def bm25_batch_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_batch_topk,
+    )
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    queries = spark.createDataFrame(
+        list(BM25_BATCH), "query_id long, pos int, tok string"
+    )
+    return bm25_batch_topk(
+        docs, queries, k1=BM25_K1, b=BM25_B, topn=BM25_TOP_N
+    )
+
+
 RRF_POOL = 50  # per-ranker candidate pool fused down to BM25_TOP_N
 RRF_QUERY_VEC = 0  # corpus vector used as the dense query
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant

@@ -106,6 +106,34 @@ def test_posting_head_prunes_hot_terms_map_side(spark):
     assert tok_exchanges and max(partials) > min(tok_exchanges), plan
 
 
+def test_bm25_batch_has_no_query_id_only_exchange(spark):
+    """Batched multi-query BM25: the per-query top-k must pre-rank per
+    (input-partition, query) — an exchange on the few-key query_id alone
+    would funnel the whole scored relation through #queries tasks."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["bm25_batch_topk"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    lines = plan.splitlines()
+    # the scored relation's first rank must happen under (_pid, query_id):
+    # a Partial WindowGroupLimit on that pair caps each map task to topn
+    # per query BEFORE any query_id exchange, so the only exchange keyed on
+    # query_id alone carries <= partitions*topn pre-capped survivors
+    pre_caps = [
+        i for i, ln in enumerate(lines)
+        if "WindowGroupLimit" in ln and "_pid" in ln and "query_id" in ln
+    ]
+    assert pre_caps, plan
+    q_only = [
+        i for i, ln in enumerate(lines)
+        if "Exchange hashpartitioning(query_id" in ln and "_pid" not in ln
+        and "doc_id" not in ln
+    ]
+    # tree prints parents first: every query_id-only exchange must sit
+    # ABOVE (before) the pre-cap, i.e. consume its output
+    assert all(i < max(pre_caps) for i in q_only), plan
+
+
 def test_ivf_assign_uses_partial_aggregation(spark):
     from flink_http_full_cache_connector_spark.functions.vectors import as_double
     from flink_http_full_cache_connector_spark.operators.similarity import ivf_assign
