@@ -1913,6 +1913,228 @@ def sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_2level_pq_oracle() -> str:
+    ms = f"(SELECT unnest(range(0, {PQ_M})) AS m)"
+    sub = lambda a, b: duck_sqdist(a, b, off=f"ms.m * {PQ_SUB}", n=PQ_SUB)  # noqa: E731
+    return f"""
+WITH params AS (
+    SELECT c, greatest(4,
+                    t - CASE WHEN t * t > c THEN 1 ELSE 0 END
+                      + CASE WHEN (t + 1) * (t + 1) <= c THEN 1 ELSE 0 END
+           )::bigint AS k
+    FROM (SELECT c, floor(sqrt(c::double))::bigint AS t FROM (
+          SELECT greatest({NUM_CENTROIDS}, n // {IVF2_CELL_TARGET})::bigint AS c
+          FROM (SELECT count(*) AS n FROM embeddings)))
+),
+coarse AS (
+    SELECT vec_id AS co_id, embedding AS qv
+    FROM embeddings, params WHERE vec_id < params.k
+),
+fine AS (
+    SELECT vec_id AS cent_id, embedding AS cv
+    FROM embeddings, params WHERE vec_id < params.c
+),
+fine_grouped AS MATERIALIZED (
+    SELECT g.cent_id,
+           CASE WHEN g.cent_id < p.k THEN g.cent_id ELSE g.co_id END AS co_id,
+           g.cv
+    FROM (
+        SELECT cent_id, co_id, cv FROM (
+            SELECT f.cent_id, c.co_id, f.cv,
+                   row_number() OVER (PARTITION BY f.cent_id
+                       ORDER BY {duck_cosine('f.cv', 'c.qv')} DESC, c.co_id) AS rn
+            FROM fine f CROSS JOIN coarse c) WHERE rn = 1
+    ) g, params p
+),
+v_coarse AS MATERIALIZED (
+    SELECT vec_id, co_id FROM (
+        SELECT e.vec_id, c.co_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {duck_cosine('e.embedding', 'c.qv')} DESC, c.co_id
+               ) AS rn
+        FROM embeddings e CROSS JOIN coarse c) WHERE rn = 1
+),
+assign AS MATERIALIZED (
+    SELECT vec_id, cell_id FROM (
+        SELECT vc.vec_id, fg.cent_id AS cell_id,
+               row_number() OVER (PARTITION BY vc.vec_id
+                   ORDER BY {duck_cosine('e.embedding', 'fg.cv')} DESC, fg.cent_id
+               ) AS rn
+        FROM v_coarse vc
+        JOIN embeddings e ON e.vec_id = vc.vec_id
+        JOIN fine_grouped fg ON fg.co_id = vc.co_id
+    ) WHERE rn = 1
+),
+cw AS (SELECT vec_id AS j, embedding AS w FROM embeddings WHERE vec_id < {PQ_K}),
+codes AS (
+    SELECT vec_id, m, j AS code FROM (
+        SELECT e.vec_id, ms.m, cw.j,
+               row_number() OVER (PARTITION BY e.vec_id, ms.m
+                   ORDER BY {sub('e.embedding', 'cw.w')}, cw.j) AS rn
+        FROM embeddings e CROSS JOIN {ms} ms CROSS JOIN cw
+    ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {NUM_QUERIES}),
+qco AS (
+    SELECT query_id, co_id FROM (
+        SELECT q.query_id, c.co_id,
+               row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY {duck_cosine('q.qv', 'c.qv')} DESC, c.co_id) AS rn
+        FROM q CROSS JOIN coarse c) WHERE rn = 1
+),
+probes AS (
+    SELECT query_id, cell_id FROM (
+        SELECT qc.query_id, fg.cent_id AS cell_id,
+               row_number() OVER (PARTITION BY qc.query_id
+                   ORDER BY {duck_cosine('q2.qv', 'fg.cv')} DESC, fg.cent_id
+               ) AS rn
+        FROM qco qc
+        JOIN q q2 ON q2.query_id = qc.query_id
+        JOIN fine_grouped fg ON fg.co_id = qc.co_id
+    ) WHERE rn <= {NPROBE}
+),
+dt AS (
+    SELECT q.query_id, ms.m, cw.j, {sub('q.qv', 'cw.w')} AS d
+    FROM q CROSS JOIN {ms} ms CROSS JOIN cw
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assign a ON a.cell_id = p.cell_id
+    WHERE a.vec_id <> p.query_id
+),
+adc AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_reduce(list(dt.d ORDER BY dt.m), (x, y) -> x + y) AS adc_dist
+    FROM cand c
+    JOIN codes k ON k.vec_id = c.neighbor_id
+    JOIN dt ON dt.query_id = c.query_id AND dt.m = k.m AND dt.j = k.code
+    GROUP BY c.query_id, c.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dist, neighbor_id) AS rank
+    FROM adc
+)
+SELECT query_id, neighbor_id, {duck_trunc6('adc_dist')} AS adc_dist, rank::int AS rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "sim_ann_ivf_2level_pq",
+    _ivf_2level_pq_oracle(),
+    doc=f"Two-level IVF-PQ (round-7 verdict #5 — the FAISS IVFPQ "
+    "production form): the 8x16 product codes, which previously hung "
+    f"off the fixed {NUM_CENTROIDS}-cell grid (sim_ann_ivf_pq), now sit "
+    f"under the corpus-scaled C = max({NUM_CENTROIDS}, "
+    f"n/{IVF2_CELL_TARGET}) two-level index — cell geometry from "
+    "two_level_index/two_level_assign (cosine; the embeddings are "
+    "unit-norm so cosine and L2 orderings coincide: |a-b|^2 = 2-2cos), "
+    "candidate scoring by L2 ADC over the 4-bit codes.  Search reads "
+    "codes (4 B/vector) for ~nprobe*B candidates per query at ANY "
+    "corpus size.  FULL SQL oracle (stronger than the contract form "
+    "the trained variants need): both assignment stages, the probe "
+    "walk, the per-subspace code argmins, and the fixed m-order ADC "
+    "fold replay exactly.  Plan: two slim max_by shuffles (index), one "
+    "min_by shuffle (codes), metadata-sized ADC table applied as a "
+    "literal-array lookup — candidate scoring stays map-side (plan pin "
+    "in tests/test_plans.py).",
+)
+def sim_ann_ivf_2level_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = ivf2_cells_for(emb.count())
+    k = max(4, math.isqrt(cells))
+    coarse, fine_grouped = two_level_index(emb, cells=cells, k=k)
+    assign = two_level_assign(emb, coarse, fine_grouped).select(
+        "vec_id", "cell_id"
+    )
+    codebook = emb.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("j"),
+        as_double(F.col("embedding")).alias("w"),
+    )
+    codes = pq_encode(emb, codebook)
+
+    q = emb.where(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qv")
+    ).withColumn("nqv", norm(F.col("qv")))
+    # query → top-1 coarse → top-nprobe fine cells (the two-level walk;
+    # queries are a handful of rows, windows fine)
+    qsim = cosine_with_norms(F.col("qv"), F.col("qv2"), F.col("nqv"), F.col("nq"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("co_id"))
+    qco = (
+        q.join(F.broadcast(coarse.select("co_id", F.col("qv").alias("qv2"), "nq")))
+        .select("query_id", "qv", "nqv", "co_id", qsim.alias("psim"))
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= 1)
+        .select("query_id", "qv", "nqv", "co_id")
+    )
+    fsim = cosine_with_norms(F.col("qv"), F.col("cv"), F.col("nqv"), F.col("nc"))
+    wf = Window.partitionBy("query_id").orderBy(F.col("psim").desc(), F.col("cent_id"))
+    probes = (
+        qco.join(F.broadcast(fine_grouped), "co_id")
+        .select("query_id", "cent_id", fsim.alias("psim"))
+        .withColumn("rn", F.row_number().over(wf))
+        .where(F.col("rn") <= NPROBE)
+        .select("query_id", F.col("cent_id").alias("cell_id"))
+    )
+
+    # per-query ADC table: queries x M x K squared subspace distances —
+    # metadata-sized, collected and re-applied as a literal-array lookup
+    # (the sim_ann_ivf_pq pattern; corpus data never collects)
+    dt_rows = (
+        q.join(F.broadcast(codebook))
+        .select(
+            "query_id",
+            "j",
+            *[
+                sub_sqdist(F.col("qv"), F.col("w"), m).alias(f"d_{m}")
+                for m in range(PQ_M)
+            ],
+        )
+        .collect()
+    )
+    table = [0.0] * (NUM_QUERIES * PQ_M * PQ_K)
+    for r in dt_rows:
+        for m in range(PQ_M):
+            table[r.query_id * PQ_M * PQ_K + m * PQ_K + r.j] = float(r[f"d_{m}"])
+    arr = F.array(*[F.lit(x) for x in table])
+
+    cand = (
+        probes.join(assign, "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    )
+    adc = None
+    for m in range(PQ_M):
+        idx = (
+            F.col("query_id") * (PQ_M * PQ_K)
+            + F.lit(m * PQ_K)
+            + F.col(f"code_{m}")
+            + 1
+        ).cast("int")
+        term = F.element_at(arr, idx)
+        adc = term if adc is None else adc + term
+    scored = cand.select(
+        "query_id", "neighbor_id", adc.alias("adc_dist")
+    ).withColumn("cos_sim", -F.col("adc_dist"))
+    return topk_per_query(scored, TOP_K).select(
+        "query_id",
+        "neighbor_id",
+        trunc6(F.col("adc_dist")).alias("adc_dist"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # top principal component via power iteration — the dimensionality-reduction
 # / whitening front-end of an embedding pipeline, in scale-correct two-pass

@@ -428,6 +428,47 @@ def test_ivf_pq_scoring_is_map_side_lookup(spark):
     assert any("_pid" in ln and "query_id" in ln for ln in exchanges), plan
 
 
+def test_ivf_2level_pq_adc_stays_map_side(spark):
+    """Two-level IVF-PQ: no Python in the plan, codebook/centroids
+    broadcast, and the ADC candidate stream keeps the two-stage shape —
+    a (_pid, query_id) pre-rank exchange exists, so the full ADC score
+    stream never shuffles into #queries partitions.  The ADC lookup
+    itself is a literal-array expression (no join adds rows after the
+    codes attach)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    df = all_queries()["sim_ann_ivf_2level_pq"].spark(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert any("_pid" in ln and "query_id" in ln for ln in exchanges), plan
+
+
+def test_ivf_2level_pq_recall_overlaps_exact_rerank(spark):
+    """The combined index shares cell geometry with sim_ann_ivf_2level
+    (identical probes/candidates); only ADC quantization can diverge the
+    top-10.  Pin the overlap measured-minus-slack (measured at sf0.01)."""
+    from flink_http_full_cache_connector_spark.plans.registry import all_queries
+
+    pq = all_queries()["sim_ann_ivf_2level_pq"].spark(spark, SF_DIR).collect()
+    exact = all_queries()["sim_ann_ivf_2level"].spark(spark, SF_DIR).collect()
+    pq_sets, ex_sets = {}, {}
+    for r in pq:
+        pq_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in exact:
+        ex_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    overlaps = [
+        len(pq_sets.get(q, set()) & s) / len(s) for q, s in ex_sets.items()
+    ]
+    avg = sum(overlaps) / len(overlaps)
+    # measured 0.39 at sf0.01 — the distortion of an UNTRAINED 8x16
+    # codebook (the same class as sim_ann_ivf_pq's L2 floor); floor a
+    # slack below catches a broken walk/ADC, not codebook quality
+    assert avg >= 0.25, f"2level-PQ overlap@10 {avg:.2f} (measured 0.39)"
+
+
 def test_collocations_broadcast_topk_not_vocab(spark):
     """Both marginal-count joins must broadcast the k-row top list, never
     the vocab-sized unigram table; the top-k itself must be a TakeOrdered,
