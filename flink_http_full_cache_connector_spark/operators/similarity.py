@@ -705,6 +705,103 @@ def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def ivf_index_append(spark: SparkSession, out_dir: str, new_batch: DataFrame) -> None:
+    """Assign ``new_batch`` through the EXISTING persisted centroids and
+    append to the cell-partitioned assignment — the incremental-ingest
+    twin of :func:`ivf_index_save` (round-7 verdict #6, the
+    dedup_incremental discipline applied to ANN): nearest-centroid
+    assignment is per-vector against fixed centroids, so
+    assign(base) ∪ assign(batch) ≡ assign(base ∪ batch) row-for-row and
+    the appended index answers probes exactly like a rebuild on the
+    union (hash-pinned by ``sim_ann_ivf_incremental``).  The append
+    writes only the batch's rows into the existing cell_id=... dirs —
+    at 100 TB a daily ingest touches batch-sized bytes, never the
+    standing index."""
+    cent = spark.read.parquet(f"{out_dir}/centroids")
+    assign = ivf_assign(new_batch, cent)
+    assign.write.mode("append").partitionBy("cell_id").parquet(
+        f"{out_dir}/assign"
+    )
+
+
+#: modulus of the deterministic md5 ingest split used by
+#: sim_ann_ivf_incremental: bucket 0 (≈20% of vectors, centroid ids
+#: excepted) arrives as the "new batch" appended to the standing index.
+IVF_INCR_MOD = 5
+
+
+@register(
+    "sim_ann_ivf_incremental",
+    _ivf_oracle(),
+    doc=f"Incremental IVF index maintenance (round-7 verdict #6): a "
+    f"deterministic md5 bucket (~1/{IVF_INCR_MOD} of the corpus, "
+    "centroid ids excepted) plays the newly-ingested batch; the standing "
+    "index is built from the base cohort (ivf_index_save), the batch is "
+    "drift-gated with cohort_drift_flags — the SAME exact-integer "
+    "guardrail embedding_drift_int8 runs on ingest, decided on the "
+    "cross-dim fraction (retrain iff >1/3 of dims flag: single-dim "
+    "flags are small-batch sampling noise, a real encoder change "
+    "shifts many dims coherently) — and, undrifted, ASSIGNED THROUGH "
+    "THE EXISTING CENTROIDS and appended into the cell-partitioned "
+    "parquet (ivf_index_append); a drifted batch takes the retrain "
+    "branch instead (Lloyd on the union — exercised on crafted shifted "
+    "data in tests/test_pipeline_ops.py, where this synthetic corpus "
+    "legitimately never drifts past the fraction).  The oracle is "
+    "sim_ann_ivf's on the FULL union: fixed-centroid assignment is "
+    "per-vector, so append ≡ rebuild row-for-row and the probe answers "
+    "hash-match exactly — the gate that makes incremental ingest safe "
+    "to trust.",
+)
+def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.sources.lookup import (
+        _local_relation,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % IVF_INCR_MOD
+    )
+    is_base = (F.col("vec_id") < NUM_CENTROIDS) | (bucket != 0)
+    base = emb.where(is_base)
+    batch = emb.where(~is_base)
+    work = tempfile.mkdtemp(prefix="spark_graft_ivfincr_")
+    try:
+        ivf_index_save(base, work)
+        # retrain iff MORE THAN A THIRD of dims flag: a small batch flags
+        # single dims by pure sampling noise (measured 9-10/64 at the
+        # ~100-row sf0.01 batch, 0/64 once the batch reaches ~400 rows),
+        # while an encoder change shifts MANY dims coherently (the
+        # crafted +0.5 shift in tests flags ~all 64) — the per-dim
+        # threshold detects, the cross-dim fraction decides
+        row = (
+            cohort_drift_flags(widen(emb), is_base)
+            .agg(
+                F.sum(F.col("drifted").cast("long")).alias("n_drifted"),
+                F.count("*").alias("n_dims"),
+            )
+            .first()
+        )
+        if 3 * row["n_drifted"] <= row["n_dims"]:
+            ivf_index_append(spark, work, batch)
+        else:  # drifted ingest: retrain on the union (tests craft this)
+            cent = ivf_train(emb, sample_mod=2)
+            cent.write.mode("overwrite").parquet(f"{work}/centroids")
+            ivf_assign(emb, cent).write.mode("overwrite").partitionBy(
+                "cell_id"
+            ).parquet(f"{work}/assign")
+        cent, assign = ivf_index_load(spark, work)
+        out = _ivf_probe_topk(emb, cent, assign)
+        rows = [tuple(r) for r in out.collect()]
+        return _local_relation(spark, rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def lsh_planes(
     emb: DataFrame,
     *,
@@ -1624,9 +1721,20 @@ DRIFT_CODE_THRESHOLD = 8  # mean-code shift (of 255) that flags a dimension
 )
 def embedding_drift_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = widen(load_table(spark, sf_dir, "embeddings"))
+    return cohort_drift_flags(emb, (F.col("vec_id") % 2 == 0))
+
+
+def cohort_drift_flags(emb: DataFrame, is_ref: Column) -> DataFrame:
+    """Per-dimension drift flags between the ``is_ref`` cohort and the
+    rest — the exact-integer comparison engine behind
+    ``embedding_drift_int8``, parameterized on the cohort predicate so
+    index-maintenance flows (``sim_ann_ivf_incremental``) can gate
+    append-vs-retrain on the SAME guardrail that monitors ingest.  One
+    explode scan + one dim-keyed partial-agg shuffle; see the registered
+    query's doc for the cross-multiplication exactness argument."""
     flat = emb.select(
         "vec_id",
-        (F.col("vec_id") % 2 == 0).alias("is_ref"),
+        is_ref.alias("is_ref"),
         F.posexplode(as_double(F.col("embedding"))).alias("dim", "v"),
     )
     dims = (

@@ -1081,6 +1081,65 @@ def test_ivf_persisted_index_lossless_and_partition_pruned(spark, tmp_path):
     assert persisted == memory
 
 
+def test_ivf_incremental_gate_appends_clean_retrains_drifted(spark, tmp_path):
+    """sim_ann_ivf_incremental's drift gate (round-7 verdict #6): on the
+    real corpus the ingest batch is sampling-noise clean (<= 1/3 of dims
+    flag → append; the registry hash-match vs sim_ann_ivf's oracle
+    already proves append == rebuild), while a batch whose vectors an
+    encoder change shifted flags nearly every dim and takes the retrain
+    branch — exercised end-to-end on a crafted corpus where the
+    md5-bucket-0 ingest rows are +0.5-shifted."""
+    from pyspark.sql import functions as F
+
+    from flink_http_full_cache_connector_spark.operators.scale import widen
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        IVF_INCR_MOD,
+        NUM_CENTROIDS,
+        cohort_drift_flags,
+    )
+    from flink_http_full_cache_connector_spark.plans.registry import (
+        all_queries,
+        load_table,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % IVF_INCR_MOD
+    )
+    is_base = (F.col("vec_id") < NUM_CENTROIDS) | (bucket != 0)
+    flags = cohort_drift_flags(widen(emb), is_base)
+    row = flags.agg(
+        F.sum(F.col("drifted").cast("long")).alias("n"), F.count("*").alias("d")
+    ).first()
+    assert 3 * row["n"] <= row["d"], (row["n"], row["d"])  # clean → append
+
+    # crafted drifted ingest: shift ONLY the batch rows' embeddings
+    shifted = emb.withColumn(
+        "embedding",
+        F.when(is_base, F.col("embedding")).otherwise(
+            F.transform(F.col("embedding"), lambda x: x + F.lit(0.5))
+        ),
+    )
+    row2 = (
+        cohort_drift_flags(widen(shifted), is_base)
+        .agg(F.sum(F.col("drifted").cast("long")).alias("n"), F.count("*").alias("d"))
+        .first()
+    )
+    assert 3 * row2["n"] > row2["d"], (row2["n"], row2["d"])  # → retrain
+
+    # end-to-end retrain branch on the crafted corpus
+    shifted.write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = all_queries()["sim_ann_ivf_incremental"].spark(spark, str(tmp_path))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append(r.rank)
+    assert got, "retrain branch returned no neighbors"
+    for q, ranks in got.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), (q, ranks)
+
+
 def test_posting_segments_layout_invariant_and_lossless(spark, tmp_path):
     """Posting segment files (round-7 verdict #3): the byte-budget layout
     is identical at sort widths 3 and 16 (prefix sums depend only on the
