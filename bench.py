@@ -151,6 +151,11 @@ def main() -> None:
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                # the timing protocol, recorded so round-over-round deltas
+                # are interpretable without knowing the env (r7 verdict #7:
+                # each timing is the MIN of `runs` executions — steady-state
+                # throughput, resistant to one-off GC/container noise)
+                "protocol": f"min_of_{runs}_runs",
                 "queries": timings,
                 "baseline_queries": sorted(baseline_names),
                 "total_excl_baselines": round(

@@ -40,6 +40,8 @@ __all__ = [
     "bm25_from_segments",
     "cosine_topk_ranks",
     "ivf_topk_ranks",
+    "ivf_topk_ranks_batch",
+    "rrf_fuse_batch",
     "posting_segment_assignments",
     "posting_segments_save",
     "posting_segments_load",
@@ -546,6 +548,63 @@ def ivf_topk_ranks(
     )
 
 
+def ivf_topk_ranks_batch(
+    queries: DataFrame,
+    cent: DataFrame,
+    assign: DataFrame,
+    *,
+    topn: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """(query_id, doc_id, rank) — the batched form of
+    :func:`ivf_topk_ranks`: ``queries`` is a (query_id, qv) relation, all
+    probed against the same (typically reloaded cell_id-partitioned) IVF
+    index in ONE job.  Probe ranking windows over #queries × C
+    broadcast-sized rows; the candidate join on cell_id dynamically
+    prunes the partitioned index to the UNION of all queries' probed
+    cells; the per-query top-``topn`` is the two-stage pre-rank (no
+    query_id-only exchange sees the full score stream)."""
+    from flink_http_full_cache_connector_spark.functions.vectors import cosine
+
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("psim").desc(), F.col("cent_id")
+    )
+    probes = (
+        queries.join(F.broadcast(cent))
+        .select(
+            "query_id", "qv", "cent_id",
+            cosine(F.col("qv"), F.col("cv")).alias("psim"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", F.col("cent_id").alias("cell_id"))
+    )
+    scored = (
+        probes.join(assign, "cell_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    pre = Window.partitionBy("_pid", "query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id")
+    )
+    final = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prank", F.row_number().over(pre))
+        .where(F.col("_prank") <= topn)
+        .drop("_pid", "_prank")
+        .withColumn("rank", F.row_number().over(final))
+        .where(F.col("rank") <= topn)
+        .select("query_id", "doc_id", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 
 
@@ -583,4 +642,45 @@ def rrf_fuse(
         F.col("rank_a").cast("int").alias("rank_a"),
         F.col("rank_b").cast("int").alias("rank_b"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def rrf_fuse_batch(
+    ranks_a: DataFrame,
+    ranks_b: DataFrame,
+    *,
+    k: int = RRF_K,
+    topn: int = 10,
+) -> DataFrame:
+    """Per-query reciprocal-rank fusion of two (query_id, doc_id, rank)
+    pools → (query_id, doc_id, rrf_score, rank_a, rank_b, rank).  Same
+    fixed-order float as :func:`rrf_fuse`; both pools are
+    queries×pool-sized (metadata at any corpus scale), so the full-outer
+    join and the per-query rank window are trivial."""
+    a = ranks_a.select("query_id", "doc_id", F.col("rank").alias("rank_a"))
+    b = ranks_b.select("query_id", "doc_id", F.col("rank").alias("rank_b"))
+    fused = a.join(b, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0))
+        ).alias("rrf"),
+        "rank_a",
+        "rank_b",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topn)
+        .select(
+            "query_id",
+            "doc_id",
+            trunc6(F.col("rrf")).alias("rrf_score"),
+            F.col("rank_a").cast("int").alias("rank_a"),
+            F.col("rank_b").cast("int").alias("rank_b"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )

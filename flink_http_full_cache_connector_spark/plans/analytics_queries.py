@@ -702,6 +702,193 @@ def hybrid_rrf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _hybrid_rrf_batch_oracle() -> str:
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        duck_cosine,
+    )
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        NPROBE,
+        NUM_CENTROIDS,
+    )
+
+    values = ", ".join(f"({q}, {p}, '{t}')" for q, p, t in BM25_BATCH)
+    qids = sorted({q for q, _, _ in BM25_BATCH})
+    return f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '{TOKEN_DELIM_RE}')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT count(*)::bigint AS nd, sum(dl)::bigint AS total_len FROM dl
+    ),
+    qb AS (
+        SELECT query_id::bigint AS query_id, pos::int AS pos, tok
+        FROM (VALUES {values}) AS v(query_id, pos, tok)
+    ),
+    dfreq AS (
+        SELECT tok, count(*)::bigint AS df FROM tf
+        WHERE tok IN (SELECT DISTINCT tok FROM qb) GROUP BY 1
+    ),
+    per_term AS (
+        SELECT qb.query_id, tf.doc_id, qb.pos,
+               ((s.nd - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / (s.total_len::double / s.nd)))
+                   AS s
+        FROM tf
+        JOIN qb USING (tok)
+        JOIN dfreq d USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    per_qd AS (
+        SELECT query_id, doc_id,
+               coalesce(max(CASE WHEN pos = 0 THEN s END), 0.0)
+             + coalesce(max(CASE WHEN pos = 1 THEN s END), 0.0)
+             + coalesce(max(CASE WHEN pos = 2 THEN s END), 0.0) AS score
+        FROM per_term GROUP BY 1, 2
+    ),
+    bm AS (
+        SELECT query_id, doc_id, rank_a FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rank_a
+            FROM per_qd
+        ) WHERE rank_a <= {RRF_POOL}
+    ),
+    cent AS (
+        SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+        WHERE vec_id < {NUM_CENTROIDS}
+    ),
+    assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cent_id AS cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC,
+                                c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    qv AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+        WHERE vec_id IN ({", ".join(str(q) for q in qids)})
+    ),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.query_id, c.cent_id AS cell_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {duck_cosine('q.qv', 'c.cv')} DESC,
+                                c.cent_id) AS rn
+            FROM qv q CROSS JOIN cent c
+        ) WHERE rn <= {NPROBE}
+    ),
+    cos_scored AS (
+        SELECT p.query_id, a.vec_id AS doc_id,
+               {duck_cosine('e.embedding', 'q.qv')} AS cs
+        FROM probes p
+        JOIN assign a ON a.cell_id = p.cell_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN qv q ON q.query_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    cb AS (
+        SELECT query_id, doc_id, rank_b FROM (
+            SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY cs DESC, doc_id) AS rank_b
+            FROM cos_scored
+        ) WHERE rank_b <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT coalesce(bm.query_id, cb.query_id) AS query_id,
+               coalesce(bm.doc_id, cb.doc_id) AS doc_id,
+               coalesce(1.0 / ({RRF_K} + bm.rank_a), 0.0)
+             + coalesce(1.0 / ({RRF_K} + cb.rank_b), 0.0) AS rrf,
+               bm.rank_a, cb.rank_b
+        FROM bm FULL OUTER JOIN cb
+            ON cb.query_id = bm.query_id AND cb.doc_id = bm.doc_id
+    ),
+    out AS (
+        SELECT query_id, doc_id, rrf, rank_a, rank_b,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY rrf DESC, doc_id) AS rank
+        FROM fused
+    )
+    SELECT query_id, doc_id, {duck_trunc6('rrf')} AS rrf_score,
+           rank_a::int AS rank_a, rank_b::int AS rank_b, rank::int AS rank
+    FROM out WHERE rank <= {BM25_TOP_N}
+    """
+
+
+@register(
+    "hybrid_rrf_batch",
+    _hybrid_rrf_batch_oracle(),
+    doc=f"BATCHED production hybrid retrieval — the full serving shape: "
+    f"{len(set(q for q, _, _ in BM25_BATCH))} queries run BM25 "
+    f"(bm25_batch_topk pools, top-{RRF_POOL}) and the PERSISTED "
+    "cell-partitioned IVF index (ivf_topk_ranks_batch — one probe job "
+    "for the whole batch, candidate join DPP-pruned to the union of "
+    "probed cells) in ONE job each, fused per query by fixed-order RRF "
+    "(rrf_fuse_batch).  Every query_id doubles as its dense query "
+    "vector's vec_id — the multimodal-query convention an eval harness "
+    "uses.  Both pools are queries×pool-sized; the fusion join and the "
+    "per-query rank are metadata work at any corpus scale.  Oracle "
+    "replays the lexical batch, the index build+probe walk, and the "
+    "fusion in SQL; two-stage pre-rank on both legs (plan pins shared "
+    "with bm25_batch_topk / the DPP test).",
+)
+def hybrid_rrf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        as_double,
+    )
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_batch_topk,
+        ivf_topk_ranks_batch,
+        rrf_fuse_batch,
+    )
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        NPROBE,
+        ivf_index_load,
+        ivf_index_save,
+    )
+    from flink_http_full_cache_connector_spark.sources.lookup import (
+        _local_relation,
+    )
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = spark.createDataFrame(
+        list(BM25_BATCH), "query_id long, pos int, tok string"
+    )
+    bm = bm25_batch_topk(
+        docs, queries, k1=BM25_K1, b=BM25_B, topn=RRF_POOL
+    ).select("query_id", "doc_id", "rank")
+    qids = sorted({q for q, _, _ in BM25_BATCH})
+    qvecs = emb.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_hybridbatch_")
+    try:
+        ivf_index_save(emb, work)
+        cent, assign = ivf_index_load(spark, work)
+        dense = ivf_topk_ranks_batch(
+            qvecs, cent, assign, topn=RRF_POOL, nprobe=NPROBE
+        )
+        out = rrf_fuse_batch(bm, dense, k=RRF_K, topn=BM25_TOP_N)
+        rows = [tuple(r) for r in out.collect()]
+        return _local_relation(spark, rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _rank_agreement_oracle() -> str:
     from flink_http_full_cache_connector_spark.functions.vectors import (
         duck_cosine,
