@@ -16,6 +16,8 @@ Cross-engine exactness rules applied here:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1033,6 +1035,193 @@ def retrieval_rank_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         agreement("bm25_vs_cosine", bm, cos)
         .unionByName(agreement("bm25_vs_hybrid", bm, hy))
         .unionByName(agreement("cosine_vs_hybrid", cos, hy))
+    )
+
+
+#: NDCG@10 rank discounts 1/log2(i+1), materialized as PYTHON literals so
+#: both engines receive the identical double constants — the log itself
+#: never runs inside either engine (the house log-free rule; libm log2 is
+#: not bit-identical across runtimes, a parsed decimal literal is).
+NDCG_K = 10
+NDCG_W = tuple(1.0 / math.log2(i + 1) for i in range(1, NDCG_K + 1))
+NDCG_PREFIX = tuple(
+    sum(NDCG_W[: j + 1]) for j in range(NDCG_K)
+)  # IDCG for n_rel = 1..10 (left-fold — mirrored textually in both engines)
+
+
+def _ndcg_oracle() -> str:
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        duck_cosine,
+    )
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        NPROBE,
+        NUM_CENTROIDS,
+        NUM_QUERIES,
+        TOP_K,
+    )
+
+    dcg = " + ".join(
+        f"coalesce(max(CASE WHEN rank = {i + 1} THEN rel END), 0)::double"
+        f" * {w!r}"
+        for i, w in enumerate(NDCG_W)
+    )
+    prefix = ", ".join(repr(p) for p in NDCG_PREFIX)
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS ql
+        FROM embeddings WHERE vec_id < {NUM_QUERIES}
+    ),
+    exact_ranked AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {duck_cosine('e.embedding', 'q.qv')} DESC,
+                                e.vec_id) AS rank
+            FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id
+        ) WHERE rank <= {TOP_K}
+    ),
+    cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings
+             WHERE vec_id < {NUM_CENTROIDS}),
+    assign AS (
+        SELECT vec_id, cell_id FROM (
+            SELECT e.vec_id, c.cent_id AS cell_id,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {duck_cosine('e.embedding', 'c.cv')} DESC,
+                                c.cent_id) AS rn
+            FROM embeddings e CROSS JOIN cent c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cell_id FROM (
+            SELECT q.query_id, c.cent_id AS cell_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {duck_cosine('q.qv', 'c.cv')} DESC,
+                                c.cent_id) AS rn
+            FROM q CROSS JOIN cent c
+        ) WHERE rn <= {NPROBE}
+    ),
+    ivf_ranked AS (
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY {duck_cosine('e.embedding', 'q2.qv')} DESC,
+                                a.vec_id) AS rank
+            FROM probes p
+            JOIN assign a ON a.cell_id = p.cell_id
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            JOIN q q2 ON q2.query_id = p.query_id
+            WHERE a.vec_id <> p.query_id
+        ) WHERE rank <= {TOP_K}
+    ),
+    both_ranked AS (
+        SELECT 'exact' AS ranker, * FROM exact_ranked
+        UNION ALL
+        SELECT 'ivf', * FROM ivf_ranked
+    ),
+    rels AS (
+        SELECT b.ranker, b.query_id, b.rank,
+               CASE WHEN n.label = q.ql THEN 1 ELSE 0 END AS rel
+        FROM both_ranked b
+        JOIN embeddings n ON n.vec_id = b.neighbor_id
+        JOIN q ON q.query_id = b.query_id
+    ),
+    nrel AS (
+        SELECT q.query_id,
+               (SELECT count(*) FROM embeddings e
+                WHERE e.label = q.ql AND e.vec_id <> q.query_id)::bigint
+                   AS n_rel
+        FROM q
+    ),
+    dcgs AS (
+        SELECT ranker, query_id, {dcg} AS dcg
+        FROM rels GROUP BY ranker, query_id
+    )
+    SELECT d.ranker, d.query_id, nrel.n_rel,
+           {duck_trunc6('d.dcg')} AS dcg,
+           {duck_trunc6(f"d.dcg / ([{prefix}])[least(nrel.n_rel, {NDCG_K})]")}
+               AS ndcg
+    FROM dcgs d JOIN nrel USING (query_id)
+    """
+
+
+@register(
+    "retrieval_eval_ndcg",
+    _ndcg_oracle(),
+    doc=f"Offline NDCG@{NDCG_K} evaluation of the dense rankers — the "
+    "metric an eval harness actually reports: relevance = query/neighbor "
+    "LABEL match (the embeddings' class labels as pseudo-qrels), rankers "
+    "= exact cosine top-k and the IVF probe.  Engine-exact throughout "
+    "the float path: the 1/log2(i+1) discounts and their prefix sums are "
+    "PYTHON literals fed identically to both engines (no engine ever "
+    "runs a log); per-query DCG folds the ten rank-slot terms in fixed "
+    "textual order (max(CASE rank=i) pivots — never a float SUM over "
+    "rows); IDCG is a literal-array lookup at least(n_rel, k).  Plan: "
+    "both rankers are the established broadcast top-k shapes; the "
+    "rel join attaches labels by uniform id; the DCG agg sees "
+    "queries×k rows.",
+)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        sim_ann_ivf,
+        topk_cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+
+    exact = topk_cosine(emb, emb.where(F.col("vec_id") < 10), k=NDCG_K).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    ivf = sim_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    both = exact.select(F.lit("exact").alias("ranker"), "*").unionByName(
+        ivf.select(F.lit("ivf").alias("ranker"), "*")
+    )
+    rels = (
+        both.join(
+            labels.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "ranker",
+            "query_id",
+            "rank",
+            F.when(F.col("nl") == F.col("ql"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    dcg = None
+    for i, w in enumerate(NDCG_W):
+        term = F.coalesce(
+            F.max(F.when(F.col("rank") == i + 1, F.col("rel"))), F.lit(0)
+        ).cast("double") * F.lit(w)
+        dcg = term if dcg is None else dcg + term  # fixed slot order
+    dcgs = rels.groupBy("ranker", "query_id").agg(dcg.alias("dcg"))
+
+    nrel = (
+        q.join(
+            labels.select(F.col("vec_id").alias("nid"), F.col("label").alias("nl")),
+            F.col("nl") == F.col("ql"),
+        )
+        .where(F.col("nid") != F.col("query_id"))
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_rel"))
+    )
+    prefix_arr = F.array(*[F.lit(p) for p in NDCG_PREFIX])
+    idcg = F.element_at(prefix_arr, F.least(F.col("n_rel"), F.lit(NDCG_K)).cast("int"))
+    return (
+        dcgs.join(F.broadcast(nrel), "query_id")
+        .select(
+            "ranker",
+            "query_id",
+            "n_rel",
+            trunc6(F.col("dcg")).alias("dcg"),
+            trunc6(F.col("dcg") / idcg).alias("ndcg"),
+        )
     )
 
 

@@ -87,6 +87,19 @@ QUERIES = [
     "attribution_last_touch",
     "top_parts_per_supplier",
     "fuzzy_part_match",
+    # r8 additions: the byte-budget prefix-sum layout (partitioning-
+    # invariance is its core contract), the segment-served BM25 round-trip,
+    # the fixed-slot batched ranker, the two-stage batched hybrid fusion,
+    # ADC under the two-level cell geometry, and the append-vs-rebuild
+    # equality of incremental index maintenance
+    "posting_segment_manifest",
+    "bm25_segments_roundtrip",
+    "bm25_batch_topk",
+    "hybrid_rrf_batch",
+    "sim_ann_ivf_2level_pq",
+    "sim_ann_ivf_incremental",
+    # literal-discount DCG pivots + literal-array IDCG lookup
+    "retrieval_eval_ndcg",
 ]
 
 
