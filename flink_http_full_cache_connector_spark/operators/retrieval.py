@@ -24,6 +24,8 @@ single-partition global sort or window.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -467,7 +469,7 @@ def posting_segments_load(
 
 def bm25_from_segments(
     spark,
-    out_dir: str,
+    out_dirs: str | list[str] | tuple[str, ...],
     terms: tuple[str, ...] | list[str],
     *,
     k1: float = 1.2,
@@ -475,25 +477,52 @@ def bm25_from_segments(
     topn: int = 10,
 ) -> DataFrame:
     """BM25 top-``topn`` answered ENTIRELY from reloaded segment files —
-    the corpus is never touched: term→segment lookups come from the
-    manifest (which also carries the exact full-list df), the tf rows
-    come from ONLY the probed segments' files (static partition pruning:
-    the segment ids are collected driver-side — a handful of ints — and
-    pushed as a literal IN filter on the partition column), dl/nd/
-    total_len from the doclens relation.  Same integer inputs → the
-    identical IEEE score sequence as :func:`bm25_topk_scores`; the
-    round-trip is pinned by hash-match in the registry."""
-    manifest, postings, doclens = posting_segments_load(spark, out_dir)
-    probe = manifest.where(F.col("tok").isin(*terms)).select(
-        "tok", "df", "segment_id"
+    the corpus is never touched: term→segment lookups come from each
+    store's manifest (which also carries the exact full-list df), the tf
+    rows come from ONLY the probed segments' files (static partition
+    pruning: the segment ids are collected driver-side — a handful of
+    ints — and pushed as a literal IN filter on the partition column),
+    dl/nd/total_len from the doclens relations.  Same integer inputs →
+    the identical IEEE score sequence as :func:`bm25_topk_scores`; the
+    round-trip is pinned by hash-match in the registry.
+
+    ``out_dirs`` may be SEVERAL stores over disjoint doc sets (a base
+    store plus delta stores from later ingests — the Lucene segment
+    discipline): every BM25 input is additive over disjoint corpora
+    (df/cf per term, doc count, total length are bigint sums), so
+    serving base+delta together is EXACT — no merge/compaction required
+    before the numbers are right (``bm25_delta_segments`` pins this
+    against the full-corpus oracle); compaction is then purely an
+    IO-amortization knob, exactly as in a real search engine."""
+    if isinstance(out_dirs, str):
+        out_dirs = [out_dirs]
+    tfs, dls, dfreqs = [], [], []
+    for d in out_dirs:
+        manifest, postings, doclens = posting_segments_load(spark, d)
+        probe = manifest.where(F.col("tok").isin(*terms)).select(
+            "tok", "df", "segment_id"
+        )
+        seg_ids = [
+            int(r["segment_id"])
+            for r in probe.select("segment_id").distinct().collect()
+        ]
+        tfs.append(
+            postings.where(
+                F.col("segment_id").isin(seg_ids) & F.col("tok").isin(*terms)
+            ).select("doc_id", "tok", "tf")
+        )
+        dfreqs.append(probe.select("tok", "df"))
+        dls.append(doclens.select("doc_id", "dl"))
+    tf = functools.reduce(DataFrame.unionByName, tfs)
+    dl = functools.reduce(DataFrame.unionByName, dls)
+    # per-store dfs sum exactly (disjoint doc sets); one store reduces to
+    # its manifest value unchanged
+    dfreq = (
+        functools.reduce(DataFrame.unionByName, dfreqs)
+        .groupBy("tok")
+        .agg(F.sum("df").alias("df"))
     )
-    seg_ids = [int(r["segment_id"]) for r in probe.select("segment_id").distinct().collect()]
-    tf = postings.where(
-        F.col("segment_id").isin(seg_ids) & F.col("tok").isin(*terms)
-    ).select("doc_id", "tok", "tf")
-    dl = doclens.select("doc_id", "dl")
     stats = dl.agg(F.count("*").alias("nd"), F.sum("dl").alias("total_len"))
-    dfreq = probe.select("tok", "df")
     return _bm25_rank(tf, dl, stats, dfreq, terms, k1=k1, b=b, topn=topn)
 
 

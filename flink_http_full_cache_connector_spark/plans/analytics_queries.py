@@ -329,6 +329,64 @@ def bm25_segments_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+#: modulus of the deterministic md5 ingest split used by
+#: bm25_delta_segments: bucket 0 (~20% of documents) arrives as the later
+#: ingest, indexed into its own delta store.
+SEG_DELTA_MOD = 5
+
+
+@register(
+    "bm25_delta_segments",
+    _bm25_topk_oracle(),  # serving base+delta must equal the full corpus
+    doc=f"BM25 top-{BM25_TOP_N} served from a BASE posting-segment store "
+    "plus a DELTA store indexed from a later ingest (a deterministic "
+    f"~1/{SEG_DELTA_MOD} md5 bucket of the documents) — the Lucene "
+    "segment discipline on Spark, and the text twin of "
+    "sim_ann_ivf_incremental: every BM25 input is ADDITIVE over disjoint "
+    "corpora (per-term df/cf, doc count, total length are bigint sums), "
+    "so querying both stores together is exact WITHOUT merging — the "
+    "oracle is bm25_topk's full-corpus SQL and must hash-match, proving "
+    "delta ingest never needs a compaction pass to be correct "
+    "(compaction remains an IO-amortization knob only).  Each store's "
+    "probed segments are still partition-pruned independently; the "
+    "rank tail is the shared _bm25_rank.",
+)
+def bm25_delta_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_from_segments,
+        posting_segments_save,
+    )
+    from flink_http_full_cache_connector_spark.sources.lookup import (
+        _local_relation,
+    )
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SEG_DELTA_MOD
+    )
+    work = tempfile.mkdtemp(prefix="spark_graft_deltaseg_")
+    try:
+        posting_segments_save(docs.where(bucket != 0), f"{work}/base")
+        posting_segments_save(docs.where(bucket == 0), f"{work}/delta")
+        out = bm25_from_segments(
+            spark,
+            [f"{work}/base", f"{work}/delta"],
+            BM25_TERMS,
+            k1=BM25_K1,
+            b=BM25_B,
+            topn=BM25_TOP_N,
+        )
+        rows = [tuple(r) for r in out.collect()]
+        return _local_relation(spark, rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 #: The batched-retrieval fixture: (query_id, pos, tok) — four queries of
 #: 1-3 distinct terms over the corpus vocabulary, mixing rare and
 #: stop-word-grade df so the idf contrast is exercised in one batch.

@@ -100,6 +100,8 @@ QUERIES = [
     "sim_ann_ivf_incremental",
     # literal-discount DCG pivots + literal-array IDCG lookup
     "retrieval_eval_ndcg",
+    # additive base+delta stat merge must not depend on partitioning
+    "bm25_delta_segments",
 ]
 
 
