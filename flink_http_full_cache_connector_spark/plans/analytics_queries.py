@@ -387,6 +387,144 @@ def bm25_delta_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+POSTINGS_UPDATE_SLICES = 3  # microbatches the streaming index build consumes
+
+
+@register(
+    "streaming_postings_update",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '{TOKEN_DELIM_RE}')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2)
+    SELECT tok, count(*)::bigint AS df, sum(tf)::bigint AS cf,
+           max(tf)::bigint AS max_tf
+    FROM tf GROUP BY tok
+    """,
+    doc="STREAMING inverted-index build — the posting-stats side of "
+    "inverted_index_postings maintained by a continuous ingest (the "
+    f"update-merge template): documents arrive in "
+    f"{POSTINGS_UPDATE_SLICES} microbatches; per-document (tok, tf) is "
+    "computed STATELESSLY inside the row (array_distinct + filter-count "
+    "over the token array — a document is whole within its row, so no "
+    "second stateful aggregation is needed, which streaming disallows "
+    "anyway); ONE stateful groupBy(tok) runs in UPDATE output mode — "
+    "each microbatch emits only the terms whose df/cf/max_tf changed, "
+    "never the whole vocabulary — and foreachBatch upserts the deltas "
+    "into a versioned parquet state table.  The batch oracle (the exact "
+    "full-corpus term stats) must hash-match: delta emission + external "
+    "merge reconstructs the index stats exactly, the property that lets "
+    "a retrieval deployment keep its segment-store manifest fresh "
+    "without rebuilding (pairs with bm25_delta_segments for the "
+    "postings themselves).",
+)
+def streaming_postings_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.sources.lookup import (
+        _local_relation,
+    )
+    from flink_http_full_cache_connector_spark.streaming.upsert import (
+        run_update_merge_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="spark_graft_postupd_")
+    try:
+        in_dir = f"{work}/in"
+        # each ingest slice is written as SLICE_FILES files and the
+        # trigger consumes SLICE_FILES per microbatch: a coalesce(1)
+        # slice would make every microbatch a single-file = single-task
+        # scan, serializing the per-doc tokenize fold (measured 6x per
+        # decade at generated sf10 before this; real ingest arrives as
+        # many files per batch anyway)
+        slice_files = 8
+        for i in range(POSTINGS_UPDATE_SLICES):
+            (
+                docs.where(F.col("doc_id") % POSTINGS_UPDATE_SLICES == i)
+                .repartition(slice_files)
+                .write.mode("overwrite")
+                .parquet(f"{in_dir}/slice{i}")
+            )
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", str(slice_files))
+            .option("recursiveFileLookup", "true")
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(in_dir)
+        )
+        # per-document tf WITHOUT a second stateful aggregation (streaming
+        # allows only one): ONE aggregate() fold over the SORTED token
+        # array run-length-encodes it — the accumulator carries (emitted
+        # runs, current token, current count).  The sorted array is
+        # referenced exactly ONCE: higher-order lambdas get no common-
+        # subexpression elimination, so any formulation that mentions the
+        # sort+split subtree per index re-tokenizes the document per
+        # element (two earlier drafts measured 97 s at generated sf10 /
+        # a >9-minute sf0.1 gate before this one — the round's
+        # sweep-caught super-linear drafts #3a/#3b).
+        s = F.array_sort(F.split(F.trim(F.lower(F.col("text"))), TOKEN_DELIM_RE))
+        init = F.struct(
+            F.expr(
+                "cast(array() as array<struct<tok:string,tf:bigint>>)"
+            ).alias("out"),
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("cnt"),
+        )
+        flush = lambda acc: F.concat(  # noqa: E731 — emit the open run
+            acc["out"],
+            F.array(
+                F.struct(acc["prev"].alias("tok"), acc["cnt"].alias("tf"))
+            ),
+        )
+
+        def step(acc, x):
+            same = acc["prev"].isNotNull() & (x == acc["prev"])
+            return F.when(
+                same,
+                F.struct(
+                    acc["out"].alias("out"),
+                    acc["prev"].alias("prev"),
+                    (acc["cnt"] + F.lit(1)).alias("cnt"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.when(acc["prev"].isNull(), acc["out"])
+                    .otherwise(flush(acc))
+                    .alias("out"),
+                    x.alias("prev"),
+                    F.lit(1).cast("long").alias("cnt"),
+                )
+            )
+
+        entries = F.aggregate(
+            s,
+            init,
+            step,
+            lambda acc: F.when(acc["prev"].isNull(), acc["out"]).otherwise(
+                flush(acc)
+            ),
+        )
+        per_doc = stream.select(F.explode(entries).alias("e")).select(
+            "e.tok", "e.tf"
+        )
+        stats = per_doc.groupBy("tok").agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.max("tf").alias("max_tf"),
+        )
+        merged = run_update_merge_stream(
+            stats, key_cols=["tok"], out_dir=f"{work}/state"
+        )
+        rows = [tuple(r) for r in merged.collect()]  # vocabulary-sized
+        return _local_relation(spark, rows, merged.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 #: The batched-retrieval fixture: (query_id, pos, tok) — four queries of
 #: 1-3 distinct terms over the corpus vocabulary, mixing rare and
 #: stop-word-grade df so the idf contrast is exercised in one batch.

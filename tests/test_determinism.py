@@ -102,6 +102,8 @@ QUERIES = [
     "retrieval_eval_ndcg",
     # additive base+delta stat merge must not depend on partitioning
     "bm25_delta_segments",
+    # update-mode delta emission + external merge == batch stats
+    "streaming_postings_update",
 ]
 
 
