@@ -1225,6 +1225,46 @@ def test_hybrid_ann_dense_leg_dpp_and_overlap(spark, tmp_path):
     assert overlap >= 0.6, f"fused overlap {overlap:.2f} (measured 0.8)"
 
 
+def test_hybrid_batch_dense_leg_dpp_and_two_stage(spark, tmp_path):
+    """ivf_topk_ranks_batch (hybrid_rrf_batch's dense leg): one probe job
+    for the whole query batch — the candidate join dynamically prunes the
+    cell-partitioned index to the UNION of probed cells, and the
+    per-query top-k pre-ranks per (input-partition, query) so no
+    query_id-only exchange sees the full score stream."""
+    from pyspark.sql import functions as F
+
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        as_double,
+    )
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        ivf_topk_ranks_batch,
+    )
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        NPROBE,
+        ivf_index_load,
+        ivf_index_save,
+    )
+    from flink_http_full_cache_connector_spark.plans.registry import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    work = str(tmp_path / "idx")
+    ivf_index_save(emb, work)
+    cent, assign = ivf_index_load(spark, work)
+    qs = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"),
+        as_double(F.col("embedding")).alias("qv"),
+    )
+    out = ivf_topk_ranks_batch(qs, cent, assign, topn=50, nprobe=NPROBE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    lines = plan.splitlines()
+    assert any(
+        "WindowGroupLimit" in ln and "_pid" in ln and "query_id" in ln
+        for ln in lines
+    ), plan
+
+
 def test_ann_ivf_2level_trained_recall_and_plan(spark):
     """Lloyd-trained two-level IVF (round-7 verdict #5): exact-cosine
     score agreement with brute force on shared pairs, recall pinned
