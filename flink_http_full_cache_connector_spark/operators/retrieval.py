@@ -38,6 +38,8 @@ __all__ = [
     "doc_term_freq",
     "posting_lists",
     "bm25_topk_scores",
+    "bm25_weighted_topk",
+    "prf_expansion_terms",
     "bm25_batch_topk",
     "bm25_from_segments",
     "cosine_topk_ranks",
@@ -190,6 +192,130 @@ def _bm25_rank(
         trunc6(F.col("score")).alias("score"),
         "n_hit",
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def bm25_weighted_topk(
+    docs: DataFrame,
+    weighted_terms: list[tuple[str, float]],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topn: int = 10,
+) -> DataFrame:
+    """(doc_id, score, n_hit, rank) — BM25 with PER-TERM WEIGHTS
+    ``score = Σ wᵢ · bm25(tᵢ, d)`` folded in the given list order (weight
+    1.0 multiplications are skipped so an all-1.0 call is bit-identical to
+    :func:`bm25_topk_scores`).  The weighted form is what query-expansion
+    rankers (RM3/PRF) run: original terms at weight 1, expansion terms
+    damped."""
+    terms = [t for t, _ in weighted_terms]
+    toks = tokenize_docs(docs)
+    tf = doc_term_freq(docs)
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("nd"), F.sum("dl").alias("total_len"))
+    dfreq = (
+        tf.where(F.col("tok").isin(*terms))
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    avgdl = F.col("total_len").cast("double") / F.col("nd")
+    s = (
+        ((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    per_term = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", s.alias("s"))
+    )
+
+    def _wterm(t: str, w: float):
+        base = F.coalesce(F.max(F.when(F.col("tok") == t, F.col("s"))), F.lit(0.0))
+        return base if w == 1.0 else base * F.lit(w)
+
+    score = _wterm(*weighted_terms[0])
+    for t, w in weighted_terms[1:]:
+        score = score + _wterm(t, w)  # fixed argument order — IEEE-identical
+    per_doc = per_term.groupBy("doc_id").agg(
+        score.alias("score"), F.count("*").alias("n_hit")
+    )
+    top = per_doc.orderBy(F.col("score").desc(), F.col("doc_id")).limit(topn)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id",
+        trunc6(F.col("score")).alias("score"),
+        "n_hit",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def prf_expansion_terms(
+    docs: DataFrame,
+    terms: tuple[str, ...] | list[str],
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    fb_docs: int = 10,
+    n_expand: int = 3,
+) -> DataFrame:
+    """(exp_rank, tok, sum_tf, df, weight) — RM3-style pseudo-relevance
+    feedback term mining: run BM25 for ``terms``, take the top ``fb_docs``
+    feedback documents, and rank every NON-query term that occurs in them
+    by ``Σtf(feedback docs) × rational-idf``.  The feedback doc list and
+    the candidate table are metadata-sized (≤ fb_docs ids; ≤ fb_docs ×
+    doc-vocab candidate terms), so the mining joins broadcast — the corpus
+    is scanned through the same tf relation the base ranking used (exchange
+    reuse, no second tokenize).
+
+    ``weight`` is engine-exact: integer sum_tf cast to double, multiplied
+    by the same rational (nd-df+0.5)/(df+0.5) idf the scorer uses — one
+    multiplication, one division, no log — so the expansion ranking (and
+    therefore the expanded query itself) is bit-identical cross-engine."""
+    fb = (
+        bm25_topk_scores(docs, terms, k1=k1, b=b, topn=fb_docs)
+        .select("doc_id")
+    )
+    tf = doc_term_freq(docs)
+    dl = tokenize_docs(docs).groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(F.count("*").alias("nd"))
+    cand = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .where(~F.col("tok").isin(*terms))
+        .groupBy("tok")
+        .agg(F.sum("tf").alias("sum_tf"))
+    )
+    dfc = (
+        tf.join(F.broadcast(cand.select("tok")), "tok")
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = (
+        cand.join(dfc, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            "sum_tf",
+            "df",
+            (
+                F.col("sum_tf").cast("double")
+                * ((F.col("nd") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            ).alias("weight"),
+        )
+    )
+    w = Window.orderBy(F.col("weight").desc(), F.col("tok"))
+    return (
+        scored.withColumn("exp_rank", F.row_number().over(w))
+        .where(F.col("exp_rank") <= n_expand)
+        .select(
+            F.col("exp_rank").cast("int").alias("exp_rank"),
+            "tok",
+            "sum_tf",
+            "df",
+            trunc6(F.col("weight")).alias("weight"),
+        )
     )
 
 

@@ -228,6 +228,180 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: RM3-style pseudo-relevance feedback knobs: top-10 feedback docs, 3
+#: expansion terms, expansion damping λ=0.5 (original terms stay at 1.0).
+PRF_EXPAND = 3
+PRF_LAMBDA = 0.5
+
+
+def _prf_cte() -> str:
+    """The shared oracle prefix for both PRF registrations: base BM25 on
+    the fixed query, feedback-doc selection, and the expansion-term
+    ranking.  Weight is sum_tf × rational idf — the identical IEEE ops the
+    Spark side runs, so the expansion ranking (and the expanded query it
+    induces) is bit-identical cross-engine."""
+    return f"""
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*)::bigint AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*)::bigint AS dl FROM toks GROUP BY 1),
+    stats AS (
+        SELECT count(*)::bigint AS nd, sum(dl)::bigint AS total_len FROM dl
+    ),
+    df1 AS (
+        SELECT tok, count(*)::bigint AS df FROM tf
+        WHERE tok IN {BM25_TERMS!r} GROUP BY 1
+    ),
+    s1 AS (
+        SELECT tf.doc_id, tf.tok,
+               ((s.nd - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / (s.total_len::double / s.nd)))
+                   AS s
+        FROM tf JOIN df1 d USING (tok) JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    base AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN tok = '{BM25_TERMS[0]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN tok = '{BM25_TERMS[1]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN tok = '{BM25_TERMS[2]}' THEN s END), 0.0)
+                   AS score
+        FROM s1 GROUP BY doc_id
+    ),
+    fb AS (SELECT doc_id FROM base ORDER BY score DESC, doc_id LIMIT {BM25_TOP_N}),
+    cand AS (
+        SELECT tf.tok, sum(tf.tf)::bigint AS sum_tf
+        FROM tf JOIN fb USING (doc_id)
+        WHERE tf.tok NOT IN {BM25_TERMS!r} GROUP BY 1
+    ),
+    dfc AS (
+        SELECT tf.tok, count(*)::bigint AS df
+        FROM tf JOIN (SELECT tok FROM cand) c USING (tok) GROUP BY 1
+    ),
+    expn AS (
+        SELECT c.tok, c.sum_tf, d.df,
+               c.sum_tf::double * ((s.nd - d.df + 0.5) / (d.df + 0.5)) AS weight
+        FROM cand c JOIN dfc d USING (tok) CROSS JOIN stats s
+    ),
+    expsel AS (
+        SELECT tok, sum_tf, df, weight,
+               row_number() OVER (ORDER BY weight DESC, tok) AS exp_rank
+        FROM expn
+    )"""
+
+
+@register(
+    "bm25_prf_terms",
+    f"""
+    WITH {_prf_cte()}
+    SELECT exp_rank::int AS exp_rank, tok, sum_tf, df,
+           {duck_trunc6('weight')} AS weight
+    FROM expsel WHERE exp_rank <= {PRF_EXPAND}
+    """,
+    doc=f"RM3-style pseudo-relevance-feedback term mining: BM25 top-"
+    f"{BM25_TOP_N} feedback docs for the fixed query {BM25_TERMS}, then "
+    f"every non-query term in them ranked by Σtf × rational idf; top-"
+    f"{PRF_EXPAND} kept.  The feedback list broadcasts (≤{BM25_TOP_N} "
+    "ids) and the candidate table is feedback-doc-vocab sized (metadata "
+    "at any corpus scale), so only the base ranking ever touches the "
+    "corpus — through the same tf relation, which exchange reuse "
+    "materializes once.",
+)
+def bm25_prf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        prf_expansion_terms,
+    )
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    return prf_expansion_terms(
+        docs, BM25_TERMS, k1=BM25_K1, b=BM25_B,
+        fb_docs=BM25_TOP_N, n_expand=PRF_EXPAND,
+    )
+
+
+@register(
+    "bm25_prf_expansion",
+    f"""
+    WITH {_prf_cte()},
+    qexp AS (SELECT tok, exp_rank FROM expsel WHERE exp_rank <= {PRF_EXPAND}),
+    df2 AS (
+        SELECT tok, count(*)::bigint AS df FROM tf
+        WHERE tok IN {BM25_TERMS!r} OR tok IN (SELECT tok FROM qexp)
+        GROUP BY 1
+    ),
+    s2 AS (
+        SELECT tf.doc_id, tf.tok, q.exp_rank,
+               ((s.nd - d.df + 0.5) / (d.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / (s.total_len::double / s.nd)))
+                   AS s
+        FROM tf
+        JOIN df2 d USING (tok)
+        LEFT JOIN qexp q USING (tok)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN tok = '{BM25_TERMS[0]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN tok = '{BM25_TERMS[1]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN tok = '{BM25_TERMS[2]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN exp_rank = 1 THEN s END), 0.0) * {PRF_LAMBDA}
+             + coalesce(max(CASE WHEN exp_rank = 2 THEN s END), 0.0) * {PRF_LAMBDA}
+             + coalesce(max(CASE WHEN exp_rank = 3 THEN s END), 0.0) * {PRF_LAMBDA}
+                   AS score,
+               count(*)::bigint AS n_hit
+        FROM s2 GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, score, n_hit,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM per_doc
+    )
+    SELECT doc_id, {duck_trunc6('score')} AS score, n_hit, rank::int AS rank
+    FROM ranked WHERE rank <= {BM25_TOP_N}
+    """,
+    doc=f"The full RM3/PRF retrieval loop: mine {PRF_EXPAND} expansion "
+    f"terms from the BM25 top-{BM25_TOP_N} feedback docs, then re-rank "
+    f"with the EXPANDED weighted query (originals at 1.0, expansion at "
+    f"λ={PRF_LAMBDA}, folded in fixed order original₀₁₂ then "
+    "exp-rank₁₂₃ — cross-engine IEEE-identical for whatever terms the "
+    "data picks).  The expansion terms are one ≤3-row metadata collect "
+    "(the same contract as Lloyd centroids); both BM25 passes stream "
+    "the corpus through the reused tf relation, never a per-term scan.  "
+    "Spark extracts expansion scores by literal term, the oracle by "
+    "exp_rank slot — same single (doc,term) value either way, so the "
+    "fold sequences agree bit-for-bit.",
+)
+def bm25_prf_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_weighted_topk,
+        prf_expansion_terms,
+    )
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    exp = (
+        prf_expansion_terms(
+            docs, BM25_TERMS, k1=BM25_K1, b=BM25_B,
+            fb_docs=BM25_TOP_N, n_expand=PRF_EXPAND,
+        )
+        .orderBy("exp_rank")
+        .collect()
+    )
+    wterms = [(t, 1.0) for t in BM25_TERMS] + [
+        (r["tok"], PRF_LAMBDA) for r in exp
+    ]
+    return bm25_weighted_topk(
+        docs, wterms, k1=BM25_K1, b=BM25_B, topn=BM25_TOP_N
+    )
+
+
 def _posting_segment_manifest_oracle() -> str:
     from flink_http_full_cache_connector_spark.operators.retrieval import (
         POSTING_SEG_BYTES,

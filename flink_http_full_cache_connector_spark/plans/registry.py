@@ -267,6 +267,7 @@ def all_queries() -> dict[str, QueryDef]:
             sampling,
             similarity,
             skew,
+            substring_dedup,
             text,
         )
     except ImportError:

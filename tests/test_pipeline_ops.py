@@ -1397,3 +1397,58 @@ def test_two_level_assign_covers_every_vector(spark):
     # and every fine centroid that IS a coarse centroid anchors itself
     fg = fine_grouped.where(F.col("cent_id") < k).select("cent_id", "co_id")
     assert all(r.cent_id == r.co_id for r in fg.collect())
+
+
+def test_bm25_weighted_all_ones_equals_unweighted(spark):
+    """bm25_weighted_topk at weight 1.0 everywhere must be bit-identical
+    to bm25_topk_scores (the weighted fold skips the 1.0 multiplications
+    so the IEEE sequence is literally the same)."""
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_topk_scores,
+        bm25_weighted_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    terms = ("join", "merge", "dup")
+    a = bm25_topk_scores(docs, terms).collect()
+    b = bm25_weighted_topk(docs, [(t, 1.0) for t in terms]).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_prf_expansion_terms_exclude_query_and_rank_by_weight(spark):
+    """Expansion terms never include the original query terms; ranks are
+    1..n by weight desc with tok tie-break; weights are positive."""
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        prf_expansion_terms,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    terms = ("join", "merge", "dup")
+    rows = prf_expansion_terms(docs, terms, n_expand=5).orderBy("exp_rank").collect()
+    assert [r["exp_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r["tok"] not in terms for r in rows)
+    assert all(r["weight"] > 0 for r in rows)
+    ws = [r["weight"] for r in rows]
+    assert ws == sorted(ws, reverse=True)
+
+
+def test_prf_damping_bounds_expanded_scores(spark):
+    """With λ→0 the expanded ranking collapses to the base ranking; with
+    the registered λ the expanded score of any doc is at least its base
+    score (expansion contributions are non-negative)."""
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        bm25_topk_scores,
+        bm25_weighted_topk,
+        prf_expansion_terms,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    terms = ("join", "merge", "dup")
+    exp = [r["tok"] for r in prf_expansion_terms(docs, terms).orderBy("exp_rank").collect()]
+    base = {r["doc_id"]: r["score"] for r in bm25_topk_scores(docs, terms, topn=500).collect()}
+    lam0 = bm25_weighted_topk(docs, [(t, 1.0) for t in terms] + [(t, 0.0) for t in exp]).collect()
+    for r in lam0:
+        assert abs(r["score"] - base[r["doc_id"]]) < 1e-12
+    lam5 = bm25_weighted_topk(docs, [(t, 1.0) for t in terms] + [(t, 0.5) for t in exp]).collect()
+    for r in lam5:
+        assert r["score"] >= base.get(r["doc_id"], 0.0) - 1e-12
