@@ -101,3 +101,141 @@ def text_surprisal_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_surprisal"),
         )
     )
+
+
+#: Bigram-model knobs: capped model size (broadcastable at any corpus SF),
+#: Jelinek-Mercer interpolation weight, and the keep-gate threshold.
+#: PPL_MU is written out as the PYTHON value of 1-λ (0.30000000000000004)
+#: so both engines multiply by the identical double.
+LM_BIGRAM_K = 50_000
+PPL_LAMBDA = 0.7
+PPL_MU = 1.0 - PPL_LAMBDA
+PPL_KEEP_MAX = 4.0
+
+
+@register(
+    "text_perplexity_bigram",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
+        FROM documents
+    ),
+    pairs AS (
+        SELECT doc_id, toks[i] AS v, toks[i + 1] AS w
+        FROM d, unnest(range(1, len(toks))) AS t(i)
+    ),
+    c2 AS (
+        SELECT v, w, count(*)::bigint AS f2 FROM pairs GROUP BY 1, 2
+        ORDER BY f2 DESC, v, w LIMIT {LM_BIGRAM_K}
+    ),
+    c1 AS (SELECT v, count(*)::bigint AS f1v FROM pairs GROUP BY 1),
+    model AS (SELECT c2.v, c2.w, c2.f2, c1.f1v FROM c2 JOIN c1 USING (v)),
+    uni AS (
+        SELECT w, count(*)::bigint AS fu
+        FROM (SELECT unnest(toks) AS w FROM d) GROUP BY 1
+        ORDER BY fu DESC, w LIMIT {LM_VOCAB_K}
+    ),
+    ntot AS (SELECT sum(fu)::bigint AS n FROM uni),
+    scored AS (
+        SELECT p.doc_id,
+               -ln({PPL_LAMBDA!r} * coalesce(m.f2::double / m.f1v, 0.0)
+                   + {PPL_MU!r} * ((coalesce(u.fu, 0) + 1)::double
+                                   / (ntot.n + 1))) AS surp
+        FROM pairs p
+        LEFT JOIN model m ON p.v = m.v AND p.w = m.w
+        LEFT JOIN uni u ON p.w = u.w
+        CROSS JOIN ntot
+    ),
+    agg AS (
+        SELECT doc_id, count(*)::bigint AS n_bigrams,
+               {duck_trunc6('sum(surp) / count(*)')} AS avg_surprisal
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, avg_surprisal,
+           (avg_surprisal <= {PPL_KEEP_MAX!r}) AS keep
+    FROM agg
+    """,
+    doc="Bigram-LM mean surprisal per document — the CCNet/KenLM "
+    "perplexity filter one order up from text_surprisal_lm: "
+    "p(w|v) = λ·c(v,w)/c(v) + (1-λ)·(c(w)+1)/(N+1) (Jelinek-Mercer "
+    f"interpolation, λ={PPL_LAMBDA}), model = top-{LM_BIGRAM_K} bigrams "
+    "WITH their context counts attached + the unigram vocab — both "
+    "constant-size and broadcast, so scoring is map-side over bigram "
+    "pairs built from the token array (map-side transform, no window "
+    "and no self-join), with one doc_id shuffle for the per-doc mean.  "
+    "keep gates on the trunc6-pinned mean so both engines decide "
+    "identically.  Docs with < 2 tokens have no bigrams and no row.",
+)
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    return bigram_surprisal(docs)
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    *,
+    bigram_k: int = LM_BIGRAM_K,
+    vocab_k: int = LM_VOCAB_K,
+    lam: float = PPL_LAMBDA,
+    keep_max: float = PPL_KEEP_MAX,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_surprisal, keep) — see the registration
+    docstring.  Parameterized so a pipeline can pick its own model caps,
+    interpolation weight, and keep threshold."""
+    mu = 1.0 - lam
+    toks_arr = docs.select(
+        "doc_id", F.split(F.trim(F.col("text")), TOKEN_DELIM_RE).alias("toks")
+    )
+    n = F.size("toks")
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("toks"), i).alias("v"),
+                F.element_at(F.col("toks"), i + 1).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<v:string,w:string>>"))
+    pairs = toks_arr.select("doc_id", F.explode(bg).alias("bg")).select(
+        "doc_id", F.col("bg.v").alias("v"), F.col("bg.w").alias("w")
+    )
+    c2 = (
+        pairs.groupBy("v", "w")
+        .agg(F.count("*").alias("f2"))
+        .orderBy(F.col("f2").desc(), "v", "w")
+        .limit(bigram_k)
+    )
+    c1 = pairs.groupBy("v").agg(F.count("*").alias("f1v"))
+    model = c2.join(c1, "v").select("v", "w", "f2", "f1v")
+    uni = (
+        toks_arr.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("fu"))
+        .orderBy(F.col("fu").desc(), "w")
+        .limit(vocab_k)
+        .persist()
+    )
+    ntot = uni.agg(F.sum("fu").alias("n"))
+    p = F.lit(lam) * F.coalesce(
+        F.col("f2").cast("double") / F.col("f1v"), F.lit(0.0)
+    ) + F.lit(mu) * (
+        (F.coalesce(F.col("fu"), F.lit(0)) + 1).cast("double") / (F.col("n") + 1)
+    )
+    scored = (
+        pairs.join(F.broadcast(model), ["v", "w"], "left")
+        .join(F.broadcast(uni), "w", "left")
+        .crossJoin(F.broadcast(ntot))
+        .select("doc_id", (-F.log(p)).alias("surp"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        trunc6(F.sum("surp") / F.count("*")).alias("avg_surprisal"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "avg_surprisal",
+        (F.col("avg_surprisal") <= F.lit(keep_max)).alias("keep"),
+    )

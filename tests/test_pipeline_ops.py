@@ -1452,3 +1452,84 @@ def test_prf_damping_bounds_expanded_scores(spark):
     lam5 = bm25_weighted_topk(docs, [(t, 1.0) for t in terms] + [(t, 0.5) for t in exp]).collect()
     for r in lam5:
         assert r["score"] >= base.get(r["doc_id"], 0.0) - 1e-12
+
+
+def _py_bigram_surprisal(texts, lam=0.7, bigram_k=10**9, vocab_k=10**9):
+    import math
+    from collections import Counter
+
+    toks = {i: t.split() for i, t in texts.items()}
+    pairs = [(i, (ts[j], ts[j + 1])) for i, ts in toks.items() for j in range(len(ts) - 1)]
+    c2 = Counter(p for _, p in pairs)
+    top2 = dict(sorted(c2.items(), key=lambda kv: (-kv[1], kv[0]))[:bigram_k])
+    c1 = Counter(v for _, (v, _) in pairs)
+    uni = Counter(w for ts in toks.values() for w in ts)
+    topu = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_k])
+    n = sum(topu.values())
+    mu = 1.0 - lam
+    out = {}
+    for i, ts in toks.items():
+        if len(ts) < 2:
+            continue
+        s = 0.0
+        for j in range(len(ts) - 1):
+            v, w = ts[j], ts[j + 1]
+            pml = lam * (top2[(v, w)] / c1[v]) if (v, w) in top2 else 0.0
+            s += -math.log(pml + mu * ((topu.get(w, 0) + 1) / (n + 1)))
+        import math as _m
+        avg = _m.floor((s / (len(ts) - 1)) * 1e6) / 1e6
+        out[i] = (len(ts) - 1, avg)
+    return out
+
+
+def test_bigram_surprisal_matches_python_reference(spark):
+    from flink_http_full_cache_connector_spark.operators.lm_score import (
+        bigram_surprisal,
+    )
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat ran on the hill",
+        3: "a dog sat",
+        4: "unique words only here now",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_surprisal"]) for r in bigram_surprisal(docs).collect()}
+    ref = _py_bigram_surprisal(texts)
+    assert set(got) == set(ref)
+    for i in ref:
+        assert got[i][0] == ref[i][0]
+        assert abs(got[i][1] - ref[i][1]) < 2e-6, (i, got[i], ref[i])
+
+
+def test_bigram_model_cap_falls_back_to_unigram(spark):
+    """With bigram_k=1 only the single most frequent bigram keeps its ML
+    term; every other position scores unigram-only — matched against the
+    same Python reference with the cap applied."""
+    from flink_http_full_cache_connector_spark.operators.lm_score import (
+        bigram_surprisal,
+    )
+
+    texts = {
+        1: "x y x y x y",
+        2: "p q r s",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_surprisal"]) for r in bigram_surprisal(docs, bigram_k=1).collect()}
+    ref = _py_bigram_surprisal(texts, bigram_k=1)
+    for i in ref:
+        assert got[i][0] == ref[i][0]
+        assert abs(got[i][1] - ref[i][1]) < 2e-6, (i, got[i], ref[i])
+
+
+def test_bigram_scoring_joins_broadcast(spark):
+    """The capped model and vocab must broadcast onto the pair stream —
+    no sort-merge join on the Zipf-skewed token keys anywhere."""
+    from flink_http_full_cache_connector_spark.operators.lm_score import (
+        bigram_surprisal,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = bigram_surprisal(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
