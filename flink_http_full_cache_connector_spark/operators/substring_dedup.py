@@ -50,10 +50,12 @@ from flink_http_full_cache_connector_spark.plans.registry import load_table, reg
 
 __all__ = [
     "SUBSTR_K",
+    "NEW_BATCH_MOD",
     "token_positions",
     "kgram_positions",
     "duplicated_spans",
     "scrub_duplicated_spans",
+    "incremental_span_hits",
 ]
 
 #: Window width in tokens.  Lee et al. use 50 BPE tokens ≈ 30–40 words on
@@ -115,12 +117,10 @@ def _dup_fingerprints(kg: DataFrame) -> DataFrame:
     )
 
 
-def duplicated_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
-    """(doc_id, span_start, span_end, span_tokens) — maximal token spans
-    covered by cross-document duplicated k-gram windows (ExactSubstr's
-    reported regions).  span_end is inclusive; span_tokens ≥ k always."""
-    kg = kgram_positions(docs, k)
-    hits = kg.join(_dup_fingerprints(kg).select("fp"), "fp").select("doc_id", "pos")
+def _spans_from_hits(hits: DataFrame, k: int) -> DataFrame:
+    """Coalesce duplicated window starts (doc_id, pos) into maximal spans
+    via gaps-and-islands; the window partitions by doc_id — bounded by
+    document length at any corpus scale."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn("grp", F.col("pos") - F.row_number().over(w))
     return (
@@ -137,6 +137,15 @@ def duplicated_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
             F.col("span_tokens").cast("int").alias("span_tokens"),
         )
     )
+
+
+def duplicated_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, span_start, span_end, span_tokens) — maximal token spans
+    covered by cross-document duplicated k-gram windows (ExactSubstr's
+    reported regions).  span_end is inclusive; span_tokens ≥ k always."""
+    kg = kgram_positions(docs, k)
+    hits = kg.join(_dup_fingerprints(kg).select("fp"), "fp").select("doc_id", "pos")
+    return _spans_from_hits(hits, k)
 
 
 def scrub_duplicated_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
@@ -185,6 +194,50 @@ def scrub_duplicated_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
     )
+
+
+#: Incremental-ingest split: doc_id % 5 == 0 is the incoming batch, the
+#: rest is the historical corpus (the dedup_incremental convention).
+NEW_BATCH_MOD = 5
+
+
+def incremental_span_hits(
+    spark: SparkSession,
+    hist: DataFrame,
+    batch: DataFrame,
+    store_dir: str,
+    k: int = SUBSTR_K,
+) -> DataFrame:
+    """(doc_id, pos) duplicated-window starts for the INCOMING BATCH only,
+    answered from a PERSISTED fingerprint store over the historical corpus
+    (the standing-index discipline of sim_ann_ivf_persisted applied to
+    ExactSubstr): the store is written once (distinct historical fps,
+    uniform md5 keys), reloaded, and probed with a semi-join; batch-internal
+    duplication adds its own ≥2-distinct-docs fingerprints.  A batch
+    window is duplicated iff SOME other document shares it — historical
+    (store hit) or batch (internal hit) — which is exactly the full-corpus
+    cross-doc rule restricted to batch docs, so the registry oracle can
+    replay it as full-corpus spans filtered to the batch (hash-match).
+
+    Per-ingest marginal cost is batch-sized: one batch tokenize, one store
+    semi-join, one batch-internal agg; the store never rewrites (append =
+    write the batch's new fps next to it).  At 100 TB the store is
+    fp-partitioned parquet and the semi-join is a shuffle on uniform md5
+    keys — never a broadcast of the corpus-sized store."""
+    kgram_positions(hist, k).select("fp").distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{store_dir}/fps")
+    store = spark.read.parquet(f"{store_dir}/fps")
+    bkg = kgram_positions(batch, k)
+    internal = (
+        bkg.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("fp")
+    )
+    hits_hist = bkg.join(store, "fp", "left_semi").select("doc_id", "pos")
+    hits_int = bkg.join(internal, "fp", "left_semi").select("doc_id", "pos")
+    return hits_hist.unionByName(hits_int).distinct()
 
 
 def _kg_cte(k: int) -> str:
@@ -280,3 +333,46 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(load_table(spark, sf_dir, "documents"))
     return scrub_duplicated_spans(docs, SUBSTR_K)
+
+
+@register(
+    "dedup_substring_incremental",
+    f"""
+    WITH {_kg_cte(SUBSTR_K)},
+    dup AS (
+        SELECT fp FROM kg GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT kg.doc_id, kg.pos FROM kg JOIN dup USING (fp)
+        WHERE kg.doc_id % {NEW_BATCH_MOD} = 0
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM hits
+    )
+    SELECT doc_id,
+           min(pos)::int AS span_start,
+           (max(pos) + {SUBSTR_K - 1})::int AS span_end,
+           (max(pos) - min(pos) + {SUBSTR_K})::int AS span_tokens
+    FROM isl GROUP BY doc_id, grp
+    """,
+    doc="Incremental-ingest ExactSubstr: the incoming batch (doc_id % "
+    f"{NEW_BATCH_MOD} == 0) is span-deduped against a PERSISTED "
+    "fingerprint store over the historical corpus (written, reloaded, "
+    "semi-join probed) plus batch-internal >=2-doc fingerprints.  "
+    "Duplicated-iff-some-other-doc-shares-it makes this EXACTLY the "
+    "full-corpus span report restricted to batch docs — the oracle "
+    "replays it that way, so the hash match proves append-mode serving "
+    "== from-scratch.  Marginal cost per ingest is batch-sized; the "
+    "store never rewrites.",
+)
+def dedup_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    hist = docs.where(F.col("doc_id") % NEW_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % NEW_BATCH_MOD == 0)
+    work = tempfile.mkdtemp(prefix="spark_graft_substr_store_")
+    hits = incremental_span_hits(spark, hist, batch, work, SUBSTR_K)
+    return _spans_from_hits(hits, SUBSTR_K)

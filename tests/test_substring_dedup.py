@@ -156,3 +156,45 @@ def test_spans_windows_are_doc_bounded(spark):
     assert windows and all("doc_id" in ln for ln in windows), plan
     exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert exchanges and all(("fp" in ln) or ("doc_id" in ln) for ln in exchanges), plan
+
+
+def test_incremental_spans_equal_full_corpus_restriction(spark, tmp_path):
+    """Append-mode serving ≡ from-scratch: batch-doc spans answered from
+    the persisted historical fingerprint store + batch-internal dups must
+    equal the full-corpus span report restricted to batch docs."""
+    from flink_http_full_cache_connector_spark.operators.substring_dedup import (
+        NEW_BATCH_MOD,
+        incremental_span_hits,
+        _spans_from_hits,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    hist = docs.where(F.col("doc_id") % NEW_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % NEW_BATCH_MOD == 0)
+    inc = _spans_from_hits(
+        incremental_span_hits(spark, hist, batch, str(tmp_path / "store")), SUBSTR_K
+    )
+    full = duplicated_spans(docs, SUBSTR_K).where(
+        F.col("doc_id") % NEW_BATCH_MOD == 0
+    )
+    key = lambda r: (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"])
+    assert sorted(map(key, inc.collect())) == sorted(map(key, full.collect()))
+
+
+def test_incremental_batch_internal_dup_found(spark, tmp_path):
+    """Two NEW docs duplicating each other (nothing in history) must still
+    surface — the store alone would miss them; the internal ≥2-doc pass
+    is what catches them."""
+    from flink_http_full_cache_connector_spark.operators.substring_dedup import (
+        incremental_span_hits,
+        _spans_from_hits,
+    )
+
+    t = " ".join(W)
+    hist = _docs(spark, {1: "totally different historical content here now ok fine yes"})
+    batch = _docs(spark, {10: t, 15: t})
+    spans = _spans_from_hits(
+        incremental_span_hits(spark, hist, batch, str(tmp_path / "store2")), SUBSTR_K
+    ).collect()
+    assert {r["doc_id"] for r in spans} == {10, 15}
+    assert all(r["span_tokens"] == 12 for r in spans)

@@ -73,154 +73,172 @@ def _write(out: str, name: str, table: pa.Table) -> None:
     print(f"wrote {path}: {table.num_rows} rows")
 
 
-def gen(sf: float, out: str) -> None:
+def gen(sf: float, out: str, only: set[str] | None = None) -> None:
+    """Write the synthetic tables to ``out``.  ``only`` restricts which
+    tables are generated (third-decade sweeps need just documents /
+    embeddings — sf100 lineitem would be 600 M rows of dead weight);
+    every table block seeds its own RNG stream, so a filtered run
+    produces byte-identical files for the tables it does write."""
     os.makedirs(out, exist_ok=True)
     n = _counts(sf)
-
-    _write(out, "region", pa.table({
-        "r_regionkey": pa.array(range(5), pa.int32()),
-        "r_name": pa.array(REGIONS),
-    }))
-    _write(out, "nation", pa.table({
-        "n_nationkey": pa.array(range(25), pa.int32()),
-        "n_name": [f"NATION_{i}" for i in range(25)],
-        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
-    }))
-
-    rng = np.random.default_rng(42)
-    nc = n["customer"]
-    _write(out, "customer", pa.table({
-        "c_custkey": pa.array(np.arange(nc), pa.int64()),
-        "c_name": [f"Customer#{i:09d}" for i in range(nc)],
-        "c_nationkey": pa.array(rng.integers(0, 25, nc), pa.int32()),
-        "c_acctbal": np.round(rng.uniform(-1000, 10000, nc), 2),
-        "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, nc)]),
-    }))
-
-    rng = np.random.default_rng(43)
-    ns = n["supplier"]
-    _write(out, "supplier", pa.table({
-        "s_suppkey": pa.array(np.arange(ns), pa.int64()),
-        "s_name": [f"Supplier#{i:09d}" for i in range(ns)],
-        "s_nationkey": pa.array(rng.integers(0, 25, ns), pa.int32()),
-        "s_acctbal": np.round(rng.uniform(-1000, 10000, ns), 2),
-    }))
-
-    rng = np.random.default_rng(44)
-    np_ = n["part"]
-    adj = np.array(PADJ)[rng.integers(0, len(PADJ), np_)]
-    noun = np.array(PNOUN)[rng.integers(0, len(PNOUN), np_)]
-    _write(out, "part", pa.table({
-        "p_partkey": pa.array(np.arange(np_), pa.int64()),
-        "p_name": [f"{a} {b}" for a, b in zip(adj, noun)],
-        "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, np_)],
-        "p_type": pa.array(np.array(PTYPES)[rng.integers(0, 6, np_)]),
-        "p_size": pa.array(rng.integers(1, 51, np_), pa.int32()),
-        "p_retailprice": np.round(900.0 + (np.arange(np_) % 1000) * 0.1, 2),
-    }))
-
-    rng = np.random.default_rng(45)
-    no = n["orders"]
+    want = (lambda t: True) if only is None else (lambda t: t in only)
     base = np.datetime64("1995-01-01").astype("datetime64[us]").astype(np.int64)
-    _write(out, "orders", pa.table({
-        "o_orderkey": pa.array(np.arange(no), pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, nc, no), pa.int64()),
-        "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.integers(0, 3, no)]),
-        "o_totalprice": np.round(rng.uniform(1000, 500000, no), 2),
-        "o_orderdate": pa.array(
-            base + rng.integers(0, 2405, no) * DAY_US, pa.timestamp("us")
-        ),
-        "o_orderpriority": pa.array(np.array(PRIORITIES)[rng.integers(0, 5, no)]),
-    }))
 
-    rng = np.random.default_rng(46)
-    nl = n["lineitem"]
-    _write(out, "lineitem", pa.table({
-        "l_orderkey": pa.array(rng.integers(0, no, nl), pa.int64()),
-        "l_partkey": pa.array(rng.integers(0, np_, nl), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(0, ns, nl), pa.int64()),
-        "l_linenumber": pa.array(rng.integers(1, 8, nl), pa.int32()),
-        "l_quantity": rng.integers(1, 51, nl).astype(np.float64),
-        "l_extendedprice": np.round(rng.uniform(900, 105000, nl), 2),
-        "l_discount": np.round(rng.integers(0, 11, nl) * 0.01, 2),
-        "l_tax": np.round(rng.integers(0, 9, nl) * 0.01, 2),
-        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, nl)]),
-        "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, nl)]),
-        "l_shipdate": pa.array(
-            base + rng.integers(1, 2500, nl) * DAY_US, pa.timestamp("us")
-        ),
-    }))
+    if want("region"):
+        _write(out, "region", pa.table({
+            "r_regionkey": pa.array(range(5), pa.int32()),
+            "r_name": pa.array(REGIONS),
+        }))
+    if want("nation"):
+        _write(out, "nation", pa.table({
+            "n_nationkey": pa.array(range(25), pa.int32()),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+        }))
 
-    rng = np.random.default_rng(47)
-    ne = n["events"]
-    users = max(1, nc // 10)
-    ts0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
-    _write(out, "events", pa.table({
-        "event_id": pa.array(np.arange(ne), pa.int64()),
-        "ts": pa.array(
-            ts0 + rng.integers(0, 30 * DAY_US, ne), pa.timestamp("us")
-        ),
-        "user_id": pa.array(rng.integers(0, users, ne), pa.int64()),
-        "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, ne)]),
-        "value": np.round(rng.exponential(50.0, ne), 2),
-        "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, ne)],
-    }))
+    if want("customer"):
+        rng = np.random.default_rng(42)
+        nc = n["customer"]
+        _write(out, "customer", pa.table({
+            "c_custkey": pa.array(np.arange(nc), pa.int64()),
+            "c_name": [f"Customer#{i:09d}" for i in range(nc)],
+            "c_nationkey": pa.array(rng.integers(0, 25, nc), pa.int32()),
+            "c_acctbal": np.round(rng.uniform(-1000, 10000, nc), 2),
+            "c_mktsegment": pa.array(np.array(SEGMENTS)[rng.integers(0, 5, nc)]),
+        }))
 
-    rng = np.random.default_rng(48)
-    nd = n["documents"]
-    lens = rng.integers(10, 101, nd)
-    vocab = np.array(VOCAB)
-    texts: list[str] = []
-    for i in range(nd):
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), lens[i])]))
-    # plant ~5% near-duplicates: copy an earlier doc, swap one word for the
-    # 'dup' marker token (the driver data carries the same marker)
-    ndup = nd // 20
-    dup_targets = rng.choice(nd, size=ndup, replace=False)
-    for t in dup_targets:
-        src = int(rng.integers(0, nd))
-        words = texts[src].split()
-        words[int(rng.integers(0, len(words)))] = "dup"
-        texts[int(t)] = " ".join(words)
-    # a handful of exact duplicates
-    for t in rng.choice(nd, size=max(1, nd // 625), replace=False):
-        texts[int(t)] = texts[int(rng.integers(0, nd))]
-    langs = rng.choice(LANGS, size=nd, p=LANG_W)
-    _write(out, "documents", pa.table({
-        "doc_id": pa.array(np.arange(nd), pa.int64()),
-        "text": texts,
-        "lang": pa.array(langs),
-        "source": [f"src{i % 20}" for i in range(nd)],
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-    }))
+    if want("supplier"):
+        rng = np.random.default_rng(43)
+        ns = n["supplier"]
+        _write(out, "supplier", pa.table({
+            "s_suppkey": pa.array(np.arange(ns), pa.int64()),
+            "s_name": [f"Supplier#{i:09d}" for i in range(ns)],
+            "s_nationkey": pa.array(rng.integers(0, 25, ns), pa.int32()),
+            "s_acctbal": np.round(rng.uniform(-1000, 10000, ns), 2),
+        }))
 
-    rng = np.random.default_rng(49)
-    nv = n["embeddings"]
-    labels = rng.integers(0, 10, nv)
-    centroids = rng.normal(0, 0.15, (10, 64))
-    vecs = rng.normal(0, 1.0, (nv, 64)) + centroids[labels]
-    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-    vecs = vecs.astype(np.float32)
-    _write(out, "embeddings", pa.table({
-        "vec_id": pa.array(np.arange(nv), pa.int64()),
-        "embedding": pa.FixedSizeListArray.from_arrays(
-            pa.array(vecs.reshape(-1), pa.float32()), 64
-        ).cast(pa.list_(pa.float32())),
-        "label": pa.array(labels, pa.int32()),
-    }))
+    if want("part"):
+        rng = np.random.default_rng(44)
+        np_ = n["part"]
+        adj = np.array(PADJ)[rng.integers(0, len(PADJ), np_)]
+        noun = np.array(PNOUN)[rng.integers(0, len(PNOUN), np_)]
+        _write(out, "part", pa.table({
+            "p_partkey": pa.array(np.arange(np_), pa.int64()),
+            "p_name": [f"{a} {b}" for a, b in zip(adj, noun)],
+            "p_brand": [f"Brand#{i}" for i in rng.integers(1, 26, np_)],
+            "p_type": pa.array(np.array(PTYPES)[rng.integers(0, 6, np_)]),
+            "p_size": pa.array(rng.integers(1, 51, np_), pa.int32()),
+            "p_retailprice": np.round(900.0 + (np.arange(np_) % 1000) * 0.1, 2),
+        }))
+
+    if want("orders"):
+        rng = np.random.default_rng(45)
+        no = n["orders"]
+        _write(out, "orders", pa.table({
+            "o_orderkey": pa.array(np.arange(no), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, n["customer"], no), pa.int64()),
+            "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.integers(0, 3, no)]),
+            "o_totalprice": np.round(rng.uniform(1000, 500000, no), 2),
+            "o_orderdate": pa.array(
+                base + rng.integers(0, 2405, no) * DAY_US, pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array(np.array(PRIORITIES)[rng.integers(0, 5, no)]),
+        }))
+
+    if want("lineitem"):
+        rng = np.random.default_rng(46)
+        nl = n["lineitem"]
+        _write(out, "lineitem", pa.table({
+            "l_orderkey": pa.array(rng.integers(0, n["orders"], nl), pa.int64()),
+            "l_partkey": pa.array(rng.integers(0, n["part"], nl), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(0, n["supplier"], nl), pa.int64()),
+            "l_linenumber": pa.array(rng.integers(1, 8, nl), pa.int32()),
+            "l_quantity": rng.integers(1, 51, nl).astype(np.float64),
+            "l_extendedprice": np.round(rng.uniform(900, 105000, nl), 2),
+            "l_discount": np.round(rng.integers(0, 11, nl) * 0.01, 2),
+            "l_tax": np.round(rng.integers(0, 9, nl) * 0.01, 2),
+            "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, nl)]),
+            "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, nl)]),
+            "l_shipdate": pa.array(
+                base + rng.integers(1, 2500, nl) * DAY_US, pa.timestamp("us")
+            ),
+        }))
+
+    if want("events"):
+        rng = np.random.default_rng(47)
+        ne = n["events"]
+        users = max(1, n["customer"] // 10)
+        ts0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
+        _write(out, "events", pa.table({
+            "event_id": pa.array(np.arange(ne), pa.int64()),
+            "ts": pa.array(
+                ts0 + rng.integers(0, 30 * DAY_US, ne), pa.timestamp("us")
+            ),
+            "user_id": pa.array(rng.integers(0, users, ne), pa.int64()),
+            "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, ne)]),
+            "value": np.round(rng.exponential(50.0, ne), 2),
+            "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, ne)],
+        }))
+
+    if want("documents"):
+        rng = np.random.default_rng(48)
+        nd = n["documents"]
+        lens = rng.integers(10, 101, nd)
+        vocab = np.array(VOCAB)
+        texts: list[str] = []
+        for i in range(nd):
+            texts.append(" ".join(vocab[rng.integers(0, len(vocab), lens[i])]))
+        # plant ~5% near-duplicates: copy an earlier doc, swap one word for the
+        # 'dup' marker token (the driver data carries the same marker)
+        ndup = nd // 20
+        dup_targets = rng.choice(nd, size=ndup, replace=False)
+        for t in dup_targets:
+            src = int(rng.integers(0, nd))
+            words = texts[src].split()
+            words[int(rng.integers(0, len(words)))] = "dup"
+            texts[int(t)] = " ".join(words)
+        # a handful of exact duplicates
+        for t in rng.choice(nd, size=max(1, nd // 625), replace=False):
+            texts[int(t)] = texts[int(rng.integers(0, nd))]
+        langs = rng.choice(LANGS, size=nd, p=LANG_W)
+        _write(out, "documents", pa.table({
+            "doc_id": pa.array(np.arange(nd), pa.int64()),
+            "text": texts,
+            "lang": pa.array(langs),
+            "source": [f"src{i % 20}" for i in range(nd)],
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }))
+
+    if want("embeddings"):
+        rng = np.random.default_rng(49)
+        nv = n["embeddings"]
+        labels = rng.integers(0, 10, nv)
+        centroids = rng.normal(0, 0.15, (10, 64))
+        vecs = rng.normal(0, 1.0, (nv, 64)) + centroids[labels]
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        vecs = vecs.astype(np.float32)
+        _write(out, "embeddings", pa.table({
+            "vec_id": pa.array(np.arange(nv), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), pa.float32()), 64
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }))
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset of tables to generate")
     args = ap.parse_args()
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".scale_data",
         f"sf{args.sf:g}",
     )
-    gen(args.sf, out)
+    gen(args.sf, out, only=set(args.tables.split(",")) if args.tables else None)
 
 
 if __name__ == "__main__":
