@@ -35,6 +35,8 @@ from flink_http_full_cache_connector_spark.functions.tokenize import TOKEN_DELIM
 __all__ = [
     "TOKEN_DELIM_RE",
     "tokenize_docs",
+    "tokenize_positions",
+    "phrase_match_topk",
     "doc_term_freq",
     "posting_lists",
     "bm25_topk_scores",
@@ -61,6 +63,59 @@ def tokenize_docs(
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), TOKEN_DELIM_RE)
         ).alias("tok"),
+    )
+
+
+def tokenize_positions(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, tok) — the POSITIONAL tokenize: one row per token
+    occurrence carrying its 1-based offset in the document.  This is the
+    base relation of a positional inverted index (phrase queries,
+    proximity scoring); the position adds O(1) per posting over
+    :func:`tokenize_docs`, and the relation partitions exactly the same
+    way (scan-side explode, no shuffle)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), TOKEN_DELIM_RE)
+        ).alias("p0", "tok"),
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+
+
+def phrase_match_topk(
+    docs: DataFrame, phrase: tuple[str, ...] | list[str], *, topn: int = 10
+) -> DataFrame:
+    """(doc_id, phrase_tf, rank) — top-``topn`` documents by EXACT phrase
+    frequency, computed the way a positional IR engine answers ``"w0 w1
+    …"``: intersect per-term position lists at fixed offsets.
+
+    Dataflow: ONE positional tokenize filtered to the phrase's terms
+    (the disjunctive filter pushes to the scan — the relation that leaves
+    the scan is posting-list-sized, never the corpus token stream), then
+    leg i is the term-i rows re-anchored to ``pos - i``; a phrase
+    occurrence is an (doc_id, anchor) key present in EVERY leg, so the
+    intersection is |phrase|-1 inner joins on a high-cardinality uniform
+    key — each join input is df(term_i)-sized.  With a standing
+    positional segment store the legs become index reads (the
+    posting_segments_* discipline + a positions column); the shape of the
+    intersection is identical.  Top-k is orderBy+limit
+    (TakeOrderedAndProject — per-partition heads, no global sort), rank
+    stamped on the ≤ topn survivors.  Ties break on doc_id so the result
+    is total-ordered and cross-engine hashable."""
+    pos = tokenize_positions(docs).where(F.col("tok").isin(*list(phrase)))
+    legs = [
+        pos.where(F.col("tok") == t).select(
+            "doc_id", (F.col("pos") - i).alias("anchor")
+        )
+        for i, t in enumerate(phrase)
+    ]
+    hits = functools.reduce(lambda a, b: a.join(b, ["doc_id", "anchor"]), legs)
+    counts = hits.groupBy("doc_id").agg(F.count("*").alias("phrase_tf"))
+    top = counts.orderBy(F.col("phrase_tf").desc(), F.col("doc_id")).limit(topn)
+    w = Window.orderBy(F.col("phrase_tf").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "phrase_tf", F.col("rank").cast("int").alias("rank")
     )
 
 

@@ -599,7 +599,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk_cosine(emb, queries, TOP_K).withColumn("rank", F.col("rank").cast("int"))
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(k: int = TOP_K) -> str:
     return f"""
 WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM embeddings WHERE vec_id < {NUM_CENTROIDS}),
 assign AS (
@@ -637,7 +637,7 @@ ranked AS (
     FROM scored
 )
 SELECT query_id, neighbor_id, {duck_trunc6('cos_sim')} AS cos_sim, rank::int AS rank
-FROM ranked WHERE rank <= {TOP_K}
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -798,6 +798,110 @@ def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _ivf_probe_topk(emb, cent, assign)
         rows = [tuple(r) for r in out.collect()]
         return _local_relation(spark, rows, out.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "streaming_ann_lookup",
+    _ivf_oracle(1),
+    doc="The reference's lookup-join semantics (HttpLookupTableSource: "
+    "enrich a stream row-by-row against a cached dimension) applied to "
+    "VECTOR keys: a stream of query embeddings is enriched per microbatch "
+    "with its nearest corpus neighbor from a STANDING persisted IVF index "
+    f"({NUM_CENTROIDS} cells, nprobe={NPROBE}).  The probe is fully "
+    "STATELESS — the cell shortlist folds over a literal centroid array "
+    "map-side (16 inline cosine expressions, array_sort by (-sim, "
+    "cent_id), slice nprobe — no window, no per-query job), candidates "
+    "come from a stream-static join against the reloaded cell-partitioned "
+    "index, and the ONLY stateful op is the single top-1 max_by "
+    "aggregation Structured Streaming allows.  Oracle = the IVF walk at "
+    "rank 1: streaming enrich ≡ the batch probe exactly.  At 100 TB the "
+    "static side reads ~nprobe/C of index bytes per batch and state is "
+    "one row per in-flight query key — the full-cache discipline "
+    "(refresh by swapping the index dir) carries over unchanged.",
+)
+def streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    work = tempfile.mkdtemp(prefix="spark_graft_ivfstream_")
+    try:
+        ivf_index_save(emb, work)
+        cent, assign = ivf_index_load(spark, work)
+        # C×dim literals (16×dim — metadata-sized, the same budget as a
+        # broadcast): each centroid becomes ONE inline cosine expression,
+        # so the nprobe shortlist needs no lambda capture of an outer
+        # HOF variable and no stateful window over the probe stream
+        cent_rows = sorted(
+            (int(r["cent_id"]), [float(x) for x in r["cv"]])
+            for r in cent.collect()
+        )
+        scored_cells = F.array(
+            *[
+                F.struct(
+                    (
+                        -cosine(F.col("qv"), F.array(*[F.lit(x) for x in cv]))
+                    ).alias("neg"),
+                    F.lit(cid).cast("long").alias("cent_id"),
+                )
+                for cid, cv in cent_rows
+            ]
+        )
+        top_cells = F.transform(
+            F.slice(F.array_sort(scored_cells), 1, NPROBE),
+            lambda s: s["cent_id"],
+        )
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+            .where(F.col("vec_id") < NUM_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                as_double(F.col("embedding")).alias("qv"),
+            )
+        )
+        probes = stream.withColumn("cell_id", F.explode(top_cells))
+        cand = probes.join(assign, "cell_id").where(
+            F.col("vec_id") != F.col("query_id")
+        )
+        best = F.max_by(
+            F.struct("neighbor_id", "cos_sim"),
+            F.struct(F.col("cos_sim"), (-F.col("neighbor_id")).alias("neg")),
+        )
+        top1 = (
+            cand.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            )
+            .groupBy("query_id")
+            .agg(best.alias("b"))
+            .select(
+                "query_id",
+                F.col("b.neighbor_id").alias("neighbor_id"),
+                trunc6(F.col("b.cos_sim")).alias("cos_sim"),
+                F.lit(1).cast("int").alias("rank"),
+            )
+        )
+        name = f"ann_lookup_{uuid.uuid4().hex[:12]}"
+        query = (
+            top1.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return finalize_memory_sink(spark.table(name), name)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

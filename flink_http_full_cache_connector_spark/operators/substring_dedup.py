@@ -103,17 +103,30 @@ def kgram_positions(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     )
 
 
-def _dup_fingerprints(kg: DataFrame) -> DataFrame:
-    """(fp, cdoc, cpos) — windows occurring in ≥ 2 distinct docs, with the
-    canonical (lexicographic-min (doc_id, pos)) occurrence attached."""
+def _annotated_kgrams(kg: DataFrame) -> DataFrame:
+    """``kg`` with per-fingerprint annotations computed in ONE fp-keyed
+    window pass: ``_mn``/``_mx`` (min/max doc_id sharing the window — the
+    cross-document test is ``_mn != _mx``, exactly ``countDistinct >= 2``
+    for the ≥2 rule since doc_id is total-ordered) and ``_c`` (the
+    canonical lexicographic-min (doc_id, pos) occurrence).
+
+    This shape exists for scale (round-8 sf10 sweep): the first draft
+    derived the duplicated-fp set with a countDistinct aggregate and
+    joined it back to a SECOND evaluation of ``kg`` — Catalyst gave the
+    two subtrees no exchange reuse, so the dominant map cost (md5 over
+    every k-token window ≈ K× the corpus bytes) ran twice, the distinct
+    aggregate added an expand + two exchanges, and the dup-fp set came
+    back as a BROADCAST (under real boilerplate that set is corpus-sized
+    — a driver OOM at 100 TB, not a plan detail).  The window form hashes
+    the windows once, shuffles once on the uniform md5 key, buffers only
+    one fp group at a time (WindowExec spills; no collect_list, no
+    broadcast), and every consumer row keeps its annotations without any
+    join."""
+    w = Window.partitionBy("fp")
     return (
-        kg.groupBy("fp")
-        .agg(
-            F.countDistinct("doc_id").alias("nd"),
-            F.min(F.struct("doc_id", "pos")).alias("c"),
-        )
-        .where(F.col("nd") >= 2)
-        .select("fp", F.col("c.doc_id").alias("cdoc"), F.col("c.pos").alias("cpos"))
+        kg.withColumn("_mn", F.min("doc_id").over(w))
+        .withColumn("_mx", F.max("doc_id").over(w))
+        .withColumn("_c", F.min(F.struct("doc_id", "pos")).over(w))
     )
 
 
@@ -144,7 +157,11 @@ def duplicated_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     covered by cross-document duplicated k-gram windows (ExactSubstr's
     reported regions).  span_end is inclusive; span_tokens ≥ k always."""
     kg = kgram_positions(docs, k)
-    hits = kg.join(_dup_fingerprints(kg).select("fp"), "fp").select("doc_id", "pos")
+    hits = (
+        _annotated_kgrams(kg)
+        .where(F.col("_mn") != F.col("_mx"))
+        .select("doc_id", "pos")
+    )
     return _spans_from_hits(hits, k)
 
 
@@ -160,8 +177,14 @@ def scrub_duplicated_spans(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
     because ownership never consults row order."""
     kg = kgram_positions(docs, k)
     dropocc = (
-        kg.join(_dup_fingerprints(kg), "fp")
-        .where(~((F.col("doc_id") == F.col("cdoc")) & (F.col("pos") == F.col("cpos"))))
+        _annotated_kgrams(kg)
+        .where(F.col("_mn") != F.col("_mx"))
+        .where(
+            ~(
+                (F.col("doc_id") == F.col("_c.doc_id"))
+                & (F.col("pos") == F.col("_c.pos"))
+            )
+        )
         .select("doc_id", "pos")
     )
     droppos = (
@@ -228,16 +251,18 @@ def incremental_span_hits(
         "overwrite"
     ).parquet(f"{store_dir}/fps")
     store = spark.read.parquet(f"{store_dir}/fps")
-    bkg = kgram_positions(batch, k)
-    internal = (
-        bkg.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("fp")
+    # ONE evaluation of the batch k-grams: the fp-keyed window annotates
+    # batch-internal duplication (_mn != _mx) in the same pass whose
+    # partitioning the store probe then reuses; the first draft ran the
+    # batch tokenize+md5 three times (semi-join ×2 + a countDistinct agg)
+    # and needed a distinct() to undo the union's double-emission
+    ann = _annotated_kgrams(kgram_positions(batch, k))
+    flagged = ann.join(
+        store.withColumn("_h", F.lit(1)), "fp", "left"
     )
-    hits_hist = bkg.join(store, "fp", "left_semi").select("doc_id", "pos")
-    hits_int = bkg.join(internal, "fp", "left_semi").select("doc_id", "pos")
-    return hits_hist.unionByName(hits_int).distinct()
+    return flagged.where(
+        F.col("_h").isNotNull() | (F.col("_mn") != F.col("_mx"))
+    ).select("doc_id", "pos")
 
 
 def _kg_cte(k: int) -> str:

@@ -228,6 +228,52 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHRASE = ("hash", "join")  # the exact-phrase fixture (both high-df terms)
+
+
+@register(
+    "retrieval_phrase_match",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i::int AS pos, toks[i] AS tok
+        FROM d, unnest(range(1, len(toks) + 1)) AS t(i)
+    ),
+    l0 AS (SELECT doc_id, pos AS anchor FROM pos WHERE tok = '{PHRASE[0]}'),
+    l1 AS (SELECT doc_id, pos - 1 AS anchor FROM pos WHERE tok = '{PHRASE[1]}'),
+    hits AS (SELECT doc_id, anchor FROM l0 JOIN l1 USING (doc_id, anchor)),
+    cnt AS (SELECT doc_id, count(*)::bigint AS phrase_tf FROM hits GROUP BY 1),
+    ranked AS (
+        SELECT doc_id, phrase_tf,
+               row_number() OVER (ORDER BY phrase_tf DESC, doc_id) AS rank
+        FROM cnt
+    )
+    SELECT doc_id, phrase_tf, rank::int AS rank
+    FROM ranked WHERE rank <= {BM25_TOP_N}
+    """,
+    doc=f"Exact-phrase top-{BM25_TOP_N}: documents ranked by occurrence "
+    f"count of the phrase {' '.join(PHRASE)!r}, answered the way a "
+    "positional IR engine does — per-term position lists intersected at "
+    "fixed offsets (leg i re-anchored to pos-i, |phrase|-1 inner joins "
+    "on the high-cardinality (doc_id, anchor) key).  ONE positional "
+    "tokenize with the term filter pushed to the scan; the relation "
+    "leaving the scan is posting-list-sized, never the corpus token "
+    "stream.  Top-k compiles to TakeOrderedAndProject; ties break on "
+    "doc_id so the ranking is total-ordered and cross-engine hashable.",
+)
+def retrieval_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.retrieval import (
+        phrase_match_topk,
+    )
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    return phrase_match_topk(docs, PHRASE, topn=BM25_TOP_N)
+
+
 #: RM3-style pseudo-relevance feedback knobs: top-10 feedback docs, 3
 #: expansion terms, expansion damping λ=0.5 (original terms stay at 1.0).
 PRF_EXPAND = 3

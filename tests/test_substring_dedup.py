@@ -198,3 +198,30 @@ def test_incremental_batch_internal_dup_found(spark, tmp_path):
     ).collect()
     assert {r["doc_id"] for r in spans} == {10, 15}
     assert all(r["span_tokens"] == 12 for r in spans)
+
+
+def test_single_kgram_evaluation_no_dupset_broadcast(spark):
+    """Scale pin (round-8 sf10 sweep): the k-gram map cost (md5 over every
+    k-token window ≈ K× corpus bytes) must appear ONCE in the plan — the
+    first draft evaluated it twice (agg side + join side, no exchange
+    reuse) and broadcast the duplicate-fp set, which under real
+    boilerplate is corpus-sized.  The fp-window form has one md5, one fp
+    exchange, and no broadcast anywhere in the spans plan."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    spans_plan = (
+        duplicated_spans(docs, SUBSTR_K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert spans_plan.count("md5") == 1
+    assert "BroadcastExchange" not in spans_plan
+    scrub_plan = (
+        scrub_duplicated_spans(docs, SUBSTR_K)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert scrub_plan.count("md5") == 1
