@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_http_full_cache_connector_spark.functions.vectors import (
@@ -379,8 +379,26 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Distinct (doc_a, doc_b) sharing at least one LSH band bucket."""
+def lsh_candidate_pairs(
+    sig: DataFrame, *, bucket_cap: int | None = None
+) -> DataFrame:
+    """Distinct (doc_a, doc_b) sharing at least one LSH band bucket.
+
+    ``bucket_cap`` is the production knob (round-8 sf100 sweep): the
+    within-bucket self-join costs Σ bucket² pairs, and bucket sizes grow
+    ∝ corpus whenever a band key concentrates — boilerplate in real data,
+    the small token vocabulary in the synthetic corpus (a doc's minimum
+    hash over ~50 shingles drawn from a bounded shingle space repeats
+    across many documents).  Measured: 639.7 s at generated sf100 for the
+    uncapped join vs linear growth for everything else in the operator.
+    With a cap, buckets holding more than ``bucket_cap`` docs are dropped
+    BEFORE the self-join (one count window over the same (band, bkey)
+    shuffle the join needs anyway — no extra exchange), bounding pair
+    work by cap·bands·corpus.  A pair is still found if ANY of its
+    matching bands lands in a sane bucket; only pairs whose every common
+    band is a mega-bucket are lost — and a mega-bucket, by construction,
+    is a band slice shared by ~everything, i.e. no evidence of pairwise
+    similarity (the same reasoning as the df-capped shingle twins)."""
     bands = None
     for band in range(BANDS):
         cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
@@ -390,6 +408,11 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
             F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("bkey"),
         )
         bands = one if bands is None else bands.unionByName(one)
+    if bucket_cap is not None:
+        wb = Window.partitionBy("band", "bkey")
+        bands = bands.withColumn("_bc", F.count("*").over(wb)).where(
+            F.col("_bc") <= bucket_cap
+        )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "bkey")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "bkey")
     return (
@@ -400,7 +423,7 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(bucket_cap: int | None = None) -> str:
     mh = ", ".join(
         f"min(({MINHASH_A[j]} * h + {MINHASH_B[j]}) % {P}) AS m{j}"
         for j in range(NUM_MINHASHES)
@@ -413,13 +436,26 @@ def _minhash_oracle() -> str:
         + " AS bkey FROM sig"
         for band in range(BANDS)
     )
+    capped = (
+        f""",
+bands AS (
+    SELECT doc_id, band, bkey FROM (
+        SELECT doc_id, band, bkey,
+               count(*) OVER (PARTITION BY band, bkey) AS bc
+        FROM bands_all)
+    WHERE bc <= {bucket_cap}
+)"""
+        if bucket_cap is not None
+        else ""
+    )
+    bands_name = "bands_all" if bucket_cap is not None else "bands"
     return f"""
 WITH sh AS MATERIALIZED (
     SELECT doc_id, s, ('0x' || substr(md5(s), 1, 8))::bigint % {P} AS h
     FROM (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM documents)
 ),
 sig AS MATERIALIZED (SELECT doc_id, count(*) AS n, {mh} FROM sh GROUP BY doc_id),
-bands AS ({band_rows}),
+{bands_name} AS ({band_rows}){capped},
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
@@ -440,13 +476,51 @@ WHERE i.i / (sa.n + sb.n - i.i) >= {JACCARD_THRESHOLD}
 """
 
 
+#: production bucket cap for dedup_minhash_capped: pair work bounded by
+#: cap·bands·corpus; chosen well above any honest near-dup cluster at the
+#: fixture scales (capped ≡ uncapped at sf0.001–sf1) while amputating the
+#: vocab-concentration mega-buckets the sf100 sweep measured.
+MINHASH_BUCKET_CAP = 32
+
+
 @register(
     "dedup_minhash_lsh",
     _minhash_oracle(),
     doc=f"MinHash({NUM_MINHASHES})+LSH({BANDS}x{ROWS_PER_BAND}) near-dup: linear-cost "
-    "candidates, Jaccard-verified (>= 0.5). The 100 TB dedup path.",
+    "candidates, Jaccard-verified (>= 0.5).  UNCAPPED bucket join — the "
+    "correctness anchor: the within-bucket self-join is Σ bucket² pairs, "
+    "and bucket sizes grow with the corpus wherever a band key "
+    "concentrates (boilerplate; the bounded shingle space of the "
+    "synthetic corpus), measured 639.7 s at generated sf100 vs 90 s for "
+    "the capped twin.  dedup_minhash_capped is the production path.",
+    baseline=True,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_verified_pairs(spark, sf_dir, bucket_cap=None)
+
+
+@register(
+    "dedup_minhash_capped",
+    _minhash_oracle(MINHASH_BUCKET_CAP),
+    doc=f"MinHash({NUM_MINHASHES})+LSH({BANDS}x{ROWS_PER_BAND}) near-dup with the "
+    f"PRODUCTION bucket cap ({MINHASH_BUCKET_CAP}): band buckets holding "
+    "more docs are dropped before the self-join (one count window on the "
+    "same (band, bkey) shuffle — no extra exchange), bounding candidate "
+    "work by cap·bands·corpus.  A true pair is lost only if EVERY band "
+    "it matches on is a mega-bucket — a slice shared by ~everything, "
+    "which is no evidence of pairwise similarity (the df-capped shingle "
+    "discipline applied to LSH).  Oracle replays the cap with the "
+    "identical window rule; capped ≡ uncapped at the fixture scales.",
+)
+def dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _minhash_verified_pairs(
+        spark, sf_dir, bucket_cap=MINHASH_BUCKET_CAP
+    )
+
+
+def _minhash_verified_pairs(
+    spark: SparkSession, sf_dir: str, *, bucket_cap: int | None
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # one persisted shingle relation feeds BOTH the signature aggregation and
     # the Jaccard verify — the explode+md5 fan-out (map-side hot path) runs
@@ -456,7 +530,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lookups); persisting them is the 100 TB design too — K longs per doc,
     # tiny next to the corpus, and avoids re-scanning it per band
     sig = minhash_signatures(docs, shingles=sh).persist()
-    cand = lsh_candidate_pairs(sig)
+    cand = lsh_candidate_pairs(sig, bucket_cap=bucket_cap)
     # verification: true Jaccard on candidate pairs only
     x = sh.select(F.col("doc_id").alias("doc_a"), "s")
     y = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -1301,10 +1375,12 @@ def semantic_coarse_for(cells: int) -> int:
     return max(SEMANTIC_COARSE_MIN, math.isqrt(cells))
 
 
-def _semantic_2level_oracle() -> str:
-    sim_uv = duck_cosine("u.v", "v.v")
-    return f"""
-WITH params AS (
+def _semantic_assign_ctes() -> str:
+    """The WITH-body prefix (params → coarse/fine grids → top-2 coarse
+    probe → fine assignment) shared by the 2-level SemDeDup oracle and
+    the prototype-pruning oracle — both consume the same ``assign``
+    relation (vec_id, cell_id, v, cent_sim)."""
+    return f"""params AS (
     -- C = max(min_cells, n div B); K = exact isqrt(C)
     SELECT c, greatest({SEMANTIC_COARSE_MIN},
                     t - CASE WHEN t * t > c THEN 1 ELSE 0 END
@@ -1361,7 +1437,13 @@ assign AS MATERIALIZED (
                ) AS rn
         FROM v_coarse vc JOIN fine_grouped fg ON fg.co_id = vc.co_id
     ) WHERE rn = 1
-),
+)"""
+
+
+def _semantic_2level_oracle() -> str:
+    sim_uv = duck_cosine("u.v", "v.v")
+    return f"""
+WITH {_semantic_assign_ctes()},
 dropped AS (
     SELECT DISTINCT v.vec_id
     FROM assign u JOIN assign v
@@ -1481,5 +1563,70 @@ def _semantic_prune(emb: DataFrame, assign: DataFrame) -> DataFrame:
             F.col("cell_id").cast("int").alias("cell_id"),
             trunc6(F.col("cent_sim")).alias("cent_sim"),
             F.coalesce(F.col("is_kept"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
+#: fraction of each cell pruned as "too prototypical", in exact ppm —
+#: the drop count per cell is the INTEGER floor(cnt * ppm / 1e6), so both
+#: engines decide membership with integer arithmetic, never a float cut.
+PROTO_PRUNE_PPM = 250_000
+
+
+@register(
+    "corpus_prune_prototypes",
+    f"""
+WITH {{ctes}},
+sized AS (
+    SELECT vec_id, cell_id, cent_sim,
+           row_number() OVER (
+               PARTITION BY cell_id ORDER BY cent_sim DESC, vec_id) AS rn,
+           count(*) OVER (PARTITION BY cell_id) AS cnt
+    FROM assign
+)
+SELECT vec_id, cell_id::int AS cell_id,
+       {duck_trunc6('cent_sim')} AS cent_sim,
+       (rn > (cnt * {PROTO_PRUNE_PPM}) // 1000000) AS is_kept
+FROM sized
+""".format(ctes=_semantic_assign_ctes()),
+    doc="Prototypicality pruning (Sorscher et al. 2022 'Beyond neural "
+    "scaling laws' / the SemDeDup-family keep-the-hard-examples rule): "
+    "within every fine cell of the SAME corpus-scaled two-level "
+    "quantizer dedup_semantic_2level uses, the 25% of members MOST "
+    "similar to their centroid (cent_sim DESC, vec_id tie-break) are "
+    "marked dropped — prototypical near-redundant points the cluster "
+    "already represents — and the diverse tail is kept.  This is the "
+    "complement of semantic DEDUP: no pair threshold, no self-join at "
+    "all — the decision is per-row against the cell's rank/count, so "
+    "the whole operator is the two assignment shuffles plus ONE "
+    "cell-keyed window over cells bounded at ~B=64 members (cnt*ppm "
+    "integer floor keeps the cut engine-exact).  At 100 TB this is the "
+    "cheapest member of the family: cost ≡ assignment cost, and the "
+    "keep fraction is a tunable data-budget knob (25% here).",
+)
+def corpus_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        two_level_assign,
+        two_level_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = semantic_2level_cells_for(emb.count())
+    k = semantic_coarse_for(cells)
+    coarse, fine_grouped = two_level_index(emb, cells=cells, k=k)
+    assign = two_level_assign(emb, coarse, fine_grouped, coarse_probes=2)
+    wc = Window.partitionBy("cell_id")
+    w = wc.orderBy(F.col("cent_sim").desc(), "vec_id")
+    return (
+        assign.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count("*").over(wc))
+        .select(
+            "vec_id",
+            F.col("cell_id").cast("int").alias("cell_id"),
+            trunc6(F.col("cent_sim")).alias("cent_sim"),
+            (
+                F.col("rn")
+                > F.expr(f"(cnt * {PROTO_PRUNE_PPM}) div 1000000")
+            ).alias("is_kept"),
         )
     )

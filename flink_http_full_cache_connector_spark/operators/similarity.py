@@ -217,7 +217,7 @@ def two_level_index(
     return coarse, fine_grouped
 
 
-def two_level_assign(
+def two_level_assign_arrow(
     emb: DataFrame,
     coarse: DataFrame,
     fine_grouped: DataFrame,
@@ -226,7 +226,165 @@ def two_level_assign(
     vec_col: str = "embedding",
     coarse_probes: int = 1,
 ) -> DataFrame:
-    """``(id, cell_id, cent_sim)`` via coarse→fine assignment: stage 1
+    """``(id, cell_id, cent_sim)`` — the ARROW KERNEL for two-level
+    assignment, value-compatible with :func:`two_level_assign`.
+
+    Why it exists (round-8 sf100 profile): every vector kernel built on
+    ``aggregate``/``zip_with`` runs on Spark's INTERPRETED expression
+    path — higher-order functions are CodegenFallback, so each of the
+    n·(K + 2C/K) cosines costs hundreds of boxed lambda invocations.
+    Measured: the fold-shaped assignment alone took 279 s at generated
+    sf100 (n=2M, C=31 250, K=176) with every plan shape already optimal —
+    the arithmetic itself was the wall.  Here the SELECTION runs as
+    Arrow-batched numpy (one ``mapInPandas`` GEMM against the broadcast
+    coarse matrix, one ``applyInPandas`` GEMM per probed coarse cell
+    against that cell's fine matrix — BLAS, ~100× the interpreted
+    throughput), and the OUTPUT ``cent_sim`` is then recomputed ONCE per
+    vector with the exact ``cosine_with_norms`` fold against the chosen
+    centroid, so the emitted value is bit-identical to the SQL twin's
+    fold (numpy's pairwise-SIMD sums differ in final ulps; n single
+    folds are noise — it is the n·√C folds that were the cost).
+
+    Tie-breaks replay the house rule exactly: centroid matrices are
+    ordered by id ascending and winners picked with stable argsort /
+    first-argmax on (sim DESC), so equal sims — which arise from
+    IDENTICAL vectors and are therefore bit-equal in any engine — break
+    to the lowest id, same as ``max_by(struct(sim, -id))``.  A selection
+    flip would need two DISTINCT candidates within ~1 ulp of each other
+    in one engine but not the other; the registered gates hash-verify
+    the result at every driver scale.
+
+    Scale shape: stage 1 is a map-only pass (K×dim matrix in the task
+    closure — the broadcast-budget class); stage 2 shuffles (co_id, v)
+    once on the probed coarse key (n·probes slim rows) and runs one GEMM
+    per coarse group (C×dim total fine bytes in the closure); the final
+    per-vector argmax across probes and the exact-fold re-score are
+    codegen aggregates/joins.  No stage materializes n×C rows and no
+    fold runs more than once per vector."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+
+    if coarse_probes not in (1, 2):  # pragma: no cover
+        raise ValueError(f"coarse_probes must be 1 or 2, got {coarse_probes}")
+
+    co_rows = sorted(
+        (int(r["co_id"]), np.asarray(r["qv"], dtype=np.float64))
+        for r in coarse.select("co_id", "qv").collect()
+    )
+    co_ids = np.array([i for i, _ in co_rows], dtype=np.int64)
+    CM = np.stack([v for _, v in co_rows])
+    CMn = np.sqrt((CM * CM).sum(axis=1))
+
+    fine_rows = fine_grouped.select("co_id", "cent_id", "cv").collect()
+    fine_by_co: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    grouped: dict[int, list[tuple[int, np.ndarray]]] = {}
+    for r in fine_rows:
+        grouped.setdefault(int(r["co_id"]), []).append(
+            (int(r["cent_id"]), np.asarray(r["cv"], dtype=np.float64))
+        )
+    for co, members in grouped.items():
+        members.sort()
+        ids = np.array([i for i, _ in members], dtype=np.int64)
+        FM = np.stack([v for _, v in members])
+        fine_by_co[co] = (ids, FM, np.sqrt((FM * FM).sum(axis=1)))
+
+    # a corpus smaller than the probe count yields fewer coarse cells
+    # than probes (the 1-vector hypothesis corpora) — probe what exists
+    nprobe = min(coarse_probes, len(co_ids))
+
+    def _stage1(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            Vn = np.sqrt((V * V).sum(axis=1))
+            S = (V @ CM.T) / (Vn[:, None] * CMn[None, :])
+            # stable argsort on -S: sim DESC, then co_id ASC (rows are
+            # co_id-ordered) — the max_by(struct(sim, -id)) rule
+            top = np.argsort(-S, axis=1, kind="stable")[:, :nprobe]
+            b = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "co_id": co_ids[top].reshape(b * nprobe),
+                    "v": [x for x in pdf["v"].to_numpy() for _ in range(nprobe)],
+                }
+            )
+
+    v = widen(emb).select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    probes = v.mapInPandas(_stage1, "vec_id long, co_id long, v array<double>")
+
+    def _stage2(key, pdf):
+        ids, FM, FMn = fine_by_co[int(key[0])]
+        V = np.stack(pdf["v"].to_numpy())
+        Vn = np.sqrt((V * V).sum(axis=1))
+        S = (V @ FM.T) / (Vn[:, None] * FMn[None, :])
+        best = np.argmax(S, axis=1)  # first max = lowest cent_id on ties
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cell_id": ids[best],
+                "sim": S[np.arange(len(pdf)), best],
+            }
+        )
+
+    in_cell = probes.groupBy("co_id").applyInPandas(
+        _stage2, "vec_id long, cell_id long, sim double"
+    )
+    chosen = in_cell.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cell_id"),
+            F.struct(F.col("sim"), (-F.col("cell_id")).alias("neg")),
+        ).alias("cell_id")
+    )
+    # exact-fold re-score of the ONE chosen centroid per vector: the
+    # emitted cent_sim replays the SQL twin's IEEE sequence bit-for-bit
+    fine_slim = fine_grouped.select(
+        F.col("cent_id").alias("cell_id"), "cv", "nc"
+    )
+    vv = v.withColumn("nv", norm(F.col("v")))
+    return (
+        chosen.join(vv, "vec_id")
+        .join(F.broadcast(fine_slim), "cell_id")
+        .select(
+            F.col("vec_id").alias(id_col),
+            "cell_id",
+            cosine_with_norms(
+                F.col("v"), F.col("cv"), F.col("nv"), F.col("nc")
+            ).alias("cent_sim"),
+        )
+    )
+
+
+def two_level_assign(
+    emb: DataFrame,
+    coarse: DataFrame,
+    fine_grouped: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_probes: int = 1,
+    kernel: str = "arrow",
+) -> DataFrame:
+    """``(id, cell_id, cent_sim)`` via coarse→fine assignment.
+
+    ``kernel="arrow"`` (the default since the round-8 sf100 profile) runs
+    the selection as Arrow-batched numpy GEMMs and re-scores the winner
+    with the exact fold — see :func:`two_level_assign_arrow`.  The
+    ``"fold"`` kernel below is the pure-JVM-expression reference: same
+    values, but every cosine runs on the interpreted HOF path
+    (CodegenFallback), measured 279 s for assignment alone at generated
+    sf100 vs ~tens of seconds for the Arrow kernel — keep it for oracle
+    cross-checks and environments without Arrow workers.
+
+    Fold-kernel dataflow: stage 1
     picks the coarse cell (n·K scalar rows, map-side partial ``max_by``),
     the vector is re-attached once by a uniform id join, stage 2 scores
     only the winning coarse cell's fine centroids (≈ n·C/K rows).  Both
@@ -246,6 +404,17 @@ def two_level_assign(
     the running (best, second) per vector — ZERO stage-1 shuffle (the
     max_by path pays one slim exchange), no window over n·K rows.  The
     SQL twin replays it as the rn<=2 window over the identical sims."""
+    if kernel == "arrow":
+        return two_level_assign_arrow(
+            emb,
+            coarse,
+            fine_grouped,
+            id_col=id_col,
+            vec_col=vec_col,
+            coarse_probes=coarse_probes,
+        )
+    if kernel != "fold":  # pragma: no cover
+        raise ValueError(f"kernel must be 'arrow' or 'fold', got {kernel}")
     from flink_http_full_cache_connector_spark.functions.vectors import (
         cosine_with_norms,
         norm,
@@ -330,16 +499,56 @@ def two_level_assign(
         )
     else:  # pragma: no cover — 1 and 2 are the supported shapes
         raise ValueError(f"coarse_probes must be 1 or 2, got {coarse_probes}")
-    s2 = cosine_with_norms(F.col("v"), F.col("cv"), F.col("nv"), F.col("nc"))
-    s2_order = F.struct(F.col("sim"), (-F.col("cent_id")).alias("neg"))
+    # stage 2 as a PER-CELL ARRAY FOLD, not a row join (round-8 sf100
+    # sweep): the join form materialized n×probes·C/K joined rows, each
+    # COPYING the vector array through the join output — at generated
+    # sf100 (n=2M, C/K=178, dim=64) that is ~350 GB of row memcpy and it
+    # dominated every consumer of this function (corpus_prune_prototypes
+    # measured 1016 s).  Here the fine centroids pre-group into ONE array
+    # row per coarse cell (K rows total — same bytes as the old broadcast,
+    # different shape), the probe keeps n×probes rows end-to-end, and the
+    # in-cell argmax folds over the array with the house (sim, lower-id)
+    # comparison.  Values are IEEE-identical to the join form: the same
+    # cosine_with_norms expression per fine centroid, and
+    # fold-within-cell + max_by-across-cells is the same lexicographic
+    # max the single max_by computed (associativity of max).  At corpus
+    # sizes where C×dim outgrows broadcast comfort the fg_arr join
+    # becomes a co_id-keyed shuffle join — same plan shape.
+    fg_arr = fine_grouped.groupBy("co_id").agg(
+        F.collect_list(F.struct("cent_id", "cv", "nc")).alias("fines")
+    )
+    scored_fines = F.transform(
+        F.col("fines"),
+        lambda c: F.struct(
+            c["cent_id"].alias("cent_id"),
+            cosine_with_norms(
+                F.col("v"), c["cv"], F.col("nv"), c["nc"]
+            ).alias("sim"),
+        ),
+    )
+    b_init = F.struct(
+        F.lit(-10.0).alias("s"), F.lit(2**62).cast("long").alias("i")
+    )
+
+    def _best(acc: Column, x: Column) -> Column:
+        wins = (x["sim"] > acc["s"]) | (
+            (x["sim"] == acc["s"]) & (x["cent_id"] < acc["i"])
+        )
+        return F.when(
+            wins, F.struct(x["sim"].alias("s"), x["cent_id"].alias("i"))
+        ).otherwise(acc)
+
+    best = F.aggregate(scored_fines, b_init, _best)
     return (
-        staged
-        .join(F.broadcast(fine_grouped), "co_id")
-        .select(id_col, "cent_id", s2.alias("sim"))
+        staged.join(F.broadcast(fg_arr), "co_id")
+        .withColumn("b", best)
         .groupBy(id_col)
         .agg(
-            F.max_by(F.col("cent_id"), s2_order).alias("cell_id"),
-            F.max(F.col("sim")).alias("cent_sim"),
+            F.max_by(
+                F.col("b.i"),
+                F.struct(F.col("b.s"), (-F.col("b.i")).alias("neg")),
+            ).alias("cell_id"),
+            F.max(F.col("b.s")).alias("cent_sim"),
         )
     )
 

@@ -1533,3 +1533,24 @@ def test_bigram_scoring_joins_broadcast(spark):
     plan = bigram_surprisal(docs)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_capped_equals_uncapped_at_fixture_scale(spark):
+    """The production bucket cap (dedup_minhash_capped) must be a no-op at
+    fixture scale — no honest near-dup cluster approaches the cap — while
+    the plan shows the cap costs NO extra exchange (the count window rides
+    the same (band, bkey) shuffle the candidate self-join needs)."""
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        dedup_minhash_capped,
+        dedup_minhash_lsh,
+    )
+
+    capped_df = dedup_minhash_capped(spark, SF_DIR)
+    capped = {(r.doc_a, r.doc_b) for r in capped_df.collect()}
+    uncapped = _pairs(dedup_minhash_lsh(spark, SF_DIR))
+    assert capped == uncapped
+    # the cap is a count WINDOW on the bucket key, never a collect or a
+    # second aggregate+join of the band relation
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "count(1) windowspecdefinition(band" in plan

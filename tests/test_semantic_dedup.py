@@ -244,3 +244,33 @@ def test_2level_property_matches_numpy_model(spark, tmp_path_factory, vecs):
     assert len(rows) == len(model)
     for r in rows:
         assert (r.cell_id, r.is_kept) == model[r.vec_id], (r.vec_id, vecs)
+
+
+def test_prototype_pruning_cut_is_exact_per_cell(spark):
+    """corpus_prune_prototypes: per cell, EXACTLY floor(cnt*ppm/1e6) rows
+    are dropped, they are the most-prototypical prefix under
+    (cent_sim DESC, vec_id), and ties never straddle the cut ambiguously
+    (the vec_id tie-break totalizes the order)."""
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        PROTO_PRUNE_PPM,
+    )
+
+    rows = (
+        all_queries()["corpus_prune_prototypes"]
+        .spark(spark, "/root/testdata/sf0.001")
+        .collect()
+    )
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell_id, []).append(r)
+    assert sum(len(v) for v in by_cell.values()) == 500
+    for cell, members in by_cell.items():
+        cnt = len(members)
+        want_drop = (cnt * PROTO_PRUNE_PPM) // 1_000_000
+        dropped = [m for m in members if not m.is_kept]
+        assert len(dropped) == want_drop, (cell, cnt)
+        # the dropped set is the top of the (cent_sim DESC, vec_id) order
+        order = sorted(members, key=lambda m: (-m.cent_sim, m.vec_id))
+        assert {m.vec_id for m in order[:want_drop]} == {
+            m.vec_id for m in dropped
+        }, cell
