@@ -1521,11 +1521,30 @@ def dedup_semantic_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _semantic_prune(emb, assign)
 
 
-def _semantic_prune(emb: DataFrame, assign: DataFrame) -> DataFrame:
+def _semantic_prune(
+    emb: DataFrame, assign: DataFrame, *, kernel: str = "arrow"
+) -> DataFrame:
     """Shared SemDeDup within-cell drop rule over an ``assign`` relation
-    ``(vec_id, cell_id, cent_sim)`` (persisted by the caller): slim id-pair
+    ``(vec_id, cell_id, cent_sim)`` (persisted by the caller).
+
+    ``kernel="arrow"`` (default since the round-8 sf100 profile) computes
+    every cell's pairwise-cosine block as ONE numpy GEMM inside
+    ``applyInPandas`` grouped on cell_id — the fold form below evaluates
+    n·B pair cosines on the interpreted HOF path (CodegenFallback) and
+    was the dominant residual of dedup_semantic_2level at sf100 (305 s
+    total).  The earlier-rule and drop decision use the EXACT ``cent_sim``
+    values the assignment emitted (fold-re-scored, bit-identical to the
+    SQL twin); only the ≥ ε pair comparison rides numpy doubles, whose
+    few-ulp difference from the fold matters only for a pair sitting
+    within ~1e-15 of the threshold.  Cell blocks are B²-bounded (B=64
+    target members; the flat baseline's √n cells stay comfortably in a
+    task).  The ``"fold"`` kernel is the pure-JVM reference: slim id-pair
     self-join on cell_id ordered by (cent_sim ASC, vec_id), vectors
     re-attached by two uniform vec_id joins for the epsilon check."""
+    if kernel == "arrow":
+        return _semantic_prune_arrow(emb, assign)
+    if kernel != "fold":  # pragma: no cover
+        raise ValueError(f"kernel must be 'arrow' or 'fold', got {kernel}")
     from flink_http_full_cache_connector_spark.functions.vectors import (
         cosine_with_norms,
         norm,
@@ -1554,6 +1573,50 @@ def _semantic_prune(emb: DataFrame, assign: DataFrame) -> DataFrame:
         .where(pair_sim >= SEMANTIC_DUP_THRESHOLD)
         .select(F.col("vid").alias("vec_id"))
         .distinct()
+        .withColumn("is_kept", F.lit(False))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell_id").cast("int").alias("cell_id"),
+            trunc6(F.col("cent_sim")).alias("cent_sim"),
+            F.coalesce(F.col("is_kept"), F.lit(True)).alias("is_kept"),
+        )
+    )
+
+
+def _semantic_prune_arrow(emb: DataFrame, assign: DataFrame) -> DataFrame:
+    """Arrow kernel for :func:`_semantic_prune` — see its docstring."""
+    import numpy as np
+    import pandas as pd
+
+    att = assign.join(
+        widen(emb).select(
+            "vec_id", as_double(F.col("embedding")).alias("v")
+        ),
+        "vec_id",
+    )
+
+    def _cell(key, pdf):
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
+        V = np.stack(pdf["v"].to_numpy())
+        Vn = np.sqrt((V * V).sum(axis=1))
+        S = (V @ V.T) / (Vn[:, None] * Vn[None, :])
+        cs = pdf["cent_sim"].to_numpy()
+        # earlier[u, v]: u precedes v under (cent_sim ASC, vec_id ASC) —
+        # the keep-the-farthest-from-centroid-first rule
+        earlier = (cs[:, None] < cs[None, :]) | (
+            (cs[:, None] == cs[None, :]) & (ids[:, None] < ids[None, :])
+        )
+        dup = (S >= SEMANTIC_DUP_THRESHOLD) & earlier
+        return pd.DataFrame({"vec_id": ids[dup.any(axis=0)]})
+
+    dropped = (
+        att.groupBy("cell_id")
+        .applyInPandas(_cell, "vec_id long")
         .withColumn("is_kept", F.lit(False))
     )
     return (
