@@ -210,6 +210,10 @@ def test_skip_baselines_mode_excludes_only_tagged_baselines():
         # SCALE.md round 6) — the n^1.5 balance point is a measurement,
         # not a caveat; dedup_semantic_2level is the production twin
         "dedup_semantic",
+        # uncapped bucket self-join: 639.7 s at sf100 (SCALE_SPOT_r8_minhash_cap
+        # .json) — pair work is unbounded in bucket size; dedup_minhash_capped
+        # is the production twin (count-window cap on the join's own shuffle)
+        "dedup_minhash_lsh",
     }
     kept = {n: qd for n, qd in q_all.items() if not qd.baseline}
     assert set(kept) == set(q_all) - tagged
@@ -221,5 +225,6 @@ def test_skip_baselines_mode_excludes_only_tagged_baselines():
         "sim_ann_ivf",
         "streaming_sessionize_evicting",
         "dedup_semantic_2level",
+        "dedup_minhash_capped",
     ):
         assert twin in kept
