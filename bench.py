@@ -26,9 +26,25 @@ import time
 MACHINE_LINE_BUDGET = 1985
 
 
+def _procs_running() -> int:
+    """Count of currently-running ("R") processes — the second load marker
+    (r8 verdict #8); /proc/stat's procs_running is Linux-only, so fall back
+    to -1 where it's absent rather than guessing."""
+    try:
+        with open("/proc/stat") as f:
+            for ln in f:
+                if ln.startswith("procs_running"):
+                    return int(ln.split()[1])
+    except OSError:
+        pass
+    return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_start = [round(x, 2) for x in os.getloadavg()]
+    procs_start = _procs_running()
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 
     from flink_http_full_cache_connector_spark.session import build_session
@@ -163,6 +179,16 @@ def main() -> None:
                 ),
                 "sf": sf,
                 "cpus": cpus,
+                # machine-load markers (r8 verdict #8: two same-code min-of-2
+                # runs differed ~30% under snapshot-window load — record the
+                # conditions so round-over-round deltas are interpretable).
+                # load_avg_{start,end} are the 1/5/15-min os.getloadavg()
+                # triples; procs counts running ("R") processes.  Quiet-window
+                # protocol: treat a run as comparable only when load_avg_start
+                # 1-min ≲ cpus/4 and procs_running ≲ cpus/8; otherwise rerun.
+                "load_avg_start": load_start,
+                "load_avg_end": [round(x, 2) for x in os.getloadavg()],
+                "procs_running_start": procs_start,
             },
             f,
             indent=1,

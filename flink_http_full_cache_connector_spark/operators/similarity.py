@@ -363,6 +363,96 @@ def two_level_assign_arrow(
     )
 
 
+def flat_assign_arrow(
+    vectors: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """``(vec_id, cell_id, v)`` — Arrow GEMM flat nearest-centroid
+    assignment against a driver-side centroid list; the TRAINING-loop
+    sibling of :func:`two_level_assign_arrow` (round-8 verdict #2: Lloyd's
+    per-iteration ``ivf_assign`` ran n_s·K interpreted cosine folds — the
+    570 s wall of the trained two-level index at sf100).  One map-only
+    pass: the K×dim centroid matrix rides the task closure (the broadcast
+    budget class — K is NUM_CENTROIDS or isqrt(C), metadata-sized by
+    construction), sims come from one BLAS GEMM per Arrow batch, and the
+    winner is the first argmax over cent_id-ascending rows — exactly
+    ``max_by(struct(sim, -cent_id))``: highest sim, lowest id on
+    bit-equal ties.  No shuffle, no per-row fold.
+
+    Used ONLY inside Lloyd training, where the emitted centroids feed
+    contract-gated consumers (Lloyd means have no bit-stable SQL replay
+    anywhere) — serve-time assignment keeps the fold/`max_by` form its
+    oracles cross-check.  Zero-norm guard (ADVICE r8): denominators clamp
+    to a tiny positive, so a degenerate all-zero vector scores exactly
+    0.0 against every centroid and lands deterministically in the lowest
+    cell id — no NaN reaches the argmax (the fold kernel's NaN
+    comparisons would emit its init sentinel; training never sees either
+    case on real embeddings, and the clamp keeps this kernel's behavior
+    defined and stable)."""
+    import numpy as np
+    import pandas as pd
+
+    order = sorted((int(c), [float(x) for x in v]) for c, v in cents)
+    cids = np.array([c for c, _ in order], dtype=np.int64)
+    CM = np.stack([np.asarray(v, dtype=np.float64) for _, v in order])
+    CMn = np.maximum(np.sqrt((CM * CM).sum(axis=1)), 1e-300)
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            Vn = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-300)
+            S = (V @ CM.T) / (Vn[:, None] * CMn[None, :])
+            best = np.argmax(S, axis=1)  # first max = lowest cent_id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cell_id": cids[best],
+                    "v": pdf["v"],
+                }
+            )
+
+    return vectors.mapInPandas(
+        _assign, "vec_id long, cell_id long, v array<double>"
+    )
+
+
+def lloyd_cell_means(
+    assign: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """``(cent_id, cv)`` — per-cell Lloyd mean in ONE grouped Arrow pass
+    (round-8 verdict #2's other half: the posexplode → (cell, dim) avg
+    form shuffled n_s·dim SCALAR rows per iteration — 128M rows at sf100
+    — where this shuffles the n_s slim vector rows once and reduces each
+    cell with a numpy mean).
+
+    Deterministic by construction: rows sort by ``id_col`` inside each
+    cell before the mean, so the float sequence is independent of shuffle
+    arrival order and partition count (the partitioning-invariance ground
+    rule — stricter than the avg fold it replaces, whose partial-merge
+    order was partitioning-dependent).  A cell group is ~n_s/C training
+    rows in one pandas frame; upstream balanced assignment
+    (coarse_probes=2) bounds skew, and a pathological cell spills an
+    executor, never the driver."""
+    import numpy as np
+    import pandas as pd
+
+    def _mean(key, pdf):
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        V = np.stack(pdf[vec_col].to_numpy())[order]
+        return pd.DataFrame(
+            {"cent_id": [int(key[0])], "cv": [V.mean(axis=0).tolist()]}
+        )
+
+    return assign.groupBy(cell_col).applyInPandas(
+        _mean, "cent_id long, cv array<double>"
+    )
+
+
 def two_level_assign(
     emb: DataFrame,
     coarse: DataFrame,
@@ -561,23 +651,32 @@ def ivf_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_mod: int | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Lloyd's k-means for IVF centroids.
 
-    Seeded deterministically (first ``k`` vectors by id).  Each iteration is
-    ONE distributed job: broadcast the current centroids as a literal local
-    relation, assign map-side (``ivf_assign``), posexplode the assigned
-    vectors and partial-aggregate per (cell, dim) — the shuffle carries
-    ``k*dim`` partial sums, never vectors — then collect the ``k*dim``
-    means to the driver and rebuild the centroid literals.  Centroids are
-    O(k·dim) metadata, independent of corpus size, so the per-iteration
-    collect is the scale-correct pattern (Spark MLlib's KMeans does the
-    same); it also keeps lineage flat with no persist/unpersist churn and
-    replaces the former 64-wide ``avg(v[i])`` codegen unit with a 2-column
-    aggregate (measured 9.7 s → ~2 s for the 3-iteration train at sf0.1,
-    all of it former plan-compile/materialization overhead).  Iterative →
-    no SQL oracle; the registered query wraps this in a self-consistency
-    contract and recall is pinned by tests.
+    Seeded deterministically (first ``k`` vectors by id).
+    ``kernel="arrow"`` (default since the round-9 profile — round-8
+    verdict #2) runs each iteration as one Arrow GEMM assignment
+    (:func:`flat_assign_arrow`: K×dim matrix in the task closure, no
+    shuffle, no interpreted fold — the fold path's n_s·K CodegenFallback
+    cosines were the 570 s wall of the trained two-level index at sf100)
+    feeding one grouped Arrow mean (:func:`lloyd_cell_means`: n_s slim
+    vector rows shuffled once, deterministic id-sorted reduction), then
+    collects the k mean rows and rebuilds the centroid literals.
+    Centroid values differ from the fold path in final ulps (GEMM vs
+    sequential sums) — legitimate because Lloyd means have no bit-stable
+    SQL replay anywhere: every consumer is contract-gated and recall is
+    pinned by tests.
+
+    ``kernel="fold"`` is the pure-JVM reference: broadcast the current
+    centroids as a literal local relation, assign map-side
+    (``ivf_assign``), posexplode the assigned vectors and
+    partial-aggregate per (cell, dim) — the shuffle carries ``k*dim``
+    partial sums, never vectors — then collect the ``k*dim`` means.
+    Either way centroids are O(k·dim) metadata, independent of corpus
+    size, so the per-iteration collect is the scale-correct pattern
+    (Spark MLlib's KMeans does the same).
 
     ``sample_mod=N`` trains on the deterministic 1/N md5-bucket subsample of
     the corpus (same bucketing family as sample_hash_split) instead of
@@ -586,6 +685,8 @@ def ivf_train(
     each iteration's scan+shuffle shrinks by N×.  Final cell assignment
     (done by the caller) always covers the full corpus.
     """
+    if kernel not in ("arrow", "fold"):  # pragma: no cover
+        raise ValueError(f"kernel must be 'arrow' or 'fold', got {kernel}")
     spark = corpus.sparkSession
     training = corpus
     if sample_mod is not None:
@@ -606,6 +707,20 @@ def ivf_train(
     ]
     dim = len(cents[0][1])
     schema = "cent_id long, cv array<double>"
+    if kernel == "arrow":
+        tv = widen(training).select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            as_double(F.col(vec_col)).alias("v"),
+        )
+        for _ in range(iters):
+            assign = flat_assign_arrow(tv, cents)
+            mrows = lloyd_cell_means(assign).collect()
+            by_mean = {
+                int(r["cent_id"]): [float(x) for x in r["cv"]] for r in mrows
+            }
+            # empty cells keep their previous centroid
+            cents = [(cid, by_mean.get(cid, cv)) for cid, cv in cents]
+        return spark.createDataFrame(cents, schema)
     for _ in range(iters):
         cent_df = spark.createDataFrame(cents, schema)
         assign = ivf_assign(training, cent_df, id_col=id_col, vec_col=vec_col)
@@ -1011,110 +1126,6 @@ def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-@register(
-    "streaming_ann_lookup",
-    _ivf_oracle(1),
-    doc="The reference's lookup-join semantics (HttpLookupTableSource: "
-    "enrich a stream row-by-row against a cached dimension) applied to "
-    "VECTOR keys: a stream of query embeddings is enriched per microbatch "
-    "with its nearest corpus neighbor from a STANDING persisted IVF index "
-    f"({NUM_CENTROIDS} cells, nprobe={NPROBE}).  The probe is fully "
-    "STATELESS — the cell shortlist folds over a literal centroid array "
-    "map-side (16 inline cosine expressions, array_sort by (-sim, "
-    "cent_id), slice nprobe — no window, no per-query job), candidates "
-    "come from a stream-static join against the reloaded cell-partitioned "
-    "index, and the ONLY stateful op is the single top-1 max_by "
-    "aggregation Structured Streaming allows.  Oracle = the IVF walk at "
-    "rank 1: streaming enrich ≡ the batch probe exactly.  At 100 TB the "
-    "static side reads ~nprobe/C of index bytes per batch and state is "
-    "one row per in-flight query key — the full-cache discipline "
-    "(refresh by swapping the index dir) carries over unchanged.",
-)
-def streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    import tempfile
-    import uuid
-
-    from flink_http_full_cache_connector_spark.streaming.pipeline import (
-        finalize_memory_sink,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    raw_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
-    work = tempfile.mkdtemp(prefix="spark_graft_ivfstream_")
-    try:
-        ivf_index_save(emb, work)
-        cent, assign = ivf_index_load(spark, work)
-        # C×dim literals (16×dim — metadata-sized, the same budget as a
-        # broadcast): each centroid becomes ONE inline cosine expression,
-        # so the nprobe shortlist needs no lambda capture of an outer
-        # HOF variable and no stateful window over the probe stream
-        cent_rows = sorted(
-            (int(r["cent_id"]), [float(x) for x in r["cv"]])
-            for r in cent.collect()
-        )
-        scored_cells = F.array(
-            *[
-                F.struct(
-                    (
-                        -cosine(F.col("qv"), F.array(*[F.lit(x) for x in cv]))
-                    ).alias("neg"),
-                    F.lit(cid).cast("long").alias("cent_id"),
-                )
-                for cid, cv in cent_rows
-            ]
-        )
-        top_cells = F.transform(
-            F.slice(F.array_sort(scored_cells), 1, NPROBE),
-            lambda s: s["cent_id"],
-        )
-        stream = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "embeddings.parquet")
-            .parquet(sf_dir)
-            .where(F.col("vec_id") < NUM_QUERIES)
-            .select(
-                F.col("vec_id").alias("query_id"),
-                as_double(F.col("embedding")).alias("qv"),
-            )
-        )
-        probes = stream.withColumn("cell_id", F.explode(top_cells))
-        cand = probes.join(assign, "cell_id").where(
-            F.col("vec_id") != F.col("query_id")
-        )
-        best = F.max_by(
-            F.struct("neighbor_id", "cos_sim"),
-            F.struct(F.col("cos_sim"), (-F.col("neighbor_id")).alias("neg")),
-        )
-        top1 = (
-            cand.select(
-                "query_id",
-                F.col("vec_id").alias("neighbor_id"),
-                cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
-            )
-            .groupBy("query_id")
-            .agg(best.alias("b"))
-            .select(
-                "query_id",
-                F.col("b.neighbor_id").alias("neighbor_id"),
-                trunc6(F.col("b.cos_sim")).alias("cos_sim"),
-                F.lit(1).cast("int").alias("rank"),
-            )
-        )
-        name = f"ann_lookup_{uuid.uuid4().hex[:12]}"
-        query = (
-            top1.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
-        return finalize_memory_sink(spark.table(name), name)
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-
-
 def lsh_planes(
     emb: DataFrame,
     *,
@@ -1325,7 +1336,7 @@ def ivf2_cells_for(n: int) -> int:
     return max(NUM_CENTROIDS, n // IVF2_CELL_TARGET)
 
 
-def _ivf_2level_oracle() -> str:
+def _ivf_2level_oracle(k: int = TOP_K) -> str:
     return f"""
 WITH params AS (
     SELECT c, greatest(4,
@@ -1417,7 +1428,7 @@ ranked AS (
 )
 SELECT query_id, neighbor_id, {duck_trunc6('cos_sim')} AS cos_sim,
        rank::int AS rank
-FROM ranked WHERE rank <= {TOP_K}
+FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1523,6 +1534,215 @@ def _two_level_probe_topk(
     )
 
 
+def two_level_index_save(emb: DataFrame, out_dir: str) -> None:
+    """Persist the corpus-scaled two-level IVF index — the production
+    serve layout (round-8 verdict #4).  Three relations:
+
+    - ``{out_dir}/coarse``: (co_id, qv, nq) — K = isqrt(C) rows.
+    - ``{out_dir}/fine``: (cent_id, co_id, cv, nc) — C = max(16, n/64)
+      rows.
+    - ``{out_dir}/assign``: (vec_id, v, cell_id) PARTITIONED BY co_id and
+      SORTED WITHIN partitions by cell_id.  co_id directories (K = √C of
+      them — metadata-sized at any corpus) keep the file count sane where
+      cell_id directories would mean one ~64-vector file per fine cell
+      (31k dirs at generated sf100, millions at 100 TB — the small-files
+      antipattern); the cell_id sort gives every row group a tight
+      cell_id min/max, so a probe read prunes partitions to the query's
+      ONE coarse cell and row-groups to its nprobe fine cells.
+
+    Assignment runs through :func:`two_level_assign` (Arrow kernel, the
+    oracle-gated default) — build cost is one corpus pass + one slim
+    shuffle, paid once; every subsequent probe reads ~nprobe·(n/C) rows."""
+    import math
+
+    cells = ivf2_cells_for(emb.count())
+    k = max(4, math.isqrt(cells))
+    coarse, fine_grouped = two_level_index(emb, cells=cells, k=k)
+    assign = two_level_assign(emb, coarse, fine_grouped).select(
+        "vec_id", "cell_id"
+    )
+    coarse.write.mode("overwrite").parquet(f"{out_dir}/coarse")
+    fine_grouped.select("cent_id", "co_id", "cv", "nc").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/fine")
+    v = widen(emb).select("vec_id", as_double(F.col("embedding")).alias("v"))
+    (
+        assign.join(v, "vec_id")
+        .join(
+            fine_grouped.select(
+                F.col("cent_id").alias("cell_id"), "co_id"
+            ),
+            "cell_id",
+        )
+        .repartition("co_id")
+        .sortWithinPartitions("co_id", "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("co_id")
+        .parquet(f"{out_dir}/assign")
+    )
+
+
+def two_level_index_load(
+    spark: SparkSession, out_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(coarse, fine_grouped, assign) back from
+    :func:`two_level_index_save`'s layout; assign carries (vec_id, v,
+    cell_id, co_id) so consumers can join/prune on either level."""
+    coarse = spark.read.parquet(f"{out_dir}/coarse")
+    fine_grouped = spark.read.parquet(f"{out_dir}/fine")
+    assign = spark.read.parquet(f"{out_dir}/assign").select(
+        "vec_id",
+        "v",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        F.col("co_id").cast("long").alias("co_id"),
+    )
+    return coarse, fine_grouped, assign
+
+
+@register(
+    "streaming_ann_lookup",
+    _ivf_2level_oracle(1),
+    doc="The reference's lookup-join semantics (HttpLookupTableSource: "
+    "enrich a stream row-by-row against a cached dimension) applied to "
+    "VECTOR keys: a stream of query embeddings is enriched per microbatch "
+    "with its nearest corpus neighbor from a STANDING persisted "
+    f"CORPUS-SCALED two-level IVF index (C = max(16, n/{IVF2_CELL_TARGET}) "
+    f"fine cells under K = isqrt(C) coarse cells, nprobe={NPROBE} — "
+    "round-8 verdict #4: the old fixed-16-cell index made every "
+    "microbatch's candidate join read ~n/4 of the corpus; this one reads "
+    f"~nprobe·{IVF2_CELL_TARGET} candidate rows per query at ANY corpus "
+    "size).  The probe walk is fully STATELESS per stream row: top-1 "
+    "coarse cell via one array_sort over the K-struct coarse array (a "
+    "ONE-ROW static relation cross-broadcast onto the stream — K·dim "
+    "doubles, the broadcast-budget class, no giant literal codegen), "
+    "then top-nprobe fine cells via the probed cell's pre-grouped fine "
+    "array (co_id-keyed broadcast join, ~√C structs per row), both with "
+    "the house (sim DESC, id ASC) tie rule; candidates come from a "
+    "stream-static join on (co_id, cell_id) against the co_id-partitioned "
+    "assign parquet, and the ONLY stateful op is the single top-1 max_by "
+    "aggregation Structured Streaming allows.  Oracle = the two-level "
+    "walk at rank 1: streaming enrich ≡ sim_ann_ivf_2level's rank-1 row "
+    "exactly (pinned in tests/test_retrieval_phrase.py).  The full-cache "
+    "discipline (refresh by swapping the index dir) carries over "
+    "unchanged.",
+)
+def streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        cosine_with_norms,
+        norm,
+    )
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        finalize_memory_sink,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    work = tempfile.mkdtemp(prefix="spark_graft_ivfstream_")
+    try:
+        two_level_index_save(emb, work)
+        coarse, fine_grouped, assign = two_level_index_load(spark, work)
+        # ONE-row static relations for the stateless per-row shortlist:
+        # the K coarse structs as one array; each coarse cell's ~√C fine
+        # structs as one co_id-keyed array row.  Both broadcast.
+        carr = coarse.agg(
+            F.collect_list(F.struct("co_id", "qv", "nq")).alias("cents")
+        )
+        fins = fine_grouped.groupBy("co_id").agg(
+            F.collect_list(F.struct("cent_id", "cv", "nc")).alias("fines")
+        )
+        stream = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "embeddings.parquet")
+            .parquet(sf_dir)
+            .where(F.col("vec_id") < NUM_QUERIES)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                as_double(F.col("embedding")).alias("qv"),
+            )
+            .withColumn("nqv", norm(F.col("qv")))
+        )
+        # stage 1: top-1 coarse cell — array_sort by (-sim, co_id), the
+        # max_by(struct(sim, -id)) rule on bit-equal candidates
+        coarse_scored = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (
+                    -cosine_with_norms(
+                        F.col("qv"), c["qv"], F.col("nqv"), c["nq"]
+                    )
+                ).alias("neg"),
+                c["co_id"].alias("co_id"),
+            ),
+        )
+        with_co = (
+            stream.crossJoin(F.broadcast(carr))
+            .withColumn(
+                "co_id",
+                F.element_at(F.array_sort(coarse_scored), 1)["co_id"],
+            )
+            .drop("cents")
+        )
+        # stage 2: top-nprobe fine cells WITHIN the probed coarse cell
+        fine_scored = F.transform(
+            F.col("fines"),
+            lambda f: F.struct(
+                (
+                    -cosine_with_norms(
+                        F.col("qv"), f["cv"], F.col("nqv"), f["nc"]
+                    )
+                ).alias("neg"),
+                f["cent_id"].alias("cent_id"),
+            ),
+        )
+        top_cells = F.transform(
+            F.slice(F.array_sort(fine_scored), 1, NPROBE),
+            lambda s: s["cent_id"],
+        )
+        probes = (
+            with_co.join(F.broadcast(fins), "co_id")
+            .withColumn("cell_id", F.explode(top_cells))
+            .drop("fines")
+        )
+        cand = probes.join(assign, ["co_id", "cell_id"]).where(
+            F.col("vec_id") != F.col("query_id")
+        )
+        best = F.max_by(
+            F.struct("neighbor_id", "cos_sim"),
+            F.struct(F.col("cos_sim"), (-F.col("neighbor_id")).alias("neg")),
+        )
+        top1 = (
+            cand.select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+            )
+            .groupBy("query_id")
+            .agg(best.alias("b"))
+            .select(
+                "query_id",
+                F.col("b.neighbor_id").alias("neighbor_id"),
+                trunc6(F.col("b.cos_sim")).alias("cos_sim"),
+                F.lit(1).cast("int").alias("rank"),
+            )
+        )
+        name = f"ann_lookup_{uuid.uuid4().hex[:12]}"
+        query = (
+            top1.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return finalize_memory_sink(spark.table(name), name)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def two_level_index_trained(
     emb: DataFrame,
     *,
@@ -1611,19 +1831,13 @@ def two_level_index_trained(
             training, coarse, fg, id_col=id_col, vec_col=vec_col,
             coarse_probes=2,
         )
-        means = (
-            assign.join(tv, id_col)
-            .select("cell_id", F.posexplode(F.col("tv")).alias("d", "x"))
-            .groupBy("cell_id", "d")
-            .agg(F.avg("x").alias("m"))
-        )
-        new_fine = (
-            means.groupBy("cell_id")
-            .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
-            .select(
-                F.col("cell_id").alias("cent_id"),
-                F.expr("transform(dm, x -> x.m)").alias("cv"),
-            )
+        # grouped Arrow means (round-8 verdict #2): one slim vector-row
+        # shuffle + deterministic id-sorted numpy reduction per cell,
+        # replacing the posexplode form that shuffled n_s·dim scalar rows
+        new_fine = lloyd_cell_means(
+            assign.select(id_col, "cell_id").join(tv, id_col),
+            id_col=id_col,
+            vec_col="tv",
         )
         kept = fine.join(
             new_fine.select("cent_id"), "cent_id", "left_anti"
@@ -2144,16 +2358,64 @@ def sub_sqdist(a: Column, b: Column, m: int) -> Column:
     )
 
 
-def pq_encode(corpus: DataFrame, codebook: DataFrame) -> DataFrame:
+def pq_encode(
+    corpus: DataFrame, codebook: DataFrame, *, kernel: str = "arrow"
+) -> DataFrame:
     """(vec_id, code_0..code_{M-1}): nearest codeword per subspace.
 
-    Codebook (PQ_K rows) broadcasts; per (vector, codeword) all M subspace
+    ``kernel="arrow"`` (default since the round-9 sf100 profile) runs the
+    per-subspace argmin as one Arrow-batched numpy pass — and, unlike the
+    selection-only GEMM kernels, it is **bit-identical** to the fold by
+    construction: the squared distance accumulates LEFT-TO-RIGHT over the
+    subspace dims with one vectorized ``acc + d*d`` per dim, the exact
+    IEEE float64 sequence :func:`sqdist` folds, so the argmin decides on
+    the same bits and the emitted codes cannot diverge (no re-score step
+    needed; the full SQL oracle stays exact).  The pass is map-only —
+    the PQ_K×dim codebook rides the task closure and NO shuffle remains
+    (the fold path paid one slim groupBy(vec_id) exchange).  At sf100 the
+    fold path's n·PQ_K·PQ_M interpreted sub-folds were the ADC stage's
+    wall (round-8 verdict #3).
+
+    ``kernel="fold"`` is the pure-JVM-expression reference: codebook
+    (PQ_K rows) broadcasts; per (vector, codeword) all M subspace
     distances are computed map-side, then ONE groupBy(vec_id) with M
-    ``min_by`` aggregates picks every subspace's code — the shuffle carries
-    one row per vector (scalar code columns, no arrays)."""
+    ``min_by`` aggregates picks every subspace's code — the shuffle
+    carries one row per vector (scalar code columns, no arrays)."""
     c = widen(corpus).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
+    if kernel == "arrow":
+        import numpy as np
+        import pandas as pd
+
+        rows = sorted(
+            (int(r["j"]), np.asarray(r["w"], dtype=np.float64))
+            for r in codebook.select("j", "w").collect()
+        )
+        js = np.array([j for j, _ in rows], dtype=np.int32)
+        W = np.stack([w for _, w in rows])  # (PQ_K, dim), j-ascending
+
+        def _enc(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy())  # (b, dim)
+                out = {"vec_id": pdf["vec_id"].to_numpy()}
+                for m in range(PQ_M):
+                    acc = np.zeros((len(pdf), W.shape[0]))
+                    for i in range(m * PQ_SUB, (m + 1) * PQ_SUB):
+                        d = V[:, i : i + 1] - W[None, :, i][0]
+                        acc = acc + d * d
+                    # first-min on j-ascending rows = min_by(struct(d, j))
+                    out[f"code_{m}"] = js[np.argmin(acc, axis=1)]
+                yield pd.DataFrame(out)
+
+        schema = "vec_id long, " + ", ".join(
+            f"code_{m} int" for m in range(PQ_M)
+        )
+        return c.mapInPandas(_enc, schema)
+    if kernel != "fold":  # pragma: no cover
+        raise ValueError(f"kernel must be 'arrow' or 'fold', got {kernel}")
     enc = c.join(F.broadcast(codebook)).select(
         "vec_id",
         "j",

@@ -627,10 +627,14 @@ POSTINGS_UPDATE_SLICES = 3  # microbatches the streaming index build consumes
     "inverted_index_postings maintained by a continuous ingest (the "
     f"update-merge template): documents arrive in "
     f"{POSTINGS_UPDATE_SLICES} microbatches; per-document (tok, tf) is "
-    "computed STATELESSLY inside the row (array_distinct + filter-count "
-    "over the token array — a document is whole within its row, so no "
-    "second stateful aggregation is needed, which streaming disallows "
-    "anyway); ONE stateful groupBy(tok) runs in UPDATE output mode — "
+    "computed STATELESSLY inside the row — ONE aggregate() fold "
+    "run-length-encodes the SORTED token array, referencing the "
+    "sort+split subtree exactly once (HOF lambdas get no CSE; the "
+    "array_distinct + filter-count draft that mentioned it per element "
+    "re-tokenized the document per term and measured 7×/decade — "
+    "reverted).  A document is whole within its row, so no second "
+    "stateful aggregation is needed, which streaming disallows anyway; "
+    "ONE stateful groupBy(tok) runs in UPDATE output mode — "
     "each microbatch emits only the terms whose df/cf/max_tf changed, "
     "never the whole vocabulary — and foreachBatch upserts the deltas "
     "into a versioned parquet state table.  The batch oracle (the exact "

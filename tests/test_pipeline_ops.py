@@ -709,6 +709,27 @@ def test_ann_ivf_pq_recall_vs_bruteforce_l2(spark):
     assert avg >= 0.25, f"IVF-PQ recall@10 {avg:.2f}"
 
 
+def test_pq_encode_arrow_codes_bit_identical_to_fold(spark):
+    """The Arrow PQ encoder accumulates squared distances left-to-right
+    over dims — the exact IEEE float64 sequence the fold kernel runs —
+    so codes must be IDENTICAL, not merely close (the full SQL oracle of
+    sim_ann_ivf_2level_pq depends on it; round-8 verdict #3)."""
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        PQ_K,
+        as_double,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb = emb.where(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").cast("int").alias("j"),
+        as_double(F.col("embedding")).alias("w"),
+    )
+    arrow = sorted(tuple(r) for r in pq_encode(emb, cb, kernel="arrow").collect())
+    fold = sorted(tuple(r) for r in pq_encode(emb, cb, kernel="fold").collect())
+    assert arrow == fold
+
+
 def test_temperature_sampling_flattens_shares(spark, tmp_path):
     """α=0.5 must flatten the blend: with sources of 400 vs 100 docs
     (natural 80/20), sampled shares must sit strictly between natural and

@@ -98,6 +98,10 @@ def test_phrase_legs_filter_pushed_to_scan(spark):
 
 
 def test_streaming_ann_lookup_equals_batch_rank1(spark):
+    """The streaming lookup now serves the CORPUS-SCALED two-level
+    persisted index (round-8 verdict #4), so its rank-1 answer must equal
+    sim_ann_ivf_2level's batch walk at rank 1 — the append-vs-rebuild
+    class of guarantee for the stream-enrich path."""
     from flink_http_full_cache_connector_spark.plans.registry import all_queries
 
     qs = all_queries()
@@ -107,7 +111,7 @@ def test_streaming_ann_lookup_equals_batch_rank1(spark):
     }
     batch_rank1 = {
         r.query_id: (r.neighbor_id, r.cos_sim, 1)
-        for r in qs["sim_ann_ivf"].spark(spark, SF_DIR).collect()
+        for r in qs["sim_ann_ivf_2level"].spark(spark, SF_DIR).collect()
         if r.rank == 1
     }
     assert stream_rows == batch_rank1
