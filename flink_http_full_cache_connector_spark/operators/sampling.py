@@ -137,7 +137,7 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes AS (SELECT doc_id, count(*) n FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        FROM sh a JOIN sh b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
     pairs AS (
