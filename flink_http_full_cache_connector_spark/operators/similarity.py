@@ -255,12 +255,23 @@ def two_level_assign_arrow(
     the result at every driver scale.
 
     Scale shape: stage 1 is a map-only pass (K×dim matrix in the task
-    closure — the broadcast-budget class); stage 2 shuffles (co_id, v)
-    once on the probed coarse key (n·probes slim rows) and runs one GEMM
-    per coarse group (C×dim total fine bytes in the closure); the final
+    closure — the broadcast-budget class); stage 2 COGROUPS the probes
+    with the fine centroids on co_id — each task receives its coarse
+    cell's probe rows plus that cell's ~√C fine rows through the shuffle
+    itself (round-8 ADVICE: the first cut collected ALL C×dim fine
+    matrices to the driver and pickled the full set into every task's
+    closure — a driver-memory and task-serialization wall exactly where
+    C outgrows broadcast comfort; the cogroup ships each cell's matrix
+    once, to the one task that needs it, at any C).  The final
     per-vector argmax across probes and the exact-fold re-score are
     codegen aggregates/joins.  No stage materializes n×C rows and no
-    fold runs more than once per vector."""
+    fold runs more than once per vector.
+
+    Zero-norm guard (round-8 ADVICE): all norm denominators clamp to a
+    tiny positive, so a degenerate all-zero vector scores exactly 0.0
+    everywhere and breaks to the lowest id deterministically — no NaN
+    reaches an argmax (the fold kernel would emit its init sentinel;
+    real embeddings are non-zero and the gates hash-verify both)."""
     import numpy as np
     import pandas as pd
 
@@ -278,20 +289,7 @@ def two_level_assign_arrow(
     )
     co_ids = np.array([i for i, _ in co_rows], dtype=np.int64)
     CM = np.stack([v for _, v in co_rows])
-    CMn = np.sqrt((CM * CM).sum(axis=1))
-
-    fine_rows = fine_grouped.select("co_id", "cent_id", "cv").collect()
-    fine_by_co: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
-    grouped: dict[int, list[tuple[int, np.ndarray]]] = {}
-    for r in fine_rows:
-        grouped.setdefault(int(r["co_id"]), []).append(
-            (int(r["cent_id"]), np.asarray(r["cv"], dtype=np.float64))
-        )
-    for co, members in grouped.items():
-        members.sort()
-        ids = np.array([i for i, _ in members], dtype=np.int64)
-        FM = np.stack([v for _, v in members])
-        fine_by_co[co] = (ids, FM, np.sqrt((FM * FM).sum(axis=1)))
+    CMn = np.maximum(np.sqrt((CM * CM).sum(axis=1)), 1e-300)
 
     # a corpus smaller than the probe count yields fewer coarse cells
     # than probes (the 1-vector hypothesis corpora) — probe what exists
@@ -302,7 +300,7 @@ def two_level_assign_arrow(
             if not len(pdf):
                 continue
             V = np.stack(pdf["v"].to_numpy())
-            Vn = np.sqrt((V * V).sum(axis=1))
+            Vn = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-300)
             S = (V @ CM.T) / (Vn[:, None] * CMn[None, :])
             # stable argsort on -S: sim DESC, then co_id ASC (rows are
             # co_id-ordered) — the max_by(struct(sim, -id)) rule
@@ -321,22 +319,34 @@ def two_level_assign_arrow(
     )
     probes = v.mapInPandas(_stage1, "vec_id long, co_id long, v array<double>")
 
-    def _stage2(key, pdf):
-        ids, FM, FMn = fine_by_co[int(key[0])]
-        V = np.stack(pdf["v"].to_numpy())
-        Vn = np.sqrt((V * V).sum(axis=1))
+    def _stage2(key, probes_pdf, fine_pdf):
+        if not len(probes_pdf) or not len(fine_pdf):
+            # a cell no vector probed, or (never, by construction — every
+            # coarse cell owns a fine centroid) a probe into a fine-less
+            # cell: nothing to emit
+            return pd.DataFrame(
+                {"vec_id": [], "cell_id": [], "sim": []}
+            ).astype({"vec_id": "int64", "cell_id": "int64", "sim": "float64"})
+        fine_pdf = fine_pdf.sort_values("cent_id")
+        ids = fine_pdf["cent_id"].to_numpy(dtype=np.int64)
+        FM = np.stack(fine_pdf["cv"].to_numpy())
+        FMn = np.maximum(np.sqrt((FM * FM).sum(axis=1)), 1e-300)
+        V = np.stack(probes_pdf["v"].to_numpy())
+        Vn = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-300)
         S = (V @ FM.T) / (Vn[:, None] * FMn[None, :])
         best = np.argmax(S, axis=1)  # first max = lowest cent_id on ties
         return pd.DataFrame(
             {
-                "vec_id": pdf["vec_id"].to_numpy(),
+                "vec_id": probes_pdf["vec_id"].to_numpy(),
                 "cell_id": ids[best],
-                "sim": S[np.arange(len(pdf)), best],
+                "sim": S[np.arange(len(probes_pdf)), best],
             }
         )
 
-    in_cell = probes.groupBy("co_id").applyInPandas(
-        _stage2, "vec_id long, cell_id long, sim double"
+    in_cell = (
+        probes.groupBy("co_id")
+        .cogroup(fine_grouped.select("co_id", "cent_id", "cv").groupBy("co_id"))
+        .applyInPandas(_stage2, "vec_id long, cell_id long, sim double")
     )
     chosen = in_cell.groupBy("vec_id").agg(
         F.max_by(

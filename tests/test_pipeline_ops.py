@@ -709,6 +709,98 @@ def test_ann_ivf_pq_recall_vs_bruteforce_l2(spark):
     assert avg >= 0.25, f"IVF-PQ recall@10 {avg:.2f}"
 
 
+def test_semantic_prune_kernels_agree_near_threshold(spark):
+    """Round-8 ADVICE: the arrow kernel decides the >= epsilon pair test on
+    numpy/BLAS doubles while the fold kernel runs the exact sequential
+    fold — a pair within ~1 ulp of the threshold could flip between them
+    on a divergent BLAS build.  Engineer pairs sitting ~1e-14 around
+    SEMANTIC_DUP_THRESHOLD (100x the expected GEMM-vs-fold ulp noise on
+    64-dim dots, so stable on a sane platform, loud on a divergent one)
+    and require the kernels to agree exactly."""
+    import math
+
+    import numpy as np
+
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        SEMANTIC_DUP_THRESHOLD,
+        _semantic_prune,
+    )
+
+    rng_dim = 64
+    t = SEMANTIC_DUP_THRESHOLD
+    u = np.zeros(rng_dim)
+    u[0] = 1.0
+    vecs = {0: u.tolist()}
+    # vectors at cosine t - 1e-14, t, t + 1e-14 from u (unit norm)
+    for i, eps in enumerate((-1e-14, 0.0, 1e-14), start=1):
+        c = t + eps
+        w = np.zeros(rng_dim)
+        w[0] = c
+        w[1] = math.sqrt(1.0 - c * c)
+        vecs[i] = w.tolist()
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    # all four in one cell; cent_sim ascending with vec_id so the earlier
+    # rule keeps vec 0 and tests the pair decision against each crafted one
+    assign = spark.createDataFrame(
+        [(i, 0, 0.1 * (i + 1)) for i in vecs],
+        "vec_id long, cell_id long, cent_sim double",
+    ).persist()
+    arrow = sorted(
+        tuple(r) for r in _semantic_prune(emb, assign, kernel="arrow").collect()
+    )
+    fold = sorted(
+        tuple(r) for r in _semantic_prune(emb, assign, kernel="fold").collect()
+    )
+    assert arrow == fold
+    # sanity: the fixture actually straddles the threshold (one side kept)
+    kept = {r[0]: r[3] for r in arrow}
+    assert kept[1] and not kept[3], kept
+
+
+def test_two_level_assign_kernels_agree_near_tie(spark):
+    """Round-8 ADVICE sibling fixture: two fine centroids engineered
+    ~1e-14 apart in cosine from a probe vector — the arrow argmax and the
+    fold max_by must pick the same winner (and the exact-fold re-score
+    makes cent_sim bit-identical by construction)."""
+    import math
+
+    import numpy as np
+
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        two_level_assign,
+        two_level_index,
+    )
+
+    dim = 64
+    base = 0.9
+    rows = []
+    # vec 0/1: the two near-tied fine centroid seeds; vec 2: coarse seed
+    # twin; vec 3: the probe
+    for i, eps in enumerate((0.0, 1e-14)):
+        c = base + eps
+        w = np.zeros(dim)
+        w[0] = c
+        w[1] = math.sqrt(1.0 - c * c)
+        rows.append((i, w.tolist()))
+    probe = np.zeros(dim)
+    probe[0] = 1.0
+    rows.append((2, probe.tolist()))
+    rows.append((3, probe.tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coarse, fine = two_level_index(emb, cells=3, k=1)
+    arrow = sorted(
+        tuple(r)
+        for r in two_level_assign(emb, coarse, fine, kernel="arrow").collect()
+    )
+    fold = sorted(
+        tuple(r)
+        for r in two_level_assign(emb, coarse, fine, kernel="fold").collect()
+    )
+    assert arrow == fold
+
+
 def test_pq_encode_arrow_codes_bit_identical_to_fold(spark):
     """The Arrow PQ encoder accumulates squared distances left-to-right
     over dims — the exact IEEE float64 sequence the fold kernel runs —
