@@ -539,8 +539,12 @@ def _minhash_verified_pairs(
     docs = load_table(spark, sf_dir, "documents")
     # one persisted shingle relation feeds BOTH the signature aggregation and
     # the Jaccard verify — the explode+md5 fan-out (map-side hot path) runs
-    # exactly once
-    sh = _shingle_table(docs).persist()
+    # exactly once.  Persist ONLY the integer columns (signatures read h,
+    # the verify join reads fp): keeping the shingle string in the cache
+    # tripled the cached bytes and at sf100 (≈250 M shingle rows) pushed
+    # the persist+shuffles into disk spill — the round-8 sweep's 607 s
+    # wall was storage pressure, not compute (round-8 verdict #5)
+    sh = _shingle_table(docs).select("doc_id", "h", "fp").persist()
     # signatures feed ~10 subplans (4 band selects x 2 join sides + 2 size
     # lookups); persisting them is the 100 TB design too — K longs per doc,
     # tiny next to the corpus, and avoids re-scanning it per band

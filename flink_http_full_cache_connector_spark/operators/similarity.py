@@ -1481,6 +1481,7 @@ def _two_level_probe_topk(
     assign: DataFrame,
     *,
     coarse_probes: int = 1,
+    neighbors: DataFrame | None = None,
 ) -> DataFrame:
     """The two-level search walk, shared by the corpus-slice and the
     Lloyd-trained index: query → top-``coarse_probes`` coarse cells →
@@ -1528,10 +1529,14 @@ def _two_level_probe_topk(
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "qv", "nqv", F.col("vec_id").alias("neighbor_id"))
     )
-    nb = emb.select(
+    # ``neighbors`` overrides the rerank-vector source (the persisted-index
+    # serve path reranks from the index's own stored vectors, never
+    # rescanning the corpus); default reads them from ``emb``
+    nb_src = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         as_double(F.col("embedding")).alias("nv"),
-    ).withColumn("nnv", norm(F.col("nv")))
+    ) if neighbors is None else neighbors
+    nb = nb_src.withColumn("nnv", norm(F.col("nv")))
     sim = cosine_with_norms(F.col("qv"), F.col("nv"), F.col("nqv"), F.col("nnv"))
     scored = cand.join(nb, "neighbor_id").select(
         "query_id", "neighbor_id", sim.alias("cos_sim")
@@ -1541,6 +1546,88 @@ def _two_level_probe_topk(
         "neighbor_id",
         trunc6(F.col("cos_sim")).alias("cos_sim"),
         F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _two_level_assign_carry_v(
+    emb: DataFrame,
+    coarse: DataFrame,
+    fine_grouped: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(co_id, vec_id, cell_id, v)`` — the INDEX-BUILD variant of
+    :func:`two_level_assign_arrow` (coarse_probes=1): identical cell
+    SELECTION (same stage-1 argsort, same cogrouped stage-2 argmax, same
+    tie rule), but the vector rides through stage 2 and out, and the
+    ``cent_sim`` re-score / per-vector argmax / vector re-join are all
+    skipped — the index stores (v, cell) rows, not sims.  The first cut
+    of :func:`two_level_index_save` re-joined v onto the slim assignment
+    by vec_id and then ``repartition("co_id")``-ed for the partitioned
+    write — two full-corpus vector shuffles the sf100 sweep charged at
+    ~15 s/decade-row; here the cogroup's own co_id shuffle IS the write
+    partitioning, so the build pays exactly one vector shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    co_rows = sorted(
+        (int(r["co_id"]), np.asarray(r["qv"], dtype=np.float64))
+        for r in coarse.select("co_id", "qv").collect()
+    )
+    co_ids = np.array([i for i, _ in co_rows], dtype=np.int64)
+    CM = np.stack([v for _, v in co_rows])
+    CMn = np.maximum(np.sqrt((CM * CM).sum(axis=1)), 1e-300)
+
+    def _stage1(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy())
+            Vn = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-300)
+            S = (V @ CM.T) / (Vn[:, None] * CMn[None, :])
+            top = np.argsort(-S, axis=1, kind="stable")[:, 0]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "co_id": co_ids[top],
+                    "v": pdf["v"],
+                }
+            )
+
+    v = widen(emb).select(
+        F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
+    )
+    probes = v.mapInPandas(_stage1, "vec_id long, co_id long, v array<double>")
+
+    def _stage2(key, probes_pdf, fine_pdf):
+        if not len(probes_pdf) or not len(fine_pdf):
+            return pd.DataFrame(
+                {"co_id": [], "vec_id": [], "cell_id": [], "v": []}
+            ).astype({"co_id": "int64", "vec_id": "int64", "cell_id": "int64"})
+        fine_pdf = fine_pdf.sort_values("cent_id")
+        ids = fine_pdf["cent_id"].to_numpy(dtype=np.int64)
+        FM = np.stack(fine_pdf["cv"].to_numpy())
+        FMn = np.maximum(np.sqrt((FM * FM).sum(axis=1)), 1e-300)
+        V = np.stack(probes_pdf["v"].to_numpy())
+        Vn = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-300)
+        S = (V @ FM.T) / (Vn[:, None] * FMn[None, :])
+        best = np.argmax(S, axis=1)  # first max = lowest cent_id on ties
+        return pd.DataFrame(
+            {
+                "co_id": np.full(len(probes_pdf), int(key[0]), dtype=np.int64),
+                "vec_id": probes_pdf["vec_id"].to_numpy(),
+                "cell_id": ids[best],
+                "v": probes_pdf["v"].to_numpy(),
+            }
+        )
+
+    return (
+        probes.groupBy("co_id")
+        .cogroup(fine_grouped.select("co_id", "cent_id", "cv").groupBy("co_id"))
+        .applyInPandas(
+            _stage2, "co_id long, vec_id long, cell_id long, v array<double>"
+        )
     )
 
 
@@ -1560,31 +1647,22 @@ def two_level_index_save(emb: DataFrame, out_dir: str) -> None:
       cell_id min/max, so a probe read prunes partitions to the query's
       ONE coarse cell and row-groups to its nprobe fine cells.
 
-    Assignment runs through :func:`two_level_assign` (Arrow kernel, the
-    oracle-gated default) — build cost is one corpus pass + one slim
-    shuffle, paid once; every subsequent probe reads ~nprobe·(n/C) rows."""
+    Assignment runs through :func:`_two_level_assign_carry_v` — selection
+    identical to the oracle-gated :func:`two_level_assign` kernel, with
+    the vector carried in-band so the build pays exactly ONE vector
+    shuffle (the cogroup's co_id exchange, which is also the write
+    partitioning); every subsequent probe reads ~nprobe·(n/C) rows."""
     import math
 
     cells = ivf2_cells_for(emb.count())
     k = max(4, math.isqrt(cells))
     coarse, fine_grouped = two_level_index(emb, cells=cells, k=k)
-    assign = two_level_assign(emb, coarse, fine_grouped).select(
-        "vec_id", "cell_id"
-    )
     coarse.write.mode("overwrite").parquet(f"{out_dir}/coarse")
     fine_grouped.select("cent_id", "co_id", "cv", "nc").write.mode(
         "overwrite"
     ).parquet(f"{out_dir}/fine")
-    v = widen(emb).select("vec_id", as_double(F.col("embedding")).alias("v"))
     (
-        assign.join(v, "vec_id")
-        .join(
-            fine_grouped.select(
-                F.col("cent_id").alias("cell_id"), "co_id"
-            ),
-            "cell_id",
-        )
-        .repartition("co_id")
+        _two_level_assign_carry_v(emb, coarse, fine_grouped)
         .sortWithinPartitions("co_id", "cell_id")
         .write.mode("overwrite")
         .partitionBy("co_id")
@@ -1749,6 +1827,56 @@ def streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         query.awaitTermination()
         return finalize_memory_sink(spark.table(name), name)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@register(
+    "sim_ann_ivf_2level_persisted",
+    _ivf_2level_oracle(),
+    doc=f"Two-level IVF ANN top-{TOP_K} answered from the PERSISTED "
+    "corpus-scaled index — the batch twin of streaming_ann_lookup's "
+    "serve path and the two-level upgrade of sim_ann_ivf_persisted: "
+    "two_level_index_save writes coarse/fine plus the (vec_id, v, "
+    "cell_id) assignment partitioned by co_id and cell_id-sorted, and "
+    "the whole probe walk — coarse top-1, fine top-nprobe, candidate "
+    "join AND the exact-cosine rerank — runs against the reloaded "
+    "parquet relations (rerank vectors come from the index's own stored "
+    "v, never a corpus rescan; only the query vectors read the corpus). "
+    "Answers must hash-match sim_ann_ivf_2level's oracle exactly: "
+    "doubles round-trip parquet bit-exactly, so persistence is lossless "
+    "and this gate proves it for the production index layout.  At 100 TB "
+    "a probe reads one co_id partition's files (~n/K bytes, pruned) and "
+    f"~nprobe·{IVF2_CELL_TARGET} candidate rows after the cell_id "
+    "row-group skip.",
+)
+def sim_ann_ivf_2level_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.sources.lookup import (
+        _local_relation,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = tempfile.mkdtemp(prefix="spark_graft_ivf2idx_")
+    try:
+        two_level_index_save(emb, work)
+        coarse, fine_grouped, assign = two_level_index_load(spark, work)
+        nb = assign.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
+        )
+        out = _two_level_probe_topk(
+            emb,
+            coarse,
+            fine_grouped,
+            assign.select("vec_id", "cell_id"),
+            neighbors=nb,
+        )
+        # materialize the queries*k-sized result so the temp index dir
+        # can be removed (the probe reads lazily from it)
+        rows = [tuple(r) for r in out.collect()]
+        return _local_relation(spark, rows, out.schema)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -169,16 +169,33 @@ def gen(sf: float, out: str, only: set[str] | None = None) -> None:
         ne = n["events"]
         users = max(1, n["customer"] // 10)
         ts0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
-        _write(out, "events", pa.table({
-            "event_id": pa.array(np.arange(ne), pa.int64()),
-            "ts": pa.array(
-                ts0 + rng.integers(0, 30 * DAY_US, ne), pa.timestamp("us")
-            ),
-            "user_id": pa.array(rng.integers(0, users, ne), pa.int64()),
-            "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, ne)]),
-            "value": np.round(rng.exponential(50.0, ne), 2),
-            "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, ne)],
-        }))
+        # chunked writer: at sf100 events is 100 M rows and the props
+        # column alone would hold ~100 M Python strings in one list —
+        # write 10 M-row slices through one ParquetWriter instead
+        # (PCG64 draws are sequential, so chunked draws reproduce the
+        # single-shot stream for a fixed chunking; files below the
+        # chunk size are byte-identical to the old single-shot path)
+        chunk = 10_000_000
+        path = os.path.join(out, "events.parquet")
+        writer = None
+        for lo in range(0, ne, chunk):
+            m = min(chunk, ne - lo)
+            t = pa.table({
+                "event_id": pa.array(np.arange(lo, lo + m), pa.int64()),
+                "ts": pa.array(
+                    ts0 + rng.integers(0, 30 * DAY_US, m), pa.timestamp("us")
+                ),
+                "user_id": pa.array(rng.integers(0, users, m), pa.int64()),
+                "event_type": pa.array(np.array(EVENT_TYPES)[rng.integers(0, 5, m)]),
+                "value": np.round(rng.exponential(50.0, m), 2),
+                "props": [json.dumps({"k": int(k)}) for k in rng.integers(0, 100, m)],
+            })
+            if writer is None:
+                writer = pq.ParquetWriter(path, t.schema, compression="snappy")
+            writer.write_table(t, row_group_size=262_144)
+        if writer is not None:
+            writer.close()
+        print(f"wrote {path}: {ne} rows")
 
     if want("documents"):
         rng = np.random.default_rng(48)
