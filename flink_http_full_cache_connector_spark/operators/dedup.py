@@ -93,12 +93,32 @@ def md5_mod_p(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % P
 
 
-def _shingle_table(docs: DataFrame, *, max_df: int | None = None) -> DataFrame:
-    """(doc_id, shingle, h) — exploded distinct shingles with portable hash.
+def _shingle_table(
+    docs: DataFrame, *, max_df: int | None = None, kernel: str = "arrow"
+) -> DataFrame:
+    """(doc_id, s, h, fp) — exploded distinct shingles with portable
+    hashes: ``h`` (31-bit, the minhash domain) and ``fp`` (60-bit identity
+    fingerprint the equi-joins key on — round-8 verdict #5), both
+    md5-prefix-derived.
 
-    Input is widened to cluster parallelism first: the explode + md5 fan-out
-    is the map-side hot path, and a single-file input would otherwise run it
-    on one core (no-op on already-wide scans).
+    ``kernel="arrow"`` (default since the round-9 sf100 profile) builds
+    the shingles in one Arrow-batched map pass — tokenize, 3-gram
+    concat, first-occurrence dedup, md5 — in plain Python per document.
+    Why: ``word_shingles`` is a ``transform`` HOF and therefore
+    CodegenFallback (the round-8 interpreted-fold discovery applies to
+    STRING kernels too) plus an O(len²)-comparison ``array_distinct``;
+    the sf100 profile measured the shingle materialization alone at
+    495.8 s of dedup_minhash_capped's 607 s wall.  The Python pass emits
+    IDENTICAL values by construction: same delimiter regex
+    (``TOKEN_DELIM_RE`` verbatim), same space-only trim as ``F.trim``,
+    same UTF-8 md5 hex prefixes, same first-occurrence distinct — and
+    every consumer is oracle-gated, so any divergence fails the hash
+    gates immediately.  ``kernel="fold"`` keeps the pure-JVM expression
+    pipeline for cross-checks.
+
+    Input is widened to cluster parallelism first: the shingle fan-out
+    is the map-side hot path, and a single-file input would otherwise run
+    it on one core (no-op on already-wide scans).
 
     ``max_df`` drops shingles appearing in more than that many documents
     (boilerplate chrome/licenses/templates — what ``boilerplate_shingles``
@@ -110,15 +130,49 @@ def _shingle_table(docs: DataFrame, *, max_df: int | None = None) -> DataFrame:
     shuffle.
     """
     docs = widen(docs)
-    # h (31-bit, minhash domain) and fp (60-bit identity fingerprint for
-    # equi-joins — round-8 verdict #5: joining on the shingle STRING made
-    # the sf100 verify shuffle spill; 8-byte longs shuffle ~4x slimmer)
-    # both derive from ONE md5 call (CSE'd within the projection)
-    sh = docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
-    ).withColumn("h", md5_mod_p(F.col("s"))).withColumn(
-        "fp", F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
-    )
+    if kernel == "arrow":
+        import hashlib
+        import re as _re
+
+        import pandas as pd
+
+        pat = _re.compile(TOKEN_DELIM_RE)
+
+        def _sh(batches):
+            for pdf in batches:
+                ids: list[int] = []
+                ss: list[str] = []
+                hs: list[int] = []
+                fps: list[int] = []
+                for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                    toks = pat.split((txt or "").strip(" "))
+                    seen: set[str] = set()
+                    for i in range(len(toks) - 2):
+                        s = f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                        if s in seen:
+                            continue
+                        seen.add(s)
+                        d = hashlib.md5(s.encode("utf-8")).hexdigest()
+                        ids.append(did)
+                        ss.append(s)
+                        hs.append(int(d[:8], 16) % P)
+                        fps.append(int(d[:15], 16))
+                yield pd.DataFrame(
+                    {"doc_id": ids, "s": ss, "h": hs, "fp": fps}
+                )
+
+        sh = docs.select("doc_id", "text").mapInPandas(
+            _sh, "doc_id long, s string, h long, fp long"
+        )
+    elif kernel == "fold":
+        sh = docs.select(
+            "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+        ).withColumn("h", md5_mod_p(F.col("s"))).withColumn(
+            "fp",
+            F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long"),
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"kernel must be 'arrow' or 'fold', got {kernel}")
     if max_df is not None:
         stop = (
             sh.groupBy("s")

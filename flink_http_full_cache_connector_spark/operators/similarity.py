@@ -1664,6 +1664,11 @@ def two_level_index_save(emb: DataFrame, out_dir: str) -> None:
     (
         _two_level_assign_carry_v(emb, coarse, fine_grouped)
         .sortWithinPartitions("co_id", "cell_id")
+        # stored as float32 — the embeddings' native wire format, so the
+        # double→float→double round-trip is bit-exact for them (halves
+        # index bytes; a double-NATIVE corpus would lose precision here
+        # and should widen the stored type)
+        .withColumn("v", F.col("v").cast("array<float>"))
         .write.mode("overwrite")
         .partitionBy("co_id")
         .parquet(f"{out_dir}/assign")
@@ -1680,7 +1685,7 @@ def two_level_index_load(
     fine_grouped = spark.read.parquet(f"{out_dir}/fine")
     assign = spark.read.parquet(f"{out_dir}/assign").select(
         "vec_id",
-        "v",
+        as_double(F.col("v")).alias("v"),
         F.col("cell_id").cast("long").alias("cell_id"),
         F.col("co_id").cast("long").alias("co_id"),
     )

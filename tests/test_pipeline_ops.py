@@ -709,6 +709,36 @@ def test_ann_ivf_pq_recall_vs_bruteforce_l2(spark):
     assert avg >= 0.25, f"IVF-PQ recall@10 {avg:.2f}"
 
 
+def test_shingle_table_arrow_identical_to_fold(spark):
+    """The Arrow shingle kernel (python tokenize + md5) must reproduce the
+    HOF expression pipeline EXACTLY — same shingle strings, same h/fp
+    hashes, same first-occurrence dedup — including whitespace edge cases
+    (F.trim is space-only; tabs/newlines are delimiters, not trim chars)."""
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        _shingle_table,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (100001, "\ta b\tc  d\ne "),  # leading tab survives trim
+            (100002, ""),                 # empty
+            (100003, None),               # null text
+            (100004, "one two"),          # too short for a 3-gram
+            (100005, " x y z x y z x y z "),  # repeated shingles dedup
+        ],
+        "doc_id long, text string",
+    )
+    for src in (docs, edge):
+        arrow = sorted(
+            tuple(r) for r in _shingle_table(src, kernel="arrow").collect()
+        )
+        fold = sorted(
+            tuple(r) for r in _shingle_table(src, kernel="fold").collect()
+        )
+        assert arrow == fold
+
+
 def test_semantic_prune_kernels_agree_near_threshold(spark):
     """Round-8 ADVICE: the arrow kernel decides the >= epsilon pair test on
     numpy/BLAS doubles while the fold kernel runs the exact sequential
