@@ -94,7 +94,11 @@ def md5_mod_p(col: Column) -> Column:
 
 
 def _shingle_table(
-    docs: DataFrame, *, max_df: int | None = None, kernel: str = "arrow"
+    docs: DataFrame,
+    *,
+    max_df: int | None = None,
+    kernel: str = "arrow",
+    n: int = 3,
 ) -> DataFrame:
     """(doc_id, s, h, fp) — exploded distinct shingles with portable
     hashes: ``h`` (31-bit, the minhash domain) and ``fp`` (60-bit identity
@@ -147,8 +151,8 @@ def _shingle_table(
                 for did, txt in zip(pdf["doc_id"], pdf["text"]):
                     toks = pat.split((txt or "").strip(" "))
                     seen: set[str] = set()
-                    for i in range(len(toks) - 2):
-                        s = f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                    for i in range(len(toks) - n + 1):
+                        s = " ".join(toks[i : i + n])
                         if s in seen:
                             continue
                         seen.add(s)
@@ -166,7 +170,7 @@ def _shingle_table(
         )
     elif kernel == "fold":
         sh = docs.select(
-            "doc_id", F.explode(word_shingles(F.col("text"))).alias("s")
+            "doc_id", F.explode(word_shingles(F.col("text"), n)).alias("s")
         ).withColumn("h", md5_mod_p(F.col("s"))).withColumn(
             "fp",
             F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long"),

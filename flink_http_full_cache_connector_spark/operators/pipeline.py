@@ -360,15 +360,23 @@ def _duck_ngrams(n: int) -> str:
     "not chance).",
 )
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_http_full_cache_connector_spark.operators.dedup import word_shingles
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        _shingle_table,
+    )
 
     docs = _docs(spark, sf_dir)
     is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
-    grams = F.explode(word_shingles(F.col("text"), DECON_NGRAM)).alias("s")
-    eval_sh = docs.where(is_eval).select(grams).distinct()
+    # 8-gram relations via the Arrow shingle kernel (word_shingles is an
+    # interpreted transform HOF; same values by the pinned kernel fixture)
+    eval_sh = (
+        _shingle_table(docs.where(is_eval), n=DECON_NGRAM)
+        .select("s")
+        .distinct()
+    )
     train = docs.where(~is_eval)
     hits = (
-        train.select("doc_id", grams)
+        _shingle_table(train, n=DECON_NGRAM)
+        .select("doc_id", "s")
         .join(F.broadcast(eval_sh), "s")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))

@@ -796,11 +796,14 @@ BOILERPLATE_MIN_DF = 3
 )
 def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_http_full_cache_connector_spark.operators.dedup import (
-        word_shingles,
+        _shingle_table,
     )
 
     docs = widen(load_table(spark, sf_dir, "documents"))
-    sh = docs.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("s"))
+    # same (doc_id, s) relation as the dedup passes, via the Arrow shingle
+    # kernel (word_shingles is an interpreted transform HOF — the round-9
+    # sf100 profile measured the expression pipeline at 8x the kernel)
+    sh = _shingle_table(docs).select("doc_id", "s")
     return (
         sh.groupBy(F.col("s").alias("shingle"))
         .agg(

@@ -730,13 +730,16 @@ def test_shingle_table_arrow_identical_to_fold(spark):
         "doc_id long, text string",
     )
     for src in (docs, edge):
-        arrow = sorted(
-            tuple(r) for r in _shingle_table(src, kernel="arrow").collect()
-        )
-        fold = sorted(
-            tuple(r) for r in _shingle_table(src, kernel="fold").collect()
-        )
-        assert arrow == fold
+        for n in (3, 8):
+            arrow = sorted(
+                tuple(r)
+                for r in _shingle_table(src, kernel="arrow", n=n).collect()
+            )
+            fold = sorted(
+                tuple(r)
+                for r in _shingle_table(src, kernel="fold", n=n).collect()
+            )
+            assert arrow == fold
 
 
 def test_semantic_prune_kernels_agree_near_threshold(spark):
