@@ -435,14 +435,68 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(
-    docs: DataFrame, *, shingles: DataFrame | None = None
+    docs: DataFrame,
+    *,
+    shingles: DataFrame | None = None,
+    kernel: str = "arrow",
 ) -> DataFrame:
-    """(doc_id, n [shingle count], m0..m{K-1}) via map-side min-aggregation.
+    """(doc_id, n [shingle count], m0..m{K-1}).
 
-    Pass ``shingles`` (a ``_shingle_table`` result, typically persisted) when
-    the caller also needs the shingle relation — otherwise the explode+md5
-    fan-out, the map-side hot path, would execute once here and once there.
-    """
+    ``kernel="arrow"`` (default since the round-9 sf100 profile) computes
+    each document's signature INSIDE the tokenize pass — the document is
+    whole within its row, so the K affine minima are per-row integer
+    arithmetic and the whole relation emits map-side with ZERO shuffle
+    (the fold path's groupBy moved the ~265 M-row shingle relation through
+    an exchange: 90.6 s of the sf100 wall).  All-integer math — numpy
+    int64 (a_j·h + b_j < 2^62 by construction) replays the JVM fold's
+    mod exactly, so the signatures are identical, not merely close.  The
+    second tokenize pass this costs (the verify join still persists the
+    shingle relation separately) is ~half the shuffle it replaces.
+
+    ``kernel="fold"`` groups the shingle relation: pass ``shingles`` (a
+    ``_shingle_table`` result, typically persisted) when the caller also
+    needs it — otherwise the shingle fan-out would execute twice."""
+    if kernel == "arrow" and shingles is None:
+        import hashlib
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        pat = _re.compile(TOKEN_DELIM_RE)
+        A = np.array(MINHASH_A, dtype=np.int64)
+        B = np.array(MINHASH_B, dtype=np.int64)
+
+        def _sig(batches):
+            for pdf in batches:
+                out: dict[str, list[int]] = {"doc_id": [], "n": []}
+                for j in range(NUM_MINHASHES):
+                    out[f"m{j}"] = []
+                for did, txt in zip(pdf["doc_id"], pdf["text"]):
+                    toks = pat.split((txt or "").strip(" "))
+                    hs: set[int] = set()
+                    seen: set[str] = set()
+                    for i in range(len(toks) - 2):
+                        s = f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
+                        if s in seen:
+                            continue
+                        seen.add(s)
+                        d = hashlib.md5(s.encode("utf-8")).hexdigest()
+                        hs.add(int(d[:8], 16) % P)
+                    if not hs:
+                        continue  # no shingles → no signature row (= fold)
+                    hv = np.fromiter(hs, dtype=np.int64, count=len(hs))
+                    m = ((A[:, None] * hv[None, :] + B[:, None]) % P).min(axis=1)
+                    out["doc_id"].append(did)
+                    out["n"].append(len(seen))
+                    for j in range(NUM_MINHASHES):
+                        out[f"m{j}"].append(int(m[j]))
+                yield pd.DataFrame(out)
+
+        schema = "doc_id long, n long, " + ", ".join(
+            f"m{j} long" for j in range(NUM_MINHASHES)
+        )
+        return widen(docs).select("doc_id", "text").mapInPandas(_sig, schema)
     sh = _shingle_table(docs) if shingles is None else shingles
     aggs = [F.count("*").alias("n")] + [
         F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % P).alias(f"m{j}")
@@ -595,18 +649,15 @@ def _minhash_verified_pairs(
     spark: SparkSession, sf_dir: str, *, bucket_cap: int | None
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # one persisted shingle relation feeds BOTH the signature aggregation and
-    # the Jaccard verify — the explode+md5 fan-out (map-side hot path) runs
-    # exactly once.  Persist ONLY the integer columns (signatures read h,
-    # the verify join reads fp): keeping the shingle string in the cache
-    # tripled the cached bytes and at sf100 (≈250 M shingle rows) pushed
-    # the persist+shuffles into disk spill — the round-8 sweep's 607 s
-    # wall was storage pressure, not compute (round-8 verdict #5)
-    sh = _shingle_table(docs).select("doc_id", "h", "fp").persist()
+    # the persisted shingle relation feeds the Jaccard verify ONLY (fp is
+    # the join key — round-8 verdict #5; keeping strings in the cache
+    # tripled cached bytes and spilled at sf100); signatures come from the
+    # zero-shuffle map-side kernel instead of aggregating this relation
+    sh = _shingle_table(docs).select("doc_id", "fp").persist()
     # signatures feed ~10 subplans (4 band selects x 2 join sides + 2 size
     # lookups); persisting them is the 100 TB design too — K longs per doc,
-    # tiny next to the corpus, and avoids re-scanning it per band
-    sig = minhash_signatures(docs, shingles=sh).persist()
+    # tiny next to the corpus, and avoids re-tokenizing per band
+    sig = minhash_signatures(docs).persist()
     cand = lsh_candidate_pairs(sig, bucket_cap=bucket_cap)
     # verification: true Jaccard on candidate pairs only.  The match key is
     # the 60-bit fp, NOT the shingle string (round-8 verdict #5: the sf100

@@ -742,6 +742,26 @@ def test_shingle_table_arrow_identical_to_fold(spark):
             assert arrow == fold
 
 
+def test_minhash_signatures_arrow_identical_to_fold(spark):
+    """The zero-shuffle map-side signature kernel must reproduce the
+    groupBy fold EXACTLY — all-integer affine minima, so identity (not
+    closeness) is the bar."""
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        _shingle_table,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    arrow = sorted(tuple(r) for r in minhash_signatures(docs).collect())
+    fold = sorted(
+        tuple(r)
+        for r in minhash_signatures(
+            docs, shingles=_shingle_table(docs)
+        ).collect()
+    )
+    assert arrow == fold
+
+
 def test_semantic_prune_kernels_agree_near_threshold(spark):
     """Round-8 ADVICE: the arrow kernel decides the >= epsilon pair test on
     numpy/BLAS doubles while the fold kernel runs the exact sequential
