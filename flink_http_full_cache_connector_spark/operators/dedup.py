@@ -29,6 +29,7 @@ bit-for-bit against DuckDB) — never engine-private hashes.
 from __future__ import annotations
 
 import math
+import re as _re
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -46,6 +47,10 @@ from flink_http_full_cache_connector_spark.plans.registry import (
     register,
 )
 from flink_http_full_cache_connector_spark.functions.tokenize import TOKEN_DELIM_RE
+
+#: compiled once at import: the Arrow kernels split with the SAME regex the
+#: JVM expression path passes to F.split (value parity by construction)
+_TOKEN_PAT = _re.compile(TOKEN_DELIM_RE)
 
 # ---------------------------------------------------------------------------
 # shared constants (identical in Spark exprs and DuckDB SQL twins)
@@ -93,6 +98,31 @@ def md5_mod_p(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % P
 
 
+def _doc_shingles(txt: str | None, n: int = 3):
+    """Yield ``(shingle, md5_hexdigest)`` for ONE document — the single
+    Python definition of the tokenize → n-gram → first-occurrence-distinct
+    → md5 rule every Arrow shingle kernel shares (round-9 ADVICE: the loop
+    was hardcoded separately in ``_shingle_table`` and
+    ``minhash_signatures``, so a tokenizer change had to land in three
+    places alongside :func:`word_shingles`).
+
+    Value contract (pinned by the kernels-agree fixtures): same delimiter
+    regex as ``word_shingles`` (``TOKEN_DELIM_RE`` verbatim), same
+    space-only trim as ``F.trim``, UTF-8 md5, first-occurrence distinct.
+    Callers derive their hash domain from the hexdigest (``[:8] % P`` for
+    the minhash domain, ``[:15]`` for the 60-bit join fingerprint)."""
+    import hashlib
+
+    toks = _TOKEN_PAT.split((txt or "").strip(" "))
+    seen: set[str] = set()
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i : i + n])
+        if s in seen:
+            continue
+        seen.add(s)
+        yield s, hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
 def _shingle_table(
     docs: DataFrame,
     *,
@@ -135,12 +165,7 @@ def _shingle_table(
     """
     docs = widen(docs)
     if kernel == "arrow":
-        import hashlib
-        import re as _re
-
         import pandas as pd
-
-        pat = _re.compile(TOKEN_DELIM_RE)
 
         def _sh(batches):
             for pdf in batches:
@@ -149,14 +174,7 @@ def _shingle_table(
                 hs: list[int] = []
                 fps: list[int] = []
                 for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                    toks = pat.split((txt or "").strip(" "))
-                    seen: set[str] = set()
-                    for i in range(len(toks) - n + 1):
-                        s = " ".join(toks[i : i + n])
-                        if s in seen:
-                            continue
-                        seen.add(s)
-                        d = hashlib.md5(s.encode("utf-8")).hexdigest()
+                    for s, d in _doc_shingles(txt, n):
                         ids.append(did)
                         ss.append(s)
                         hs.append(int(d[:8], 16) % P)
@@ -384,8 +402,12 @@ def _ngram_jaccard(
     # persist so explode+md5 runs once (MEMORY_AND_DISK: spills, never OOMs)
     # join key = the 60-bit fp, not the shingle string (round-8 verdict
     # #5: 8-byte longs shuffle ~4x slimmer; both engines hash identically
-    # so the gate stays exact, and 2^60 keeps expected collisions ≪1 far
-    # past 100 TB shingle volumes)
+    # so the gate stays exact at any scale).  Collision honesty (round-9
+    # ADVICE): expected colliding DISTINCT-shingle pairs ≈ S²/2^61, ≪1
+    # only up to S ≈ 1.5e9 distinct shingles — a 100 TB corpus (S ≈
+    # 1e11+) expects thousands, each inflating one pair's i by 1, so at
+    # that scale this family is NEAR-exact; key on the full 128-bit md5
+    # (two longs) if strict exactness is required.
     sh = _shingle_table(docs, max_df=max_df).select("doc_id", "fp").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "fp")
@@ -438,32 +460,44 @@ def minhash_signatures(
     docs: DataFrame,
     *,
     shingles: DataFrame | None = None,
-    kernel: str = "arrow",
+    kernel: str | None = None,
 ) -> DataFrame:
     """(doc_id, n [shingle count], m0..m{K-1}).
+
+    ``kernel=None`` (default) resolves to ``"arrow"`` when no shingle
+    relation is supplied and ``"fold"`` when one is: the arrow kernel
+    re-tokenizes in-row and CANNOT consume a prebuilt shingle relation,
+    so the explicit combination ``kernel="arrow", shingles=...`` raises
+    instead of silently degrading to the fold path (round-9 ADVICE).
 
     ``kernel="arrow"`` (default since the round-9 sf100 profile) computes
     each document's signature INSIDE the tokenize pass — the document is
     whole within its row, so the K affine minima are per-row integer
     arithmetic and the whole relation emits map-side with ZERO shuffle
     (the fold path's groupBy moved the ~265 M-row shingle relation through
-    an exchange: 90.6 s of the sf100 wall).  All-integer math — numpy
-    int64 (a_j·h + b_j < 2^62 by construction) replays the JVM fold's
-    mod exactly, so the signatures are identical, not merely close.  The
-    second tokenize pass this costs (the verify join still persists the
-    shingle relation separately) is ~half the shuffle it replaces.
+    an exchange: 90.6 s of the sf100 wall).  The tokenize/shingle/md5
+    rule is the shared :func:`_doc_shingles` helper (one definition for
+    every Arrow kernel).  All-integer math — numpy int64 (a_j·h + b_j <
+    2^62 by construction) replays the JVM fold's mod exactly, so the
+    signatures are identical, not merely close.  The second tokenize
+    pass this costs (the verify join still persists the shingle relation
+    separately) is ~half the shuffle it replaces.
 
     ``kernel="fold"`` groups the shingle relation: pass ``shingles`` (a
     ``_shingle_table`` result, typically persisted) when the caller also
     needs it — otherwise the shingle fan-out would execute twice."""
-    if kernel == "arrow" and shingles is None:
-        import hashlib
-        import re as _re
-
+    if kernel is None:
+        kernel = "arrow" if shingles is None else "fold"
+    if kernel == "arrow":
+        if shingles is not None:
+            raise ValueError(
+                "minhash_signatures: kernel='arrow' re-tokenizes documents "
+                "in-row and cannot reuse a prebuilt shingle relation — "
+                "pass kernel='fold' (or omit kernel) with shingles="
+            )
         import numpy as np
         import pandas as pd
 
-        pat = _re.compile(TOKEN_DELIM_RE)
         A = np.array(MINHASH_A, dtype=np.int64)
         B = np.array(MINHASH_B, dtype=np.int64)
 
@@ -473,22 +507,17 @@ def minhash_signatures(
                 for j in range(NUM_MINHASHES):
                     out[f"m{j}"] = []
                 for did, txt in zip(pdf["doc_id"], pdf["text"]):
-                    toks = pat.split((txt or "").strip(" "))
                     hs: set[int] = set()
-                    seen: set[str] = set()
-                    for i in range(len(toks) - 2):
-                        s = f"{toks[i]} {toks[i + 1]} {toks[i + 2]}"
-                        if s in seen:
-                            continue
-                        seen.add(s)
-                        d = hashlib.md5(s.encode("utf-8")).hexdigest()
+                    n_sh = 0
+                    for _s, d in _doc_shingles(txt):
+                        n_sh += 1
                         hs.add(int(d[:8], 16) % P)
                     if not hs:
                         continue  # no shingles → no signature row (= fold)
                     hv = np.fromiter(hs, dtype=np.int64, count=len(hs))
                     m = ((A[:, None] * hv[None, :] + B[:, None]) % P).min(axis=1)
                     out["doc_id"].append(did)
-                    out["n"].append(len(seen))
+                    out["n"].append(n_sh)
                     for j in range(NUM_MINHASHES):
                         out[f"m{j}"].append(int(m[j]))
                 yield pd.DataFrame(out)
@@ -497,6 +526,8 @@ def minhash_signatures(
             f"m{j} long" for j in range(NUM_MINHASHES)
         )
         return widen(docs).select("doc_id", "text").mapInPandas(_sig, schema)
+    if kernel != "fold":  # pragma: no cover
+        raise ValueError(f"kernel must be 'arrow' or 'fold', got {kernel}")
     sh = _shingle_table(docs) if shingles is None else shingles
     aggs = [F.count("*").alias("n")] + [
         F.min((F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % P).alias(f"m{j}")
@@ -664,9 +695,13 @@ def _minhash_verified_pairs(
     # wall was this join's linear shingle shuffle spilling at 128 GiB —
     # 8-byte longs cut shuffle bytes ~4x).  A cross-doc fp collision
     # between DISTINCT shingles would inflate i by 1 for that pair; both
-    # engines hash identically so the gate is exact either way, and at
-    # 2^60 the expected corpus-wide collision count stays ≪1 far past
-    # 100 TB shingle volumes.
+    # engines hash identically so the gate is exact either way.
+    # Collision honesty (round-9 ADVICE): expected colliding distinct-
+    # shingle pairs ≈ S²/2^61 — ≪1 up to S ≈ 1.5e9 distinct shingles,
+    # but a 100 TB corpus (S ≈ 1e11+) expects thousands, so at that
+    # scale the verified Jaccard is NEAR-exact (±1 in i per collided
+    # pair); widen the key to the full 128-bit md5 (two longs) if strict
+    # exactness is the intent.
     x = sh.select(F.col("doc_id").alias("doc_a"), "fp")
     y = sh.select(F.col("doc_id").alias("doc_b"), "fp")
     inter = (

@@ -267,11 +267,19 @@ def two_level_assign_arrow(
     codegen aggregates/joins.  No stage materializes n×C rows and no
     fold runs more than once per vector.
 
-    Zero-norm guard (round-8 ADVICE): all norm denominators clamp to a
-    tiny positive, so a degenerate all-zero vector scores exactly 0.0
-    everywhere and breaks to the lowest id deterministically — no NaN
-    reaches an argmax (the fold kernel would emit its init sentinel;
-    real embeddings are non-zero and the gates hash-verify both)."""
+    Zero-norm guard (round-8 ADVICE; semantics corrected round 9): the
+    SELECTION stages clamp every norm denominator to a tiny positive, so
+    a degenerate all-zero vector scores exactly 0.0 everywhere and
+    breaks to the lowest id deterministically.  The EMITTED ``cent_sim``
+    is the exact fold re-score, and under this engine's ANSI mode a
+    zero-norm probe (or centroid) makes that division fail the job with
+    DIVIDE_BY_ZERO — exactly what the pure-fold twin does at its first
+    cosine.  Net behavior, pinned by
+    ``test_zero_vector_behavior_pinned``: both kernels FAIL FAST on
+    zero vectors rather than silently scoring them; only the
+    selection-only training kernel (:func:`flat_assign_arrow`) tolerates
+    them.  Real embeddings are non-zero; the gates hash-verify both
+    kernels on every driver scale."""
     import numpy as np
     import pandas as pd
 
@@ -394,10 +402,13 @@ def flat_assign_arrow(
     oracles cross-check.  Zero-norm guard (ADVICE r8): denominators clamp
     to a tiny positive, so a degenerate all-zero vector scores exactly
     0.0 against every centroid and lands deterministically in the lowest
-    cell id — no NaN reaches the argmax (the fold kernel's NaN
-    comparisons would emit its init sentinel; training never sees either
-    case on real embeddings, and the clamp keeps this kernel's behavior
-    defined and stable)."""
+    cell id.  This is the ONE kernel that tolerates zero vectors — it
+    emits no cosine, only the assignment; every kernel that emits a
+    cosine (the fold twins, two_level_assign's re-scored output) fails
+    fast under ANSI with DIVIDE_BY_ZERO instead (pinned by
+    ``test_zero_vector_behavior_pinned``).  Training therefore never
+    drops or misscores a degenerate row, and serve paths refuse them
+    loudly."""
     import numpy as np
     import pandas as pd
 

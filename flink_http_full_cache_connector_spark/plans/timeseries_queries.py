@@ -266,9 +266,11 @@ RD_WINDOW_H = 24
     "bounded by the constant window length over the ALREADY-DEDUPED "
     "relation, never raw events — and a distinct-agg counts per "
     "position (restricted to hours that actually had activity, so "
-    "engines agree on the grid). At larger windows the production "
-    "variant swaps the exact distinct for HLL sketch union — "
-    "sketch_stats holds that contract.",
+    "engines agree on the grid). THE LINEAR ANCHOR of the sliding-"
+    "distinct family: per-presence work by construction (the slowest "
+    "measured sf100 query, 619.9 s) — the production twin is "
+    "rolling_distinct_users_hll (per-hour HLL sketches + rolling union, "
+    "exactness verified by an interval-sweep that never fans out).",
 )
 def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
@@ -293,6 +295,132 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         fanned.join(active, ["event_type", "hour_idx"])
         .groupBy("event_type", "hour_idx")
         .agg(F.count_distinct("user_id").alias("distinct_users"))
+    )
+
+
+#: datasketches HLL precision for the rolling-distinct production twin:
+#: lgK=14 → rsd ≈ 1.04/√2^14 ≈ 0.81%; the declared contract tolerance is
+#: ~5 sigma (estimator outputs are engine-specific, so the DRIVER-CHECKED
+#: column is the tolerance boolean — the sketch_stats pattern).
+RD_HLL_LGK = 14
+RD_HLL_TOL = 0.04
+
+
+@register(
+    "rolling_distinct_users_hll",
+    f"""
+    WITH user_hours AS (
+        SELECT DISTINCT event_type,
+               epoch_us(ts::TIMESTAMP) // {HOUR_US} AS hour_idx,
+               user_id
+        FROM events
+    ),
+    fanned AS (
+        SELECT DISTINCT event_type, hour_idx + i AS hour_idx, user_id
+        FROM user_hours, unnest(range(0, {RD_WINDOW_H})) AS t(i)
+    ),
+    active AS (SELECT DISTINCT event_type, hour_idx FROM user_hours)
+    SELECT f.event_type, f.hour_idx,
+           count(DISTINCT f.user_id)::bigint AS distinct_users,
+           TRUE AS approx_ok
+    FROM fanned f JOIN active a
+      ON f.event_type = a.event_type AND f.hour_idx = a.hour_idx
+    GROUP BY f.event_type, f.hour_idx
+    """,
+    doc=f"PRODUCTION twin of rolling_distinct_users (round-9 verdict #2): "
+    f"the rolling {RD_WINDOW_H}h distinct via per-hour HLL sketches "
+    f"(lgK={RD_HLL_LGK}, one map-side-combined pass over RAW events — "
+    "HLL insertion is idempotent, so no presence-dedup shuffle feeds the "
+    "sketch side; ~types x hours groups of constant size) unioned across "
+    "each position's window over the TINY sketch relation — the rolling "
+    "stage costs hours x types x window rows of sketch bytes, "
+    "independent of corpus size.  The contract columns are exact and "
+    "driver-hashed: distinct_users comes from an INTERVAL-SWEEP exact "
+    "path (each (type,user)'s presence hours merge into covered "
+    f"segments [p, p+{RD_WINDOW_H - 1}]; +1/-1 endpoint deltas cumsum "
+    "over the hour grid) — same values as the exact twin's 24x fan-out "
+    "at a fraction of the cost (no corpus-sized explode, no distinct "
+    "over fanned rows); approx_ok asserts the HLL estimate lands within "
+    f"{RD_HLL_TOL:.0%} (~5 sigma at lgK={RD_HLL_LGK}) of that exact "
+    "count, recomputed by the oracle as TRUE.",
+)
+def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hour = F.expr(f"unix_micros(ts) div {HOUR_US}")
+
+    # --- production estimate: per-hour sketches -> rolling union --------
+    sketches = (
+        events.groupBy("event_type", hour.alias("hour_idx"))
+        .agg(F.hll_sketch_agg("user_id", RD_HLL_LGK).alias("sk"))
+        .persist()
+    )
+    fanned = sketches.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("hour_idx"), F.col("hour_idx") + RD_WINDOW_H - 1)
+        ).alias("hour_idx"),
+        "sk",
+    )
+    rolled = fanned.groupBy("event_type", "hour_idx").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
+    active = sketches.select("event_type", "hour_idx")
+
+    # --- exact verifier: interval sweep over presence segments ----------
+    presence = (
+        events.select("event_type", hour.alias("hour_idx"), "user_id")
+        .distinct()
+    )
+    w = Window.partitionBy("event_type", "user_id").orderBy("hour_idx")
+    prev = F.lag("hour_idx").over(w)
+    seg = presence.withColumn(
+        "new_seg",
+        F.when(
+            prev.isNull() | (F.col("hour_idx") - prev > RD_WINDOW_H), 1
+        ).otherwise(0),
+    ).withColumn(
+        "seg_id",
+        F.sum("new_seg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    segments = seg.groupBy("event_type", "user_id", "seg_id").agg(
+        F.min("hour_idx").alias("s"),
+        (F.max("hour_idx") + RD_WINDOW_H - 1).alias("e"),
+    )
+    deltas = segments.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("hour_idx"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("e") + 1).alias("hour_idx"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("x"),
+    ).select("event_type", F.col("x.hour_idx").alias("hour_idx"), F.col("x.d").alias("d"))
+    grid = (
+        deltas.unionByName(active.withColumn("d", F.lit(0)))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.sum("d").alias("d"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    exact = (
+        grid.withColumn("distinct_users", F.sum("d").over(wc))
+        .join(active, ["event_type", "hour_idx"])
+        .select("event_type", "hour_idx", "distinct_users")
+    )
+
+    return exact.join(rolled, ["event_type", "hour_idx"]).select(
+        "event_type",
+        "hour_idx",
+        "distinct_users",
+        (
+            F.abs(F.col("approx_users") - F.col("distinct_users"))
+            <= RD_HLL_TOL * F.col("distinct_users")
+        ).alias("approx_ok"),
     )
 
 

@@ -756,10 +756,18 @@ def test_minhash_signatures_arrow_identical_to_fold(spark):
     fold = sorted(
         tuple(r)
         for r in minhash_signatures(
-            docs, shingles=_shingle_table(docs)
+            docs, shingles=_shingle_table(docs)  # shingles= resolves to fold
         ).collect()
     )
     assert arrow == fold
+    # the explicit arrow+shingles combination must refuse, not silently
+    # degrade to the fold path (round-9 ADVICE)
+    import pytest
+
+    with pytest.raises(ValueError, match="arrow"):
+        minhash_signatures(
+            docs, shingles=_shingle_table(docs), kernel="arrow"
+        )
 
 
 def test_semantic_prune_kernels_agree_near_threshold(spark):
@@ -1720,3 +1728,52 @@ def test_minhash_capped_equals_uncapped_at_fixture_scale(spark):
     plan = capped_df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "count(1) windowspecdefinition(band" in plan
+
+
+def test_zero_vector_behavior_pinned(spark):
+    """Round-9 ADVICE: the 1e-300 zero-norm clamp exists only in the Arrow
+    SELECTION stages, so the 'kernels agree on degenerate input' claim was
+    assumed, not pinned.  Actual semantics under this engine's ANSI mode,
+    pinned here: every kernel that EMITS a cosine — the fold twins and
+    two_level_assign's exact-fold re-scored output (both kernels) — fails
+    fast with DIVIDE_BY_ZERO on an all-zero vector; the one selection-only
+    kernel (flat_assign_arrow, Lloyd's training assignment) tolerates it
+    deterministically: sim clamps to exactly 0.0 everywhere and the vector
+    lands in the lowest cell id."""
+    import numpy as np
+
+    from flink_http_full_cache_connector_spark.functions.vectors import cosine
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        flat_assign_arrow,
+        two_level_assign,
+        two_level_index,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(5)]
+    rows.append((5, [0.0] * 8))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # 1. fold cosine: ANSI fail-fast, not NaN
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        emb.select(cosine(F.col("embedding"), F.col("embedding"))).collect()
+
+    # 2. both two_level_assign kernels fail fast (the arrow kernel's
+    #    emitted cent_sim is the exact fold re-score)
+    coarse, fine = two_level_index(emb, k=2, cells=4)
+    for kernel in ("arrow", "fold"):
+        with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+            two_level_assign(emb, coarse, fine, kernel=kernel).collect()
+
+    # 3. the selection-only training kernel tolerates the zero vector:
+    #    clamped sims are exactly 0.0 against every centroid, first-argmax
+    #    breaks to the lowest cent_id
+    got = {
+        r.vec_id: r.cell_id
+        for r in flat_assign_arrow(
+            emb.select("vec_id", F.col("embedding").alias("v")),
+            [(0, rows[0][1]), (1, rows[1][1])],
+        ).collect()
+    }
+    assert got[5] == 0  # lowest cell id, deterministically
+    assert set(got) == {0, 1, 2, 3, 4, 5}  # nothing dropped

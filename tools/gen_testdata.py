@@ -171,10 +171,15 @@ def gen(sf: float, out: str, only: set[str] | None = None) -> None:
         ts0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
         # chunked writer: at sf100 events is 100 M rows and the props
         # column alone would hold ~100 M Python strings in one list —
-        # write 10 M-row slices through one ParquetWriter instead
-        # (PCG64 draws are sequential, so chunked draws reproduce the
-        # single-shot stream for a fixed chunking; files below the
-        # chunk size are byte-identical to the old single-shot path)
+        # write 10 M-row slices through one ParquetWriter instead.
+        # RNG-stream note: per-chunk column draws interleave the PCG64
+        # stream differently than the old single-shot per-column draws,
+        # so for ne > chunk the data DIFFERS from what the pre-chunked
+        # generator would have produced (only files at or below the
+        # chunk size are byte-identical).  No stale artifact exists:
+        # every ne > chunk events file ever generated (.scale_data
+        # sf100, round 9+) came from THIS writer — the single-shot path
+        # OOM'd before it could write one.
         chunk = 10_000_000
         path = os.path.join(out, "events.parquet")
         writer = None
