@@ -165,6 +165,7 @@ def two_level_index(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "arrow",
 ) -> tuple[DataFrame, DataFrame]:
     """``(coarse, fine_grouped)`` for two-level (coarse-quantizer)
     assignment — shared by ``sim_ann_ivf_2level`` and
@@ -173,10 +174,23 @@ def two_level_index(
     ``coarse``: the first ``k`` corpus vectors as coarse centroids
     (co_id, qv, nq).  ``fine_grouped``: the first ``cells`` corpus vectors
     as fine centroids, each pre-assigned to its nearest coarse cell
-    (cent_id, co_id, cv, nc) — C×K metadata-sized work, broadcastable; at
-    corpus sizes where the C-row table outgrows broadcast comfort the
-    consumer joins it on co_id as a shuffle join instead (same plan
-    shape).
+    (cent_id, co_id, cv, nc); at corpus sizes where the C-row table
+    outgrows broadcast comfort the consumer joins it on co_id as a
+    shuffle join instead (same plan shape).
+
+    ``kernel="arrow"`` (default since the round-10 sf100 phase profile):
+    the C×K fine→coarse cosines are NOT metadata-sized work — C·K =
+    C^1.5 grows as n^1.5 under the C = n/B sizing (5.5 M interpreted
+    HOF folds at sf100, 175 M at sf1000), and the profile measured this
+    one build step at 29.7 s of dedup_semantic_2level's sf100 wall —
+    13.5×/decade, THE super-linear phase of the whole family (assign
+    3.8×, prune 5.7×).  The selection therefore runs through
+    :func:`flat_assign_arrow` (one GEMM per Arrow batch against the
+    K×dim coarse matrix — K stays metadata-sized), with the identical
+    tie rule (first argmax over co_id-ascending = max_by(struct(sim,
+    -co_id))).  ``kernel="fold"`` keeps the pure-JVM broadcast-join +
+    max_by expression pipeline for cross-checks (kernels-agree test in
+    tests/test_semantic_dedup.py).
 
     Fine centroid j < k IS coarse centroid j; its co_id is PINNED to j
     rather than argmaxed, so every coarse cell is non-empty by
@@ -197,13 +211,30 @@ def two_level_index(
     fine = emb.where(F.col(id_col) < cells).select(
         F.col(id_col).alias("cent_id"), as_double(F.col(vec_col)).alias("cv")
     ).withColumn("nc", norm(F.col("cv")))
-    fsim = cosine_with_norms(F.col("cv"), F.col("qv"), F.col("nc"), F.col("nq"))
-    f_order = F.struct(F.col("sim"), (-F.col("co_id")).alias("neg"))
+    if kernel == "arrow":
+        co_list = [
+            (int(r["co_id"]), list(r["qv"]))
+            for r in coarse.select("co_id", "qv").collect()  # K rows
+        ]
+        grouped = flat_assign_arrow(
+            fine.select(F.col("cent_id").alias("vec_id"), F.col("cv").alias("v")),
+            co_list,
+        ).select(F.col("vec_id").alias("cent_id"), F.col("cell_id").alias("co_id"))
+    elif kernel == "fold":
+        fsim = cosine_with_norms(
+            F.col("cv"), F.col("qv"), F.col("nc"), F.col("nq")
+        )
+        f_order = F.struct(F.col("sim"), (-F.col("co_id")).alias("neg"))
+        grouped = (
+            fine.join(F.broadcast(coarse))
+            .select("cent_id", "co_id", fsim.alias("sim"))
+            .groupBy("cent_id")
+            .agg(F.max_by(F.col("co_id"), f_order).alias("co_id"))
+        )
+    else:  # pragma: no cover
+        raise ValueError(f"kernel must be 'arrow' or 'fold', got {kernel}")
     fine_grouped = (
-        fine.join(F.broadcast(coarse))
-        .select("cent_id", "co_id", fsim.alias("sim"))
-        .groupBy("cent_id")
-        .agg(F.max_by(F.col("co_id"), f_order).alias("co_id"))
+        grouped
         # a fine centroid that IS a coarse centroid anchors its own cell
         # (see docstring: orphan-proofing independent of float ties)
         .withColumn(

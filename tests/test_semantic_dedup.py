@@ -223,7 +223,12 @@ def test_2level_plan_is_scale_shaped(spark):
     # the aggregated values are scalar ids — a max_by struct carrying the
     # vector would force the wide-row sort the flat docstring warns about
     assert "max_by(v#" not in plan and "max_by(embedding#" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") >= 2  # v×coarse, fine×coarse
+    # round-10: BOTH broadcast-fold stages (v×coarse, fine×coarse) moved
+    # to Arrow GEMM kernels — the plan carries MapInPandas / cogroup
+    # FlatMapCoGroupsInPandas nodes instead of BroadcastNestedLoopJoins
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # stage-1 GEMM + fine-grouping GEMM
+    assert "FlatMapCoGroupsInPandas" in plan  # stage-2 per-cell GEMM
     assert "BroadcastHashJoin" in plan  # fine_grouped equi-join on co_id
 
 
@@ -274,3 +279,56 @@ def test_prototype_pruning_cut_is_exact_per_cell(spark):
         assert {m.vec_id for m in order[:want_drop]} == {
             m.vec_id for m in dropped
         }, cell
+
+
+def test_two_level_index_kernels_agree(spark):
+    """Round-10: the fine→coarse grouping moved to the GEMM kernel
+    (flat_assign_arrow) because C·K = C^1.5 interpreted fold cosines were
+    the super-linear phase of the family (29.7 s / 13.5x per decade at
+    sf100).  The arrow and fold kernels must produce the IDENTICAL
+    (cent_id → co_id) map — on the fixture corpus AND on an engineered
+    near-tie: a fine centroid sitting ~1e-14 from equidistant between two
+    coarse centroids (100x the GEMM-vs-fold ulp noise on 64-dim dots, so
+    stable on a sane platform, loud on a divergent one)."""
+    import pyspark.sql.functions as F
+
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        semantic_2level_cells_for,
+        semantic_coarse_for,
+    )
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        two_level_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cells = semantic_2level_cells_for(emb.count())
+    k = semantic_coarse_for(cells)
+
+    def grouping(kernel, src, c, kk):
+        _, fg = two_level_index(src, cells=c, k=kk, kernel=kernel)
+        return {
+            r["cent_id"]: r["co_id"]
+            for r in fg.select("cent_id", "co_id").collect()
+        }
+
+    assert grouping("arrow", emb, cells, k) == grouping("fold", emb, cells, k)
+
+    # engineered near-tie: coarse 0 = e0, coarse 1 = e1; fine centroid 3
+    # at 45 degrees + 1e-14 tilt toward e1 — both kernels must agree on
+    # the SAME winner (whichever it is), not silently diverge
+    dim = 8
+    e = np.eye(dim)
+    tilt = 1e-14
+    rows = [
+        (0, e[0].tolist()),
+        (1, e[1].tolist()),
+        (2, (0.9 * e[0] + 0.1 * e[2]).tolist()),
+        (3, ((1.0 - tilt) * e[0] + (1.0 + tilt) * e[1]).tolist()),
+        (4, e[3].tolist()),
+        (5, (0.7 * e[1] + 0.3 * e[4]).tolist()),
+    ]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ga = grouping("arrow", tiny, 6, 2)
+    gf = grouping("fold", tiny, 6, 2)
+    assert ga == gf
+    assert ga[3] == 1  # the 1e-14 tilt decides identically in both
