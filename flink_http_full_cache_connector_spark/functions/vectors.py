@@ -17,8 +17,19 @@ from pyspark.sql import functions as F
 
 
 def as_double(vec: Column) -> Column:
-    """Cast array<float> → array<double> (stable IEEE math)."""
-    return F.transform(vec, lambda x: x.cast("double"))
+    """Cast array<float> → array<double> (stable IEEE math).
+
+    Native ``Cast`` on the array type, NOT ``transform(x -> cast(x))``:
+    the transform form is a higher-order function and therefore
+    CodegenFallback — one boxed lambda per element on EVERY vector of
+    every query (the round-10 HOF audit's most ubiquitous interpreted
+    site, 59 call sites).  ``Cast`` stays inside whole-stage codegen and
+    produces the identical element-wise float→double widening (exact,
+    no rounding — every float is representable as a double).  Accepts a
+    column name too (the HOF form did, via F.transform)."""
+    if isinstance(vec, str):
+        vec = F.col(vec)
+    return vec.cast("array<double>")
 
 
 def dot(a: Column, b: Column) -> Column:

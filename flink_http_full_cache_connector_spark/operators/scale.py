@@ -21,3 +21,31 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+# --- phase timing hooks (round-10 verdict #6) ------------------------------
+#
+# Build-dominated queries (persisted-index twins, streaming ANN lookup)
+# record their build/serve boundary here so scale artifacts carry the
+# split as first-class JSON fields instead of prose in SCALE.md.  The
+# recorder is deliberately dumb: a module dict the query writes and the
+# bench drains after each timed run — no clocks inside the engine path,
+# no behavior change when nothing reads it.
+
+_PHASES: dict[str, float] = {}
+
+
+def record_phase(name: str, seconds: float) -> None:
+    """Record one named phase wall (e.g. ``build_s``) for the currently
+    running query.  bench.py drains the dict after each run and attaches
+    it to that query's artifact row; ``serve_s`` is derived as
+    ``total - build_s`` when only the build is recorded (the serve side
+    of a batch twin is the lazily-executed remainder)."""
+    _PHASES[name] = round(float(seconds), 3)
+
+
+def drain_phases() -> dict[str, float]:
+    """Return-and-clear the recorded phases (bench-side hook)."""
+    out = dict(_PHASES)
+    _PHASES.clear()
+    return out

@@ -26,6 +26,8 @@ the DuckDB oracle twins).
 
 from __future__ import annotations
 
+import time
+
 import pandas as pd  # module-level: pandas_udf type hints resolve against globals
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -38,7 +40,10 @@ from flink_http_full_cache_connector_spark.functions.vectors import (
     duck_dot,
 )
 from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
-from flink_http_full_cache_connector_spark.operators.scale import widen
+from flink_http_full_cache_connector_spark.operators.scale import (
+    record_phase,
+    widen,
+)
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
 
 NUM_QUERIES = 10
@@ -1070,7 +1075,9 @@ def sim_ann_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     work = tempfile.mkdtemp(prefix="spark_graft_ivfidx_")
     try:
+        _t0 = time.perf_counter()
         ivf_index_save(emb, work)
+        record_phase("build_s", time.perf_counter() - _t0)
         cent, assign = ivf_index_load(spark, work)
         out = _ivf_probe_topk(emb, cent, assign)
         # materialize the queries*k-sized result so the temp index dir
@@ -1778,7 +1785,9 @@ def streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw_schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
     work = tempfile.mkdtemp(prefix="spark_graft_ivfstream_")
     try:
+        _t0 = time.perf_counter()
         two_level_index_save(emb, work)
+        record_phase("build_s", time.perf_counter() - _t0)
         coarse, fine_grouped, assign = two_level_index_load(spark, work)
         # ONE-row static relations for the stateless per-row shortlist:
         # the K coarse structs as one array; each coarse cell's ~√C fine
@@ -1908,7 +1917,9 @@ def sim_ann_ivf_2level_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     work = tempfile.mkdtemp(prefix="spark_graft_ivf2idx_")
     try:
+        _t0 = time.perf_counter()
         two_level_index_save(emb, work)
+        record_phase("build_s", time.perf_counter() - _t0)
         coarse, fine_grouped, assign = two_level_index_load(spark, work)
         nb = assign.select(
             F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv")
@@ -3012,40 +3023,89 @@ def sim_ann_ivf_2level_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_ITERS = 12
 
 
+def _pca_xtxv(
+    base: DataFrame, v: list[float], *, kernel: str, with_trace: bool = False
+) -> tuple[list[float], float]:
+    """One power-iteration pass: ``u = XᵀXv`` (and optionally
+    ``trace(XᵀX)``) without forming the covariance matrix.
+
+    ``kernel="arrow"`` (default since the round-10 audit): each Arrow
+    batch contributes ONE partial row — ``u_b = V_bᵀ(V_b v)`` via two
+    BLAS GEMVs — and the ~(n/batch) dim-length partials sum on the
+    driver (metadata-sized).  The fold form below evaluates the n dot
+    products on the interpreted HOF path AND shuffles n·dim scalar rows
+    per pass through the posexplode — the exact pattern round 9 removed
+    from Lloyd training; at sf100 the 12-iteration train exceeded 590 s
+    (audit spot) where the GEMV form is seconds.  Both kernels are valid
+    under the query's CONTRACT gates (tolerance booleans — iterative
+    float sums have no bit-stable SQL replay; partial-sum order already
+    differed by partitioning in the fold form)."""
+    import numpy as np
+
+    if kernel == "arrow":
+        import pandas as pd
+
+        varr = np.asarray(v, dtype=np.float64)
+
+        def _p(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["x"].to_numpy())
+                u_b = V.T @ (V @ varr)
+                sq = float((V * V).sum()) if with_trace else 0.0
+                yield pd.DataFrame({"u": [u_b.tolist()], "sq": [sq]})
+
+        parts = base.mapInPandas(_p, "u array<double>, sq double").collect()
+        u = np.zeros(len(v), dtype=np.float64)
+        tr = 0.0
+        for r in parts:
+            u += np.asarray(r["u"], dtype=np.float64)
+            tr += float(r["sq"])
+        return u.tolist(), tr
+    if kernel != "fold":  # pragma: no cover
+        raise ValueError(f"kernel must be 'arrow' or 'fold', got {kernel}")
+    vlit = F.array(*[F.lit(x) for x in v])
+    s = F.aggregate(
+        F.zip_with(F.col("x"), vlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    aggs = [F.sum(F.col("xd") * F.col("s")).alias("u")]
+    if with_trace:
+        aggs.append(F.sum(F.col("xd") * F.col("xd")).alias("sq"))
+    rows = (
+        base.select(F.posexplode(F.col("x")).alias("d", "xd"), s.alias("s"))
+        .groupBy("d")
+        .agg(*aggs)
+        .collect()
+    )
+    u = [0.0] * len(v)
+    tr = 0.0
+    for r in rows:
+        u[int(r["d"])] = float(r["u"])
+        if with_trace:
+            tr += float(r["sq"])
+    return u, tr
+
+
 def pca_power_train(
-    emb: DataFrame, iters: int = PCA_ITERS
+    emb: DataFrame, iters: int = PCA_ITERS, *, kernel: str = "arrow"
 ) -> tuple[list[float], float]:
     """Leading right-singular vector of the (uncentered) embedding matrix by
-    power iteration on ``X^T X`` WITHOUT forming it: each iteration is
-
-        s_r = dot(x_r, v)          (map-side, v broadcast as a literal)
-        u_d = Σ_r x_r[d] * s_r     (posexplode → per-dim partial agg)
-
-    so the shuffle carries O(partitions × dim) partial sums — corpus-size
-    independent, the same metadata-collect pattern as Lloyd training
-    (``ivf_train``).  Deterministic init: the all-ones direction.  Returns
+    power iteration on ``X^T X`` WITHOUT forming it — each iteration is one
+    :func:`_pca_xtxv` pass (GEMV partials by default; see its docstring for
+    the kernel story).  Deterministic init: the all-ones direction.  Returns
     (unit vector v, rayleigh quotient λ = v·(XᵀX)v ≈ top eigenvalue).
     """
     dim = len(emb.select("embedding").first()[0])
     v = [1.0 / dim**0.5] * dim
     lam = 0.0
     base = widen(emb).select(as_double(F.col("embedding")).alias("x"))
+    if kernel == "arrow":
+        base = base.persist()  # 12 passes over the same slim relation
     for _ in range(iters):
-        vlit = F.array(*[F.lit(x) for x in v])
-        s = F.aggregate(
-            F.zip_with(F.col("x"), vlit, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, t: acc + t,
-        )
-        rows = (
-            base.select(F.posexplode(F.col("x")).alias("d", "xd"), s.alias("s"))
-            .groupBy("d")
-            .agg(F.sum(F.col("xd") * F.col("s")).alias("u"))
-            .collect()
-        )
-        u = [0.0] * dim
-        for r in rows:
-            u[int(r.d)] = float(r.u)
+        u, _tr = _pca_xtxv(base, v, kernel=kernel)
         lam = sum(vi * ui for vi, ui in zip(v, u))  # v·(XᵀX)v with unit v
         n = sum(x * x for x in u) ** 0.5
         v = [x / n for x in u]
@@ -3079,27 +3139,8 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = len(v)
 
     base = widen(emb).select(as_double(F.col("embedding")).alias("x"))
-    vlit = F.array(*[F.lit(x) for x in v])
-    s = F.aggregate(
-        F.zip_with(F.col("x"), vlit, lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
     # one verification pass: u = XᵀXv and trace(XᵀX) (= Σ eigenvalues)
-    stats = (
-        base.select(F.posexplode(F.col("x")).alias("d", "xd"), s.alias("s"))
-        .groupBy("d")
-        .agg(
-            F.sum(F.col("xd") * F.col("s")).alias("u"),
-            F.sum(F.col("xd") * F.col("xd")).alias("sq"),
-        )
-        .collect()
-    )
-    u = [0.0] * dim
-    trace = 0.0
-    for r in stats:
-        u[int(r.d)] = float(r.u)
-        trace += float(r.sq)
+    u, trace = _pca_xtxv(base, v, kernel="arrow", with_trace=True)
     # Rayleigh quotient of the FINAL v (pca_power_train's lam pairs with the
     # previous iterate — using it here would misstate the residual)
     lam = sum(vi * ui for vi, ui in zip(v, u))

@@ -367,10 +367,14 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     active = sketches.select("event_type", "hour_idx")
 
     # --- exact verifier: interval sweep over presence segments ----------
-    presence = (
-        events.select("event_type", hour.alias("hour_idx"), "user_id")
-        .distinct()
-    )
+    # NO distinct() first: duplicate (type, user, hour) rows land adjacent
+    # under the window sort and give hour - lag(hour) = 0, which never
+    # opens a segment and never moves a segment's min/max — the sweep is
+    # duplicate-tolerant by construction, so the projection goes through
+    # ONE (type, user) shuffle instead of a distinct exchange plus a
+    # window exchange (at 100 M events that is a full corpus shuffle
+    # saved; measured 86.2 -> see SCALE.md round 10)
+    presence = events.select("event_type", hour.alias("hour_idx"), "user_id")
     w = Window.partitionBy("event_type", "user_id").orderBy("hour_idx")
     prev = F.lag("hour_idx").over(w)
     seg = presence.withColumn(

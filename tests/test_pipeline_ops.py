@@ -1777,3 +1777,119 @@ def test_zero_vector_behavior_pinned(spark):
     }
     assert got[5] == 0  # lowest cell id, deterministically
     assert set(got) == {0, 1, 2, 3, 4, 5}  # nothing dropped
+
+
+def test_embedding_lsh_kernels_agree(spark):
+    """Round-10: dedup_embedding_lsh's verify moved in-bucket (float32
+    GEMM prune + exact-fold decision) after the sf10 profile measured the
+    pair-join fold verify at 182 s of 215 s.  The arrow and fold kernels
+    must emit the IDENTICAL pair set and sims — the exact fold makes the
+    decision in both, so this pins the prune's no-miss property and the
+    GEMM sign bits."""
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        _embedding_lsh_pairs,
+    )
+
+    def run(kernel):
+        return sorted(
+            tuple(r)
+            for r in _embedding_lsh_pairs(
+                spark, SF_DIR, kernel=kernel
+            ).collect()
+        )
+
+    arrow, fold = run("arrow"), run("fold")
+    assert arrow == fold
+    assert len(arrow) > 0  # non-vacuous
+
+
+def test_lsh_sign_gemm_matches_fold_near_zero(spark):
+    """The arrow signature kernel decides each bucket bit with a float64
+    GEMM sign test while the fold twin (and the DuckDB oracle) fold the
+    same dot left-to-right.  Engineer vectors whose plane-dot sits at
+    ±1e-12 — 100x the GEMM-vs-fold ulp noise on 64-dim dots, so both
+    must agree on a sane platform and diverge loudly on a broken one."""
+    import numpy as np
+
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        DEDUP_LSH_TABLES,
+        _embedding_lsh_survivors_arrow,
+    )
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        LSH_PLANE_BASE,
+        lsh_planes,
+        lsh_signatures,
+    )
+    from flink_http_full_cache_connector_spark.functions.vectors import (
+        as_double,
+    )
+
+    dim = 8
+    rng = np.random.default_rng(11)
+    rows = []
+    # plane stock: ids BASE .. BASE + 2*L*B - 1 (bits=1 here)
+    bits = 1
+    for p in range(DEDUP_LSH_TABLES * bits):
+        a = rng.normal(size=dim)
+        rows.append((LSH_PLANE_BASE + 2 * p, a.tolist()))
+        rows.append((LSH_PLANE_BASE + 2 * p + 1, (a - rng.normal(size=dim)).tolist()))
+    # probe vectors: one generic, two engineered to sit ±1e-12 off plane 0
+    planes0 = np.asarray(rows[0][1]) - np.asarray(rows[1][1])
+    perp = rng.normal(size=dim)
+    perp -= planes0 * (perp @ planes0) / (planes0 @ planes0)
+    unit0 = planes0 / np.sqrt(planes0 @ planes0)
+    rows.append((0, (perp + 1e-12 * unit0).tolist()))
+    rows.append((1, (perp - 1e-12 * unit0).tolist()))
+    rows.append((2, rng.normal(size=dim).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = lsh_planes(emb, tables=DEDUP_LSH_TABLES, bits=bits)
+
+    import pyspark.sql.functions as F
+
+    fold_sigs = {
+        (r.vec_id, r.table_id): r.bucket
+        for r in lsh_signatures(
+            emb.select("vec_id", as_double(F.col("embedding")).alias("v")),
+            planes,
+            tables=DEDUP_LSH_TABLES,
+        ).collect()
+        if r.vec_id < 3
+    }
+    # recover the arrow kernel's buckets through its survivor pairs is
+    # indirect; instead replay its sign math directly on the collected
+    # planes — the same GEMM expression the kernel runs
+    pl = sorted(
+        (int(r["table_id"]), int(r["weight"]), list(r["dv"]))
+        for r in planes.collect()
+    )
+    DV = np.stack([np.asarray(dv) for _, _, dv in pl])
+    W = np.array([w for _, w, _ in pl])
+    T = np.array([t for t, _, _ in pl])
+    for vid in range(3):
+        v = np.asarray(rows[[r[0] for r in rows].index(vid)][1])
+        bits_m = (v @ DV.T) >= 0.0
+        for t in range(DEDUP_LSH_TABLES):
+            got = int((bits_m[T == t] * W[T == t]).sum())
+            assert got == fold_sigs[(vid, t)], (vid, t)
+
+
+def test_pca_power_kernels_agree(spark):
+    """Round-10: the power-iteration pass moved to GEMV partials (the fold
+    form ran n interpreted dots AND shuffled n*dim scalar rows per pass —
+    >590 s at sf100 for the 12-step train).  Both kernels are valid under
+    the contract gates; they must converge to the SAME direction (the
+    iteration is contractive, so order-of-summation noise cannot push
+    them apart) and both must satisfy the registered query's booleans."""
+    import numpy as np
+
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        pca_power_train,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    va, la = pca_power_train(emb, kernel="arrow")
+    vf, lf = pca_power_train(emb, kernel="fold")
+    va, vf = np.asarray(va), np.asarray(vf)
+    # same direction (sign-aligned) to far tighter than the contract's 10%
+    assert abs(abs(float(va @ vf)) - 1.0) < 1e-9
+    assert abs(la - lf) <= 1e-6 * abs(lf)

@@ -205,31 +205,57 @@ def gen(sf: float, out: str, only: set[str] | None = None) -> None:
     if want("documents"):
         rng = np.random.default_rng(48)
         nd = n["documents"]
-        lens = rng.integers(10, 101, nd)
         vocab = np.array(VOCAB)
-        texts: list[str] = []
-        for i in range(nd):
-            texts.append(" ".join(vocab[rng.integers(0, len(vocab), lens[i])]))
-        # plant ~5% near-duplicates: copy an earlier doc, swap one word for the
-        # 'dup' marker token (the driver data carries the same marker)
-        ndup = nd // 20
-        dup_targets = rng.choice(nd, size=ndup, replace=False)
-        for t in dup_targets:
-            src = int(rng.integers(0, nd))
-            words = texts[src].split()
-            words[int(rng.integers(0, len(words)))] = "dup"
-            texts[int(t)] = " ".join(words)
-        # a handful of exact duplicates
-        for t in rng.choice(nd, size=max(1, nd // 625), replace=False):
-            texts[int(t)] = texts[int(rng.integers(0, nd))]
-        langs = rng.choice(LANGS, size=nd, p=LANG_W)
-        _write(out, "documents", pa.table({
-            "doc_id": pa.array(np.arange(nd), pa.int64()),
-            "text": texts,
-            "lang": pa.array(langs),
-            "source": [f"src{i % 20}" for i in range(nd)],
-            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-        }))
+        # chunked writer above DOC_CHUNK rows (fourth-decade corpora: sf1000
+        # is 50 M texts ≈ 25+ GB of Python strings in one list — the same
+        # wall the events writer hit at sf100).  Near/exact-duplicate
+        # planting samples its copy SOURCE within the chunk, and per-chunk
+        # RNG draws interleave differently than the single-shot stream, so
+        # a >DOC_CHUNK file is NOT byte-comparable to what the unchunked
+        # path would have produced — fine for new fourth-decade artifacts
+        # (none predate this writer); files at or below DOC_CHUNK keep the
+        # historical single-shot stream exactly.
+        DOC_CHUNK = 10_000_000
+
+        def _doc_chunk(lo: int, m: int) -> pa.Table:
+            lens = rng.integers(10, 101, m)
+            texts: list[str] = []
+            for i in range(m):
+                texts.append(" ".join(vocab[rng.integers(0, len(vocab), lens[i])]))
+            # plant ~5% near-duplicates: copy another doc (same chunk),
+            # swap one word for the 'dup' marker token
+            ndup = m // 20
+            dup_targets = rng.choice(m, size=ndup, replace=False)
+            for t in dup_targets:
+                src = int(rng.integers(0, m))
+                words = texts[src].split()
+                words[int(rng.integers(0, len(words)))] = "dup"
+                texts[int(t)] = " ".join(words)
+            # a handful of exact duplicates
+            for t in rng.choice(m, size=max(1, m // 625), replace=False):
+                texts[int(t)] = texts[int(rng.integers(0, m))]
+            langs = rng.choice(LANGS, size=m, p=LANG_W)
+            return pa.table({
+                "doc_id": pa.array(np.arange(lo, lo + m), pa.int64()),
+                "text": texts,
+                "lang": pa.array(langs),
+                "source": [f"src{i % 20}" for i in range(lo, lo + m)],
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            })
+
+        if nd <= DOC_CHUNK:
+            _write(out, "documents", _doc_chunk(0, nd))
+        else:
+            path = os.path.join(out, "documents.parquet")
+            writer = None
+            for lo in range(0, nd, DOC_CHUNK):
+                t = _doc_chunk(lo, min(DOC_CHUNK, nd - lo))
+                if writer is None:
+                    writer = pq.ParquetWriter(path, t.schema, compression="snappy")
+                writer.write_table(t, row_group_size=262_144)
+                print(f"  documents chunk {lo}..{lo + t.num_rows}", flush=True)
+            writer.close()
+            print(f"wrote {path}: {nd} rows")
 
     if want("embeddings"):
         rng = np.random.default_rng(49)
