@@ -63,7 +63,15 @@ def main() -> None:
     # warm-up outside the timed region: JVM/codegen, parquet footers, and the
     # Python-worker pool (mapInPandas queries otherwise pay ~5s one-time
     # worker spin-up in whichever query happens to run first)
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm on whichever table the SF dir carries (fourth-decade scale dirs
+    # are documents/embeddings-only)
+    import glob as _glob
+
+    warm = sorted(_glob.glob(f"{sf_dir}/lineitem.parquet")) or sorted(
+        _glob.glob(f"{sf_dir}/*.parquet")
+    )
+    if warm:
+        spark.read.parquet(warm[0]).count()
     spark.range(0, cpus * 4, 1, cpus).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
