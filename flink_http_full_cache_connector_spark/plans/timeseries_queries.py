@@ -306,6 +306,108 @@ RD_HLL_LGK = 14
 RD_HLL_TOL = 0.04
 
 
+def _rolling_distinct_sweep(events: DataFrame) -> DataFrame:
+    """(event_type, hour_idx, distinct_users) — EXACT rolling-window
+    distinct by interval sweep, the shared core of
+    ``rolling_distinct_users_sweep`` and the HLL twin's verifier.
+
+    Each (type, user)'s presence hours merge into covered segments
+    [p, p+W-1]; segment endpoints emit +1/−1 deltas whose per-type cumsum
+    over the hour grid IS the rolling distinct count at every hour.  NO
+    distinct before the window: duplicate (type, user, hour) rows land
+    adjacent under the window sort and give ``hour − lag(hour) = 0``,
+    which never opens a segment and never moves a segment's min/max — the
+    sweep is duplicate-tolerant by construction, so the corpus pays ONE
+    (type, user) shuffle.  Everything after segment aggregation is
+    grid-sized (hours × types)."""
+    hour = F.expr(f"unix_micros(ts) div {HOUR_US}")
+    presence = events.select("event_type", hour.alias("hour_idx"), "user_id")
+    w = Window.partitionBy("event_type", "user_id").orderBy("hour_idx")
+    prev = F.lag("hour_idx").over(w)
+    seg = presence.withColumn(
+        "new_seg",
+        F.when(
+            prev.isNull() | (F.col("hour_idx") - prev > RD_WINDOW_H), 1
+        ).otherwise(0),
+    ).withColumn(
+        "seg_id",
+        F.sum("new_seg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    segments = seg.groupBy("event_type", "user_id", "seg_id").agg(
+        F.min("hour_idx").alias("s"),
+        (F.max("hour_idx") + RD_WINDOW_H - 1).alias("e"),
+    )
+    deltas = segments.select(
+        "event_type",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("hour_idx"), F.lit(1).alias("d")),
+                F.struct(
+                    (F.col("e") + 1).alias("hour_idx"), F.lit(-1).alias("d")
+                ),
+            )
+        ).alias("x"),
+    ).select(
+        "event_type",
+        F.col("x.hour_idx").alias("hour_idx"),
+        F.col("x.d").alias("d"),
+    )
+    active = (
+        presence.select("event_type", "hour_idx").distinct()
+    )  # grid-sized after the partial agg
+    grid = (
+        deltas.unionByName(active.withColumn("d", F.lit(0)))
+        .groupBy("event_type", "hour_idx")
+        .agg(F.sum("d").alias("d"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.withColumn("distinct_users", F.sum("d").over(wc))
+        .join(active, ["event_type", "hour_idx"])
+        .select("event_type", "hour_idx", "distinct_users")
+    )
+
+
+@register(
+    "rolling_distinct_users_sweep",
+    f"""
+    WITH user_hours AS (
+        SELECT DISTINCT event_type,
+               epoch_us(ts::TIMESTAMP) // {HOUR_US} AS hour_idx,
+               user_id
+        FROM events
+    ),
+    fanned AS (
+        SELECT DISTINCT event_type, hour_idx + i AS hour_idx, user_id
+        FROM user_hours, unnest(range(0, {RD_WINDOW_H})) AS t(i)
+    ),
+    active AS (SELECT DISTINCT event_type, hour_idx FROM user_hours)
+    SELECT f.event_type, f.hour_idx,
+           count(DISTINCT f.user_id)::bigint AS distinct_users
+    FROM fanned f JOIN active a
+      ON f.event_type = a.event_type AND f.hour_idx = a.hour_idx
+    GROUP BY f.event_type, f.hour_idx
+    """,
+    doc=f"EXACT production twin of the rolling_distinct_users anchor — "
+    "identical output (same oracle, hash-gated), computed by the "
+    f"interval SWEEP instead of the {RD_WINDOW_H}x fan-out: presence "
+    "hours merge into covered segments per (type, user), endpoint "
+    "deltas cumsum over the grid-sized hour axis.  One corpus shuffle "
+    "on (type, user) replaces the anchor's fan-out explode (window x "
+    "corpus rows) + distinct-agg over the fanned relation — the "
+    "distinct-count analog of the gapfill/asof discipline: turn a "
+    "per-window-position recount into a per-CHANGE scan.  Use this when "
+    "exactness is required; rolling_distinct_users_hll when an epsilon "
+    "estimate is cheaper still.",
+)
+def rolling_distinct_users_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rolling_distinct_sweep(load_table(spark, sf_dir, "events"))
+
+
 @register(
     "rolling_distinct_users_hll",
     f"""
@@ -364,58 +466,11 @@ def rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = fanned.groupBy("event_type", "hour_idx").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     )
-    active = sketches.select("event_type", "hour_idx")
 
-    # --- exact verifier: interval sweep over presence segments ----------
-    # NO distinct() first: duplicate (type, user, hour) rows land adjacent
-    # under the window sort and give hour - lag(hour) = 0, which never
-    # opens a segment and never moves a segment's min/max — the sweep is
-    # duplicate-tolerant by construction, so the projection goes through
-    # ONE (type, user) shuffle instead of a distinct exchange plus a
-    # window exchange (at 100 M events that is a full corpus shuffle
-    # saved; measured 86.2 -> see SCALE.md round 10)
-    presence = events.select("event_type", hour.alias("hour_idx"), "user_id")
-    w = Window.partitionBy("event_type", "user_id").orderBy("hour_idx")
-    prev = F.lag("hour_idx").over(w)
-    seg = presence.withColumn(
-        "new_seg",
-        F.when(
-            prev.isNull() | (F.col("hour_idx") - prev > RD_WINDOW_H), 1
-        ).otherwise(0),
-    ).withColumn(
-        "seg_id",
-        F.sum("new_seg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    segments = seg.groupBy("event_type", "user_id", "seg_id").agg(
-        F.min("hour_idx").alias("s"),
-        (F.max("hour_idx") + RD_WINDOW_H - 1).alias("e"),
-    )
-    deltas = segments.select(
-        "event_type",
-        F.explode(
-            F.array(
-                F.struct(F.col("s").alias("hour_idx"), F.lit(1).alias("d")),
-                F.struct(
-                    (F.col("e") + 1).alias("hour_idx"), F.lit(-1).alias("d")
-                ),
-            )
-        ).alias("x"),
-    ).select("event_type", F.col("x.hour_idx").alias("hour_idx"), F.col("x.d").alias("d"))
-    grid = (
-        deltas.unionByName(active.withColumn("d", F.lit(0)))
-        .groupBy("event_type", "hour_idx")
-        .agg(F.sum("d").alias("d"))
-    )
-    wc = (
-        Window.partitionBy("event_type")
-        .orderBy("hour_idx")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    exact = (
-        grid.withColumn("distinct_users", F.sum("d").over(wc))
-        .join(active, ["event_type", "hour_idx"])
-        .select("event_type", "hour_idx", "distinct_users")
-    )
+    # --- exact verifier: the shared interval sweep (see
+    # _rolling_distinct_sweep — also registered standalone as
+    # rolling_distinct_users_sweep, the exact production twin)
+    exact = _rolling_distinct_sweep(events)
 
     return exact.join(rolled, ["event_type", "hour_idx"]).select(
         "event_type",
