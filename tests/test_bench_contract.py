@@ -214,6 +214,11 @@ def test_skip_baselines_mode_excludes_only_tagged_baselines():
         # .json) — pair work is unbounded in bucket size; dedup_minhash_capped
         # is the production twin (count-window cap on the join's own shuffle)
         "dedup_minhash_lsh",
+        # 24x fan-out exact sliding distinct: 619.9 s at sf100 — the linear
+        # anchor of the family, tagged once BOTH production twins landed
+        # (r10): the exact interval sweep (13.4x, same oracle) and the HLL
+        # contract twin
+        "rolling_distinct_users",
     }
     kept = {n: qd for n, qd in q_all.items() if not qd.baseline}
     assert set(kept) == set(q_all) - tagged
@@ -226,5 +231,7 @@ def test_skip_baselines_mode_excludes_only_tagged_baselines():
         "streaming_sessionize_evicting",
         "dedup_semantic_2level",
         "dedup_minhash_capped",
+        "rolling_distinct_users_sweep",
+        "rolling_distinct_users_hll",
     ):
         assert twin in kept
