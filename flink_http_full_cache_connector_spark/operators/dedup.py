@@ -1228,9 +1228,17 @@ EMB_LSH_PRUNE_MARGIN = 1e-3
     "numpy GEMM per (table,bucket) group over a float32 vector carry, "
     "occupancy-bounded blocks) as a PRUNE with a 1e-3 safety margin; "
     "only the ~1% survivors are distinct-ed and re-scored with the "
-    "exact fold, WHICH MAKES THE FINAL DECISION — output is therefore "
-    "bit-identical to the fold twin and the oracle by construction, "
-    "GEMM ulps can only cost a wasted fold, never a row.  The O(n²) "
+    "exact fold, WHICH MAKES THE FINAL DECISION — so within a fixed "
+    "candidate set, GEMM ulps can only cost a wasted fold, never flip "
+    "a row.  Caveat (round-10 ADVICE): the stage-1 SIGN test itself "
+    "runs on a float64 GEMM whose summation order differs from the "
+    "sequential fold the fold twin / oracle use, so a plane dot within "
+    "~1e-12 of zero can bucket a vector differently and change the "
+    "candidate SET (a pair reachable only through that bucket would be "
+    "dropped, not re-folded).  Per-sign probability ~1e-15 on this "
+    "corpus (see _embedding_lsh_survivors_arrow); output is "
+    "bit-identical GIVEN sign-stable plane dots, which every parity "
+    "fixture and 3-decade scale run has observed.  The O(n²) "
     "twin dedup_embedding_cosine is the recall baseline.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1802,7 +1810,12 @@ FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id
     "slim row per vector through each shuffle); the vector is re-attached "
     "once by a uniform vec_id join between the stages.  Oracle replays "
     "coarse assignment, fine-within-coarse assignment, and the drop rule "
-    "with the identical fold order and tie-breaks.",
+    "with the identical fold order and tie-breaks.  Hash-gate residual: "
+    "the arrow index kernel's GEMM dots sum in a different order than "
+    "the oracle's fold — a sub-1e-16-relative near-tie in the C×K "
+    "fine→coarse argmax could shift a cell (two_level_index docstring; "
+    "1e-14 parity pinned, one-time arrow-vs-fold spot-check advised on "
+    "large generated corpora before trusting a hash gate).",
 )
 def dedup_semantic_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_http_full_cache_connector_spark.operators.similarity import (

@@ -197,6 +197,19 @@ def two_level_index(
     max_by expression pipeline for cross-checks (kernels-agree test in
     tests/test_semantic_dedup.py).
 
+    Argmax-parity residual (round-10 ADVICE): the GEMM computes each
+    fine→coarse dot in a different summation order than the sequential
+    fold the SQL oracles replay, so two coarse candidates whose cosines
+    differ by less than GEMM-vs-fold noise (~1e-16 relative) could in
+    principle argmax differently and shift a fine centroid's cell —
+    value-exact hash gates downstream would then mismatch even though
+    both assignments are "correct".  Parity on engineered 1e-14
+    near-ties is pinned (tests/test_semantic_dedup.py); for large
+    GENERATED corpora where a sub-1e-14 tie is conceivable, run a
+    one-time arrow-vs-fold ``fine_grouped`` equality spot-check before
+    trusting a hash gate (the fold kernel is C·K interpreted folds —
+    expensive, but a once-per-corpus check, not a per-query cost).
+
     Fine centroid j < k IS coarse centroid j; its co_id is PINNED to j
     rather than argmaxed, so every coarse cell is non-empty by
     construction independent of floating point — a colinear-but-scaled
@@ -1508,7 +1521,12 @@ FROM ranked WHERE rank <= {k}
     "both assignment stages, the probe walk, and the rank with identical "
     "fold order and tie-breaks.  Plan: two slim per-vector shuffles for "
     "the index, broadcast-sized probe tables, one cell_id candidate "
-    "join.",
+    "join.  Hash-gate residual: the default arrow index kernel computes "
+    "the C×K fine→coarse dots by GEMM, whose summation order differs "
+    "from the oracle's sequential fold — near-ties below ~1e-16 "
+    "relative could argmax differently (see two_level_index docstring; "
+    "1e-14 near-tie parity is pinned, large generated corpora should "
+    "one-time spot-check arrow-vs-fold fine_grouped equality).",
 )
 def sim_ann_ivf_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
@@ -3109,6 +3127,11 @@ def pca_power_train(
         lam = sum(vi * ui for vi, ui in zip(v, u))  # v·(XᵀX)v with unit v
         n = sum(x * x for x in u) ** 0.5
         v = [x / n for x in u]
+    if kernel == "arrow":
+        # fully consumed above (each _pca_xtxv collects); without this,
+        # every library/test caller outside bench.py's clearCache leaks
+        # one cached relation per invocation (round-10 ADVICE)
+        base.unpersist()
     return v, lam
 
 

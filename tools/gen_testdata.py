@@ -214,7 +214,14 @@ def gen(sf: float, out: str, only: set[str] | None = None) -> None:
         # a >DOC_CHUNK file is NOT byte-comparable to what the unchunked
         # path would have produced — fine for new fourth-decade artifacts
         # (none predate this writer); files at or below DOC_CHUNK keep the
-        # historical single-shot stream exactly.
+        # historical single-shot stream exactly.  Known locality skew
+        # (round-10 ADVICE): because copy sources stay within the chunk,
+        # corpora >DOC_CHUNK have ZERO cross-chunk duplicate pairs — all
+        # dup pairs land within 10M-id bands, which can flatter LSH /
+        # minhash bucket locality relative to a uniform-source corpus.
+        # Kept as-is (changing it would break byte-identity with every
+        # committed >DOC_CHUNK artifact); scale conclusions drawn from
+        # fourth-decade corpora should note dup pairs are id-band-local.
         DOC_CHUNK = 10_000_000
 
         def _doc_chunk(lo: int, m: int) -> pa.Table:
