@@ -536,6 +536,23 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bkey) — one row per document per LSH band, bkey the
+    underscore-joined minhash slice.  Shared by the full-corpus candidate
+    join and the incremental band-bucket store (same string rule the
+    oracles replay)."""
+    bands = None
+    for band in range(BANDS):
+        cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        one = sig.select(
+            "doc_id",
+            F.lit(band).alias("band"),
+            F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("bkey"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    return bands
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, *, bucket_cap: int | None = None
 ) -> DataFrame:
@@ -556,15 +573,7 @@ def lsh_candidate_pairs(
     band is a mega-bucket are lost — and a mega-bucket, by construction,
     is a band slice shared by ~everything, i.e. no evidence of pairwise
     similarity (the same reasoning as the df-capped shingle twins)."""
-    bands = None
-    for band in range(BANDS):
-        cols = [f"m{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        one = sig.select(
-            "doc_id",
-            F.lit(band).alias("band"),
-            F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias("bkey"),
-        )
-        bands = one if bands is None else bands.unionByName(one)
+    bands = _band_rows(sig)
     if bucket_cap is not None:
         wb = Window.partitionBy("band", "bkey")
         bands = bands.withColumn("_bc", F.count("*").over(wb)).where(
@@ -717,6 +726,187 @@ def _minhash_verified_pairs(
         .join(sb, "doc_b")
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", trunc6(jac).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash-LSH (persisted band-bucket store)
+# ---------------------------------------------------------------------------
+
+
+def minhash_store_save(spark: SparkSession, hist: DataFrame, store_dir: str) -> None:
+    """Write the standing MinHash-LSH store for the historical corpus —
+    the ``ivf_index_save`` / ``incremental_span_hits`` discipline applied
+    to the flagship near-dup family (round-10 verdict #2):
+
+    - ``bands``:  (doc_id, bkey) band rows, parquet-partitioned by band —
+      the relation a new ingest probes with its own band keys;
+    - ``fps``:    (doc_id, fp) 60-bit shingle fingerprints — feeds the
+      Jaccard verify for candidate pairs only (slim longs, round-8
+      verdict #5: never shuffle shingle strings);
+    - ``sizes``:  (doc_id, n) shingle counts — the Jaccard denominators.
+
+    Signatures come from the fused map-side Arrow kernel
+    (:func:`minhash_signatures`), persisted across the two consumers
+    (band rows + sizes) so history tokenizes once.  The store never
+    rewrites on ingest: appending a processed batch is writing ITS rows
+    next to the existing ones (same contract as ``ivf_index_append``)."""
+    sig = minhash_signatures(hist).persist()
+    try:
+        _band_rows(sig).write.mode("overwrite").partitionBy("band").parquet(
+            f"{store_dir}/bands"
+        )
+        sig.select("doc_id", "n").write.mode("overwrite").parquet(
+            f"{store_dir}/sizes"
+        )
+    finally:
+        sig.unpersist()
+    _shingle_table(hist).select("doc_id", "fp").write.mode("overwrite").parquet(
+        f"{store_dir}/fps"
+    )
+
+
+def minhash_incremental_pairs(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_dir: str,
+    *,
+    bucket_cap: int = MINHASH_BUCKET_CAP,
+) -> DataFrame:
+    """Verified near-dup pairs (doc_a, doc_b, jaccard) INVOLVING AT LEAST
+    ONE batch document, answered from the persisted band-bucket store.
+
+    Marginal-cost shape (the reason this exists): everything after the
+    store scans is batch-sized —
+
+    1. batch signatures: one fused map-side Arrow pass over the batch;
+    2. store probe: history band rows semi-joined to the batch's distinct
+       bucket keys (slim parquet scan with the join key pushed to the
+       scan side; AQE broadcasts the batch key set when it is small) —
+       surviving history rows ≤ corpus-bucket-size per touched bucket;
+    3. the cap is applied ACROSS store ∪ batch: one count window over the
+       touched buckets' union rows — identical to the full-corpus window
+       rule restricted to touched buckets, because a bucket's total count
+       does not depend on rows in other buckets.  Buckets above
+       ``bucket_cap`` drop whole, exactly as in the from-scratch run;
+    4. candidates: batch rows × (batch ∪ history) rows within surviving
+       buckets — ≤ cap·bands·batch pairs by construction, history×history
+       pairs never generated (they were this store's PREVIOUS ingests);
+    5. verify: exact Jaccard via the fp store, semi-joined to candidate
+       doc ids first so only candidate documents' fingerprints shuffle.
+
+    Append ≡ from-scratch: steps 3-4 reproduce the full-corpus capped
+    candidate set restricted to pairs with a batch member, and the verify
+    rule is shared — the registry oracle replays the FULL-corpus capped
+    pipeline filtered to batch docs and the hash gate proves equality."""
+    sig_b = minhash_signatures(batch).persist()
+    bands_b = _band_rows(sig_b).select(
+        "doc_id", "band", "bkey", F.lit(1).alias("_nb")
+    )
+    hist_bands = spark.read.parquet(f"{store_dir}/bands")
+    touched = bands_b.select("band", "bkey").distinct()
+    hb = hist_bands.join(touched, ["band", "bkey"], "left_semi").select(
+        "doc_id", "band", "bkey", F.lit(0).alias("_nb")
+    )
+    rows = bands_b.unionByName(hb)
+    wb = Window.partitionBy("band", "bkey")
+    rows_c = (
+        rows.withColumn("_bc", F.count("*").over(wb))
+        .where(F.col("_bc") <= bucket_cap)
+        .drop("_bc")
+    )
+    a = rows_c.where(F.col("_nb") == 1).select(
+        F.col("doc_id").alias("_da"), "band", "bkey"
+    )
+    b = rows_c.select(F.col("doc_id").alias("_db"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("_da") != F.col("_db"))
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+        )
+        .distinct()
+        .persist()  # feeds the id semi-joins AND the verify join
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_b = _shingle_table(batch).select("doc_id", "fp")
+    sh_h = spark.read.parquet(f"{store_dir}/fps")
+    # candidate documents only: batch fps are batch-sized already; history
+    # fps semi-join to candidate ids before any wide join
+    sh = (
+        sh_b.join(ids, "doc_id", "left_semi")
+        .unionByName(sh_h.join(ids, "doc_id", "left_semi"))
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), "fp")
+    y = sh.select(F.col("doc_id").alias("doc_b"), "fp")
+    inter = (
+        cand.join(x, "doc_a")
+        .join(y, ["doc_b", "fp"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sizes = sig_b.select("doc_id", "n").unionByName(
+        spark.read.parquet(f"{store_dir}/sizes")
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", trunc6(jac).alias("jaccard"))
+    )
+
+
+def _minhash_incr_oracle() -> str:
+    from flink_http_full_cache_connector_spark.operators.substring_dedup import (
+        NEW_BATCH_MOD,
+    )
+
+    return f"""
+SELECT doc_a, doc_b, jaccard FROM ({_minhash_oracle(MINHASH_BUCKET_CAP)})
+WHERE doc_a % {NEW_BATCH_MOD} = 0 OR doc_b % {NEW_BATCH_MOD} = 0
+"""
+
+
+@register(
+    "dedup_minhash_incremental",
+    _minhash_incr_oracle(),
+    doc="Incremental-ingest MinHash-LSH near-dup (round-10 verdict #2): "
+    "the incoming batch (doc_id % 5 == 0, the dedup_substring_incremental "
+    "split) computes its signatures with the fused map-side Arrow kernel "
+    "and probes a PERSISTED (band)-partitioned band-bucket store over the "
+    "historical corpus (written, reloaded, semi-join probed — the "
+    "ivf_index_save discipline).  The production bucket cap is applied "
+    "across store ∪ batch with the identical count-window rule, so capped "
+    "incremental candidates == capped from-scratch candidates restricted "
+    "to pairs with a batch member; Jaccard verification reuses the fp "
+    "store, semi-joined to candidate ids so only candidate documents "
+    "shuffle.  The oracle replays the FULL-corpus capped pipeline "
+    "filtered to batch docs — the hash match proves append-mode ingest "
+    "== from-scratch.  Marginal cost per ingest is batch-sized after two "
+    "slim store scans; history×history pair work is never repaid.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from flink_http_full_cache_connector_spark.operators.substring_dedup import (
+        NEW_BATCH_MOD,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.where(F.col("doc_id") % NEW_BATCH_MOD != 0)
+    batch = docs.where(F.col("doc_id") % NEW_BATCH_MOD == 0)
+    work = tempfile.mkdtemp(prefix="spark_graft_minhash_store_")
+    minhash_store_save(spark, hist, work)
+    return minhash_incremental_pairs(
+        spark, batch, work, bucket_cap=MINHASH_BUCKET_CAP
     )
 
 

@@ -1730,6 +1730,32 @@ def test_minhash_capped_equals_uncapped_at_fixture_scale(spark):
     assert "count(1) windowspecdefinition(band" in plan
 
 
+def test_minhash_incremental_equals_from_scratch_restricted(spark):
+    """Append ≡ from-scratch for the persisted band-bucket store: the
+    incremental probe (batch signatures vs the historical store, cap
+    applied across store ∪ batch) must reproduce EXACTLY the capped
+    full-corpus pairs restricted to pairs involving a batch doc — same
+    pair set, same verified Jaccard values."""
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        dedup_minhash_capped,
+        dedup_minhash_incremental,
+    )
+    from flink_http_full_cache_connector_spark.operators.substring_dedup import (
+        NEW_BATCH_MOD,
+    )
+
+    incr = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_incremental(spark, SF_DIR).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_capped(spark, SF_DIR).collect()
+        if r.doc_a % NEW_BATCH_MOD == 0 or r.doc_b % NEW_BATCH_MOD == 0
+    }
+    assert incr == full and incr  # non-empty at sf0.01
+
+
 def test_zero_vector_behavior_pinned(spark):
     """Round-9 ADVICE: the 1e-300 zero-norm clamp exists only in the Arrow
     SELECTION stages, so the 'kernels agree on degenerate input' claim was
