@@ -1346,12 +1346,25 @@ def _lsh_bits_for(n: int) -> int:
     return max(DEDUP_LSH_BITS, (m - 1).bit_length() if m > 1 else 1)
 
 
-def _embedding_lsh_oracle() -> str:
+def _embedding_lsh_oracle(bucket_cap: int | None = None) -> str:
     from flink_http_full_cache_connector_spark.functions.vectors import duck_dot
     from flink_http_full_cache_connector_spark.operators.similarity import (
         LSH_PLANE_BASE,
     )
 
+    capped = (
+        f""",
+sigs_c AS (
+    SELECT vec_id, table_id, bucket FROM (
+        SELECT vec_id, table_id, bucket,
+               count(*) OVER (PARTITION BY table_id, bucket) AS bc
+        FROM sigs)
+    WHERE bc <= {bucket_cap}
+)"""
+        if bucket_cap is not None
+        else ""
+    )
+    sigs_name = "sigs_c" if bucket_cap is not None else "sigs"
     return f"""
 WITH cfg AS (
     -- adaptive bits: integer bit-length of ceil(n/occupancy)-1, floored at
@@ -1379,10 +1392,10 @@ sigs AS MATERIALIZED (
                     THEN pl.weight ELSE 0 END)::bigint AS bucket
     FROM embeddings e CROSS JOIN pl
     GROUP BY 1, 2
-),
+){capped},
 cand AS (
     SELECT DISTINCT s1.vec_id AS vec_a, s2.vec_id AS vec_b
-    FROM sigs s1 JOIN sigs s2 USING (table_id, bucket)
+    FROM {sigs_name} s1 JOIN {sigs_name} s2 USING (table_id, bucket)
     WHERE s1.vec_id < s2.vec_id
 )
 SELECT c.vec_a, c.vec_b,
@@ -1435,12 +1448,68 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _embedding_lsh_pairs(spark, sf_dir)
 
 
+#: production bucket cap for dedup_embedding_lsh_capped: 8× the pinned
+#: mean occupancy (DEDUP_LSH_OCCUPANCY = 32) — far above any honest
+#: near-dup cluster at the fixture scales (capped ≡ uncapped there,
+#: pinned in tests) while bounding per-bucket GEMM work at cap² when a
+#: real corpus concentrates a halfspace slice (boilerplate embeddings).
+EMB_LSH_BUCKET_CAP = 256
+#: shuffle-granularity knob: cap applyInPandas groups at 16·2^g by
+#: grouping 2^(bits−g) ADJACENT buckets per group — the sf100 profile
+#: measured ~1 M per-bucket groups as the survivor stage's dominant cost
+#: (per-group pandas/UDF overhead, not GEMM flops).  2^10 groups per
+#: table keeps every core busy at any SF while the in-group bucket split
+#: is one sort + np.unique.
+EMB_LSH_GROUP_BITS = 10
+
+
+@register(
+    "dedup_embedding_lsh_capped",
+    _embedding_lsh_oracle(EMB_LSH_BUCKET_CAP),
+    doc="Embedding near-dup, PRODUCTION form (round-10 verdict #3): "
+    "dedup_embedding_lsh's adaptive-bits LSH + in-bucket GEMM prune + "
+    f"exact-fold decision, with (a) the bucket cap ({EMB_LSH_BUCKET_CAP} "
+    "= 8× target occupancy): (table, bucket) groups holding more vectors "
+    "emit no pairs — a true pair is lost only if EVERY table "
+    "mega-buckets it, and a mega-bucket is a halfspace slice shared by "
+    "~everything (no evidence of pairwise similarity; the "
+    "MINHASH_BUCKET_CAP reasoning verbatim), bounding per-bucket work "
+    "at cap² on boilerplate-heavy real corpora; and (b) coarsened "
+    f"shuffle groups (≤16·2^{EMB_LSH_GROUP_BITS} applyInPandas groups, "
+    "adjacent buckets split in-kernel by sort + np.unique) — the sf100 "
+    "profile measured the ~1 M per-bucket groups, not GEMM flops, as "
+    "the survivor stage's 194.5 s cost.  Pair semantics are bucket-"
+    "exact (grouping only coarsens the shuffle key); the oracle replays "
+    "the cap with the identical count-window rule; capped ≡ uncapped "
+    "at fixture scales.  The uncapped dedup_embedding_lsh keeps the "
+    "anchor role.",
+)
+def dedup_embedding_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embedding_lsh_pairs(
+        spark,
+        sf_dir,
+        bucket_cap=EMB_LSH_BUCKET_CAP,
+        group_bits=EMB_LSH_GROUP_BITS,
+    )
+
+
 def _embedding_lsh_pairs(
-    spark: SparkSession, sf_dir: str, *, kernel: str = "arrow"
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    kernel: str = "arrow",
+    bucket_cap: int | None = None,
+    group_bits: int | None = None,
 ) -> DataFrame:
     """See :func:`dedup_embedding_lsh`.  ``kernel="fold"`` keeps the pure
     expression pipeline (fold-dot signatures → id-pair bucket self-join →
-    fold verify on every candidate) as the cross-check twin."""
+    fold verify on every candidate) as the cross-check twin.
+    ``bucket_cap`` / ``group_bits`` are the production knobs of
+    :func:`dedup_embedding_lsh_capped` (see the arrow kernel docstring);
+    the fold kernel applies the cap as a count window on the same
+    (table_id, bucket) shuffle its self-join needs (the
+    lsh_candidate_pairs rule) and ignores ``group_bits`` (it has no
+    per-group overhead to amortize)."""
     from flink_http_full_cache_connector_spark.functions.vectors import (
         cosine_with_norms,
         norm,
@@ -1456,7 +1525,9 @@ def _embedding_lsh_pairs(
     bits = _lsh_bits_for(emb.count())
     planes = lsh_planes(emb, tables=DEDUP_LSH_TABLES, bits=bits)
     if kernel == "arrow":
-        surv = _embedding_lsh_survivors_arrow(emb, planes, bits)
+        surv = _embedding_lsh_survivors_arrow(
+            emb, planes, bits, bucket_cap=bucket_cap, group_bits=group_bits
+        )
     elif kernel == "fold":
         vecs = widen(emb).select(
             "vec_id", as_double(F.col("embedding")).alias("v")
@@ -1469,6 +1540,11 @@ def _embedding_lsh_pairs(
             .select("vec_id", "table_id", "bucket")
             .persist()
         )
+        if bucket_cap is not None:
+            wb = Window.partitionBy("table_id", "bucket")
+            sigs = sigs.withColumn("_bc", F.count("*").over(wb)).where(
+                F.col("_bc") <= bucket_cap
+            )
         a = sigs.select(F.col("vec_id").alias("vec_a"), "table_id", "bucket")
         b = sigs.select(F.col("vec_id").alias("vec_b"), "table_id", "bucket")
         surv = (
@@ -1497,7 +1573,12 @@ def _embedding_lsh_pairs(
 
 
 def _embedding_lsh_survivors_arrow(
-    emb: DataFrame, planes: DataFrame, bits: int
+    emb: DataFrame,
+    planes: DataFrame,
+    bits: int,
+    *,
+    bucket_cap: int | None = None,
+    group_bits: int | None = None,
 ) -> DataFrame:
     """Distinct (vec_a, vec_b) id pairs that share a bucket AND clear the
     float32 GEMM prune at ``COSINE_DUP_THRESHOLD - EMB_LSH_PRUNE_MARGIN``
@@ -1517,7 +1598,27 @@ def _embedding_lsh_survivors_arrow(
     Stage 2 (one (table,bucket) shuffle): per-bucket pairwise cosines as
     a row-blocked numpy GEMM (blocks sized so a pathological mega-bucket
     bounds memory instead of OOMing a task), emitting only pairs above
-    threshold − margin."""
+    threshold − margin.
+
+    Production knobs (round-10 verdict #3, ``dedup_embedding_lsh_capped``):
+
+    - ``bucket_cap``: buckets holding more than this many vectors emit NO
+      pairs — the MINHASH_BUCKET_CAP discipline.  A true pair survives
+      unless EVERY table mega-buckets it, and a mega-bucket (a halfspace
+      slice shared by ~everything — boilerplate-heavy real corpora) is no
+      evidence of pairwise similarity.  Bounds per-bucket GEMM work at
+      cap² regardless of corpus shape.
+    - ``group_bits``: the sf100 profile measured the survivor stage at
+      194.5 s, dominated not by GEMM flops but by ~1 M applyInPandas
+      GROUPS (per-group pandas/UDF overhead at 16·2^bits buckets).  With
+      ``group_bits = g``, the shuffle key is (table_id, bucket >> (bits −
+      g)) — at most 16·2^g groups, each holding ~2^(bits−g) ADJACENT
+      buckets — and the kernel splits buckets inside the group with one
+      sort + np.unique (vector work, no per-bucket pandas).  Pair
+      semantics are unchanged: pairs still require the full bucket to
+      match; only the shuffle granularity coarsens.
+
+    Defaults (None, None) preserve the uncapped anchor's exact plan."""
     import numpy as np
     import pandas as pd
 
@@ -1565,20 +1666,15 @@ def _embedding_lsh_survivors_arrow(
     )
 
     cut = np.float32(COSINE_DUP_THRESHOLD - EMB_LSH_PRUNE_MARGIN)
+    empty = pd.DataFrame(
+        {"vec_a": np.array([], dtype=np.int64),
+         "vec_b": np.array([], dtype=np.int64)}
+    )
 
-    def _bucket(key, pdf):
-        m = len(pdf)
-        if m < 2:
-            return pd.DataFrame(
-                {"vec_a": np.array([], dtype=np.int64),
-                 "vec_b": np.array([], dtype=np.int64)}
-            )
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        V = np.stack(pdf["v32"].to_numpy())
+    def _one_bucket(ids, V, aa, bb):
+        m = len(ids)
         Vn = np.maximum(np.sqrt((V * V).sum(axis=1)), np.float32(1e-30))
         U = V / Vn[:, None]
-        aa, bb = [], []
         # row-blocked gram: block*m floats stay ≤ ~32 MB even for a
         # pathological mega-bucket (the occupancy target is ~32)
         block = max(1, (1 << 22) // m)
@@ -1589,16 +1685,40 @@ def _embedding_lsh_survivors_arrow(
             keep = (lo + r) < c  # a < b by position = by sorted vec_id
             aa.append(ids[lo + r[keep]])
             bb.append(ids[c[keep]])
+
+    def _bucket(key, pdf):
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values(["bucket", "vec_id"])
+        ids_all = pdf["vec_id"].to_numpy()
+        bks = pdf["bucket"].to_numpy()
+        V_all = np.stack(pdf["v32"].to_numpy())
+        # bucket boundaries inside the (possibly coarsened) group: one
+        # sorted np.unique — vector work, no per-bucket pandas frames
+        _, starts = np.unique(bks, return_index=True)
+        bounds = np.append(starts, len(bks))
+        aa: list = []
+        bb: list = []
+        for i in range(len(starts)):
+            lo0, hi0 = int(bounds[i]), int(bounds[i + 1])
+            m = hi0 - lo0
+            if m < 2 or (bucket_cap is not None and m > bucket_cap):
+                continue
+            _one_bucket(ids_all[lo0:hi0], V_all[lo0:hi0], aa, bb)
+        if not aa:
+            return empty
         return pd.DataFrame(
-            {"vec_a": np.concatenate(aa) if aa else np.array([], dtype=np.int64),
-             "vec_b": np.concatenate(bb) if bb else np.array([], dtype=np.int64)}
+            {"vec_a": np.concatenate(aa), "vec_b": np.concatenate(bb)}
         )
 
-    return (
-        sigs.groupBy("table_id", "bucket")
-        .applyInPandas(_bucket, "vec_a long, vec_b long")
-        .distinct()
-    )
+    shift = 0 if group_bits is None else max(0, bits - group_bits)
+    if shift == 0:
+        grouped = sigs.groupBy("table_id", "bucket")
+    else:
+        grouped = sigs.groupBy(
+            "table_id", F.shiftrightunsigned(F.col("bucket"), shift).alias("_g")
+        )
+    return grouped.applyInPandas(_bucket, "vec_a long, vec_b long").distinct()
 
 
 SIMHASH_MAX_HAMMING = 3  # < #bands: pigeonhole guarantees banded search is complete

@@ -1730,6 +1730,48 @@ def test_minhash_capped_equals_uncapped_at_fixture_scale(spark):
     assert "count(1) windowspecdefinition(band" in plan
 
 
+def test_embedding_lsh_capped_equals_uncapped_at_fixture_scale(spark):
+    """dedup_embedding_lsh_capped must be value-identical to the uncapped
+    anchor at fixture scale (no honest near-dup cluster approaches the
+    256 cap) — this also pins that the coarsened shuffle groups
+    (group_bits: adjacent buckets split in-kernel) change NOTHING about
+    which pairs emit or their exact-fold cosines."""
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        dedup_embedding_lsh,
+        dedup_embedding_lsh_capped,
+    )
+
+    capped = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup_embedding_lsh_capped(spark, SF_DIR).collect()
+    }
+    uncapped = {
+        (r.vec_a, r.vec_b): r.cos_sim
+        for r in dedup_embedding_lsh(spark, SF_DIR).collect()
+    }
+    assert capped == uncapped and capped
+
+
+def test_embedding_lsh_cap_drops_mega_bucket_pairs(spark):
+    """The cap rule itself, pinned on the arrow kernel: with a tiny cap
+    the pair set shrinks to pairs some under-cap bucket still finds —
+    and every emitted pair must clear the exact-fold threshold (the
+    decision pass is cap-independent)."""
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        COSINE_DUP_THRESHOLD,
+        _embedding_lsh_pairs,
+    )
+
+    tiny = _embedding_lsh_pairs(
+        spark, SF_DIR, bucket_cap=2, group_bits=10
+    ).collect()
+    full = _embedding_lsh_pairs(spark, SF_DIR).collect()
+    tiny_pairs = {(r.vec_a, r.vec_b) for r in tiny}
+    full_pairs = {(r.vec_a, r.vec_b) for r in full}
+    assert tiny_pairs <= full_pairs and len(tiny_pairs) < len(full_pairs)
+    assert all(r.cos_sim >= COSINE_DUP_THRESHOLD - 1e-6 for r in tiny)
+
+
 def test_minhash_incremental_equals_from_scratch_restricted(spark):
     """Append ≡ from-scratch for the persisted band-bucket store: the
     incremental probe (batch signatures vs the historical store, cap
