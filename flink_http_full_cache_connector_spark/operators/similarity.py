@@ -274,9 +274,16 @@ def two_level_assign_arrow(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     coarse_probes: int = 1,
+    carry_vec: bool = False,
+    min_partitions: int | None = None,
+    score: bool = True,
 ) -> DataFrame:
     """``(id, cell_id, cent_sim)`` — the ARROW KERNEL for two-level
     assignment, value-compatible with :func:`two_level_assign`.
+    ``score=False`` (training loop only) skips the exact-fold re-score —
+    the Lloyd means never read ``cent_sim``, and dropping it removes the
+    fine-centroid broadcast join + fold from every iteration; the
+    SELECTION (which cell wins) is identical either way.
 
     Why it exists (round-8 sf100 profile): every vector kernel built on
     ``aggregate``/``zip_with`` runs on Spark's INTERPRETED expression
@@ -328,7 +335,16 @@ def two_level_assign_arrow(
     zero vectors rather than silently scoring them; only the
     selection-only training kernel (:func:`flat_assign_arrow`) tolerates
     them.  Real embeddings are non-zero; the gates hash-verify both
-    kernels on every driver scale."""
+    kernels on every driver scale.
+
+    ``carry_vec=True`` additionally emits the (double-widened) vector as
+    ``v`` — free, since the exact-fold re-score already re-attached it;
+    the Lloyd training loop consumes it directly in
+    :func:`lloyd_cell_means`, dropping a per-iteration n_s-row join
+    (round-10 verdict #6).  ``min_partitions`` caps the widen() target
+    for small training samples (per-stage constants dominate tiny
+    relations; every kernel here is partition-invariant by construction,
+    so the value is unchanged — only the job-launch overhead)."""
     import numpy as np
     import pandas as pd
 
@@ -371,7 +387,7 @@ def two_level_assign_arrow(
                 }
             )
 
-    v = widen(emb).select(
+    v = widen(emb, min_partitions).select(
         F.col(id_col).alias("vec_id"), as_double(F.col(vec_col)).alias("v")
     )
     probes = v.mapInPandas(_stage1, "vec_id long, co_id long, v array<double>")
@@ -416,17 +432,25 @@ def two_level_assign_arrow(
     fine_slim = fine_grouped.select(
         F.col("cent_id").alias("cell_id"), "cv", "nc"
     )
+    if not score:
+        out_cols = [F.col("vec_id").alias(id_col), F.col("cell_id")]
+        if carry_vec:
+            out_cols.append(F.col("v"))
+        return chosen.join(v, "vec_id").select(*out_cols)
     vv = v.withColumn("nv", norm(F.col("v")))
+    out_cols = [
+        F.col("vec_id").alias(id_col),
+        F.col("cell_id"),
+        cosine_with_norms(
+            F.col("v"), F.col("cv"), F.col("nv"), F.col("nc")
+        ).alias("cent_sim"),
+    ]
+    if carry_vec:
+        out_cols.append(F.col("v"))
     return (
         chosen.join(vv, "vec_id")
         .join(F.broadcast(fine_slim), "cell_id")
-        .select(
-            F.col("vec_id").alias(id_col),
-            "cell_id",
-            cosine_with_norms(
-                F.col("v"), F.col("cv"), F.col("nv"), F.col("nc")
-            ).alias("cent_sim"),
-        )
+        .select(*out_cols)
     )
 
 
@@ -523,6 +547,49 @@ def lloyd_cell_means(
     )
 
 
+def lloyd_cell_means_keep(
+    assign: DataFrame,
+    fine_prev: DataFrame,
+    *,
+    cell_col: str = "cell_id",
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """``(cent_id, cv)`` for EVERY previous fine centroid in ONE
+    cogrouped Arrow pass: cells with assigned members get the
+    deterministic id-sorted mean (the :func:`lloyd_cell_means` rule,
+    value-identical), empty cells keep their previous centroid (the
+    ivf_train rule).  Fuses what the first cut ran as three stages —
+    grouped means + left-anti join + union — into a single cogroup
+    shuffle per Lloyd iteration (round-10 verdict #6: the trained-index
+    sf0.1 wall was job-launch constants, not data)."""
+    import numpy as np
+    import pandas as pd
+
+    def _mean(key, prev_pdf, a_pdf):
+        if not len(a_pdf):
+            # empty cell: keep the previous centroid
+            return prev_pdf[["cent_id", "cv"]]
+        order = np.argsort(a_pdf[id_col].to_numpy(), kind="stable")
+        V = np.stack(a_pdf[vec_col].to_numpy())[order]
+        return pd.DataFrame(
+            {"cent_id": [int(key[0])], "cv": [V.mean(axis=0).tolist()]}
+        )
+
+    return (
+        fine_prev.select("cent_id", "cv")
+        .groupBy("cent_id")
+        .cogroup(
+            assign.select(
+                F.col(cell_col).alias("cent_id"),
+                F.col(id_col),
+                F.col(vec_col),
+            ).groupBy("cent_id")
+        )
+        .applyInPandas(_mean, "cent_id long, cv array<double>")
+    )
+
+
 def two_level_assign(
     emb: DataFrame,
     coarse: DataFrame,
@@ -532,8 +599,14 @@ def two_level_assign(
     vec_col: str = "embedding",
     coarse_probes: int = 1,
     kernel: str = "arrow",
+    carry_vec: bool = False,
+    min_partitions: int | None = None,
+    score: bool = True,
 ) -> DataFrame:
     """``(id, cell_id, cent_sim)`` via coarse→fine assignment.
+    ``carry_vec`` / ``min_partitions`` / ``score`` are arrow-kernel
+    training-loop knobs (see :func:`two_level_assign_arrow`); the fold
+    reference kernel does not support them.
 
     ``kernel="arrow"`` (the default since the round-8 sf100 profile) runs
     the selection as Arrow-batched numpy GEMMs and re-scores the winner
@@ -572,9 +645,16 @@ def two_level_assign(
             id_col=id_col,
             vec_col=vec_col,
             coarse_probes=coarse_probes,
+            carry_vec=carry_vec,
+            min_partitions=min_partitions,
+            score=score,
         )
     if kernel != "fold":  # pragma: no cover
         raise ValueError(f"kernel must be 'arrow' or 'fold', got {kernel}")
+    if carry_vec or min_partitions is not None or not score:  # pragma: no cover
+        raise ValueError(
+            "carry_vec/min_partitions/score are arrow-kernel training knobs"
+        )
     from flink_http_full_cache_connector_spark.functions.vectors import (
         cosine_with_norms,
         norm,
@@ -722,8 +802,12 @@ def ivf_train(
     vec_col: str = "embedding",
     sample_mod: int | None = None,
     kernel: str = "arrow",
+    min_partitions: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means for IVF centroids.
+    ``min_partitions`` caps the widen() target for small training
+    samples (value-invariant; per-stage constants only — round-10
+    verdict #6).
 
     Seeded deterministically (first ``k`` vectors by id).
     ``kernel="arrow"`` (default since the round-9 profile — round-8
@@ -778,7 +862,7 @@ def ivf_train(
     dim = len(cents[0][1])
     schema = "cent_id long, cv array<double>"
     if kernel == "arrow":
-        tv = widen(training).select(
+        tv = widen(training, min_partitions).select(
             F.col(id_col).cast("long").alias("vec_id"),
             as_double(F.col(vec_col)).alias("v"),
         )
@@ -815,7 +899,15 @@ def _ivf_trained_parts(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     emb = load_table(spark, sf_dir, "embeddings")
-    cent = ivf_train(emb, sample_mod=2)  # a literal local relation (k rows)
+    # small-sample partition hint (round-10 verdict #6): one metadata-
+    # sized count sizes the Lloyd sample's parallelism so tiny corpora
+    # don't pay 32-task Python stages per iteration (value-invariant)
+    parts_hint = max(4, min(
+        spark.sparkContext.defaultParallelism, emb.count() // 2 // 25_000 + 1
+    ))
+    cent = ivf_train(
+        emb, sample_mod=2, min_partitions=parts_hint
+    )  # a literal local relation (k rows)
     assign = ivf_assign(emb, cent)
     return emb, cent, assign
 
@@ -1966,6 +2058,7 @@ def two_level_index_trained(
     sample_mod: int | None = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_hint: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd-trained ``(coarse, fine_grouped)`` — the production ANN index
     shape (round-7 verdict #5), trained HIERARCHICALLY so training obeys
@@ -2005,8 +2098,22 @@ def two_level_index_trained(
             % sample_mod
         )
         training = emb.where(bucket == 0)
+    # small-sample partition hint (round-10 verdict #6): a tiny training
+    # sample widened to full cluster parallelism pays ~10 Python-stage
+    # launches per Lloyd iteration in pure per-task constants.  ~25k
+    # sample rows per partition keeps every stage busy at scale while a
+    # 1k-row sf0.1 sample runs 4-wide.  Value-invariant: every kernel in
+    # the loop is partition-invariant by construction.
+    parts_hint: int | None = None
+    if n_hint is not None:
+        n_s = n_hint // (sample_mod or 1)
+        parts_hint = max(4, min(
+            emb.sparkSession.sparkContext.defaultParallelism,
+            n_s // 25_000 + 1,
+        ))
     coarse_cent = ivf_train(
-        training, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        training, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        min_partitions=parts_hint,
     )
     coarse = coarse_cent.select(
         F.col("cent_id").alias("co_id"), F.col("cv").alias("qv")
@@ -2032,32 +2139,31 @@ def two_level_index_trained(
             .join(fine_df, "cent_id")
         )
 
-    tv = training.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("tv")
-    )
     for _ in range(iters):
         fg = regroup(fine)
         # coarse_probes=2: the balanced assignment — Lloyd means computed
         # from the best fine cell across the top-2 coarse cells track the
         # unconstrained flat assignment much more closely (top-1 measured
-        # recall 0.50 vs 0.65 at sf0.01), for 2x the stage-2 cosines
+        # recall 0.50 vs 0.65 at sf0.01), for 2x the stage-2 cosines.
+        # carry_vec=True: the selection already re-attaches the
+        # double-widened vector, so the means consume it directly;
+        # score=False: the Lloyd means never read cent_sim, so the
+        # exact-fold re-score (a broadcast join + fold per iteration)
+        # is skipped — both pure job-count constants (round-10 verdict
+        # #6); the SELECTION (which cell wins) is byte-identical
         assign = two_level_assign(
             training, coarse, fg, id_col=id_col, vec_col=vec_col,
-            coarse_probes=2,
+            coarse_probes=2, carry_vec=True, min_partitions=parts_hint,
+            score=False,
         )
-        # grouped Arrow means (round-8 verdict #2): one slim vector-row
-        # shuffle + deterministic id-sorted numpy reduction per cell,
-        # replacing the posexplode form that shuffled n_s·dim scalar rows
-        new_fine = lloyd_cell_means(
-            assign.select(id_col, "cell_id").join(tv, id_col),
-            id_col=id_col,
-            vec_col="tv",
-        )
-        kept = fine.join(
-            new_fine.select("cent_id"), "cent_id", "left_anti"
-        ).select("cent_id", "cv")
+        # fused grouped Arrow means (round-8 verdict #2 + round-10 #6):
+        # one cogroup shuffle computes the id-sorted per-cell means AND
+        # keeps empty cells' previous centroids (no anti-join, no union)
         fine = (
-            new_fine.unionByName(kept)
+            lloyd_cell_means_keep(
+                assign.select(id_col, "cell_id", "v"), fine,
+                id_col=id_col, vec_col="v",
+            )
             .withColumn("nc", norm(F.col("cv")))
             .localCheckpoint(eager=True)
         )
@@ -2107,7 +2213,9 @@ def sim_ann_ivf_2level_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     cells = ivf2_cells_for(n)
     k = max(4, math.isqrt(cells))
-    coarse, fine_grouped = two_level_index_trained(emb, cells=cells, k=k)
+    coarse, fine_grouped = two_level_index_trained(
+        emb, cells=cells, k=k, n_hint=n
+    )
     fine_grouped = fine_grouped.persist()  # feeds probe walk + global checks
     # coarse_probes=2 on BOTH the corpus assignment (balanced cells) and
     # the query walk (better fine-cell pool at unchanged candidate
