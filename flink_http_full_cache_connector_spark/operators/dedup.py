@@ -895,7 +895,9 @@ WHERE doc_a % {NEW_BATCH_MOD} = 0 OR doc_b % {NEW_BATCH_MOD} = 0
 )
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
+    import time
 
+    from flink_http_full_cache_connector_spark.operators.scale import record_phase
     from flink_http_full_cache_connector_spark.operators.substring_dedup import (
         NEW_BATCH_MOD,
     )
@@ -904,7 +906,12 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = docs.where(F.col("doc_id") % NEW_BATCH_MOD != 0)
     batch = docs.where(F.col("doc_id") % NEW_BATCH_MOD == 0)
     work = tempfile.mkdtemp(prefix="spark_graft_minhash_store_")
+    # the store build is the history's ONE-TIME cost (amortized across every
+    # future ingest); the lazily-executed remainder is the per-batch probe —
+    # bench artifacts carry the split as build_s/serve_s
+    _t0 = time.perf_counter()
     minhash_store_save(spark, hist, work)
+    record_phase("build_s", time.perf_counter() - _t0)
     return minhash_incremental_pairs(
         spark, batch, work, bucket_cap=MINHASH_BUCKET_CAP
     )
@@ -1998,11 +2005,20 @@ def semantic_coarse_for(cells: int) -> int:
     return max(SEMANTIC_COARSE_MIN, math.isqrt(cells))
 
 
-def _semantic_assign_ctes() -> str:
+def _semantic_assign_ctes(n_where: str = "") -> str:
     """The WITH-body prefix (params → coarse/fine grids → top-2 coarse
     probe → fine assignment) shared by the 2-level SemDeDup oracle and
     the prototype-pruning oracle — both consume the same ``assign``
-    relation (vec_id, cell_id, v, cent_sim)."""
+    relation (vec_id, cell_id, v, cent_sim).
+
+    ``n_where``: optional SQL predicate restricting the corpus COUNT the
+    grid is sized from (the incremental twin sizes cells/k from the
+    HISTORY cohort — the standing index predates the batch — while
+    centroid selection and assignment still read the full table: ids
+    below ``cells`` are forced into the history split by construction,
+    and frozen-index assignment is per-vector, so assigning the union
+    through the history-sized grid IS the incremental semantics)."""
+    n_filter = f" WHERE {n_where}" if n_where else ""
     return f"""params AS (
     -- C = max(min_cells, n div B); K = exact isqrt(C)
     SELECT c, greatest({SEMANTIC_COARSE_MIN},
@@ -2012,7 +2028,7 @@ def _semantic_assign_ctes() -> str:
     FROM (SELECT c, floor(sqrt(c::double))::bigint AS t FROM (
           SELECT greatest({SEMANTIC_MIN_CELLS},
                           n // {SEMANTIC_CELL_TARGET})::bigint AS c
-          FROM (SELECT count(*) AS n FROM embeddings)))
+          FROM (SELECT count(*) AS n FROM embeddings{n_filter})))
 ),
 coarse AS (
     SELECT vec_id AS co_id, embedding AS qv
@@ -2147,6 +2163,181 @@ def dedup_semantic_2level(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()
     # persist: assign feeds both self-join sides + the output
     return _semantic_prune(emb, assign)
+
+
+def semantic_index_save(
+    hist: DataFrame, out_dir: str, *, cells: int, k: int
+) -> None:
+    """Persist the standing SemDeDup two-level index for the historical
+    corpus — the ``two_level_index_save`` layout adapted to the semantic
+    family (grid sized by the caller from the HISTORY count, not
+    re-derived, because the incremental contract freezes the grid the
+    history was indexed under):
+
+    - ``coarse`` / ``fine``: the quantizer relations (K and C rows);
+    - ``assign``: (vec_id, cell_id, cent_sim) partitioned by co_id —
+      K = isqrt(C) directories at any corpus size (never a dir per fine
+      cell: the small-files antipattern) — and sorted within partitions
+      by cell_id so a touched-cell probe prunes partitions to the
+      batch's coarse cells and row-groups to its fine cells.  Vectors
+      are NOT stored: the prune re-attaches them from the corpus table
+      by a uniform vec_id join, which semi-joins history bytes down to
+      touched-cell members only."""
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        two_level_assign,
+        two_level_index,
+    )
+
+    coarse, fine_grouped = two_level_index(hist, cells=cells, k=k)
+    coarse.write.mode("overwrite").parquet(f"{out_dir}/coarse")
+    fine_grouped.select("cent_id", "co_id", "cv", "nc").write.mode(
+        "overwrite"
+    ).parquet(f"{out_dir}/fine")
+    cell_map = fine_grouped.select(
+        F.col("cent_id").alias("cell_id"), "co_id"
+    )
+    (
+        two_level_assign(hist, coarse, fine_grouped, coarse_probes=2)
+        .join(F.broadcast(cell_map), "cell_id")  # C rows: metadata-sized
+        .sortWithinPartitions("co_id", "cell_id")
+        .write.mode("overwrite")
+        .partitionBy("co_id")
+        .parquet(f"{out_dir}/assign")
+    )
+
+
+def _semantic_incr_oracle() -> str:
+    from flink_http_full_cache_connector_spark.operators.substring_dedup import (
+        NEW_BATCH_MOD,
+    )
+
+    sim_uv = duck_cosine("u.v", "v.v")
+    ctes = _semantic_assign_ctes(
+        n_where=f"vec_id % {NEW_BATCH_MOD} <> 0"
+    )
+    return f"""
+WITH {ctes},
+dropped AS (
+    SELECT DISTINCT v.vec_id
+    FROM assign u JOIN assign v
+      ON u.cell_id = v.cell_id
+     AND (u.cent_sim < v.cent_sim
+          OR (u.cent_sim = v.cent_sim AND u.vec_id < v.vec_id))
+    WHERE {sim_uv} >= {SEMANTIC_DUP_THRESHOLD}
+)
+SELECT a.vec_id, a.cell_id::int AS cell_id,
+       {duck_trunc6('a.cent_sim')} AS cent_sim,
+       (d.vec_id IS NULL) AS is_kept
+FROM assign a LEFT JOIN dropped d ON d.vec_id = a.vec_id, params p
+WHERE a.vec_id % {NEW_BATCH_MOD} = 0 AND a.vec_id >= p.c
+"""
+
+
+@register(
+    "dedup_semantic_incremental",
+    _semantic_incr_oracle(),
+    doc="Incremental-ingest SemDeDup (the dedup_minhash_incremental / "
+    "sim_ann_ivf_incremental discipline applied to the semantic family): "
+    "the standing two-level index is built from the HISTORY cohort "
+    "(grid sized from the history count — the index predates the batch; "
+    "centroid ids are forced into history exactly as sim_ann_ivf_"
+    "incremental keeps centroid ids in its base split) and persisted "
+    "(semantic_index_save: coarse/fine + co_id-partitioned cell-sorted "
+    "assignment).  The incoming batch (vec_id % 5 == 0, ids >= C) is "
+    "drift-gated with the same cross-dim-fraction rule as the IVF "
+    "ingest, then ASSIGNED THROUGH THE FROZEN INDEX; the SemDeDup drop "
+    "rule runs over store-members ∪ batch restricted to the batch's "
+    "TOUCHED cells (a left-semi probe of the store — partition-pruned "
+    "to the touched coarse cells, row-group-skipped to the touched fine "
+    "cells), and the output is the batch rows' keep flags.  Frozen-"
+    "index assignment is per-vector, so store ∪ batch assignment IS "
+    "full-corpus assignment through the history grid, and a batch row's "
+    "drop decision sees exactly its cell's full membership: the oracle "
+    "replays full-corpus assignment over the HISTORY-sized grid and "
+    "restricts to batch ids — the hash match proves ingest ≡ "
+    "from-scratch-on-frozen-index.  Marginal cost per ingest: "
+    "batch·2√C assignment cosines + touched-cell members (≈B=64 per "
+    "touched cell) through one B²-bounded GEMM prune; history×history "
+    "pair work is never repaid.  A drifted batch takes the retrain "
+    "branch (rebuild on the union — exercised on crafted shifted data "
+    "in tests; this synthetic corpus never drifts past the fraction).",
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import time
+
+    from flink_http_full_cache_connector_spark.operators.scale import (
+        record_phase,
+    )
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        cohort_drift_flags,
+        two_level_assign,
+        two_level_index,
+    )
+    from flink_http_full_cache_connector_spark.operators.substring_dedup import (
+        NEW_BATCH_MOD,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # grid sized from the history cohort ONLY (the standing index
+    # predates the batch); ids below C are then forced into history so
+    # centroid selection never reaches into the batch — the non-circular
+    # two-step the oracle replays
+    n_hist0 = emb.where(F.col("vec_id") % NEW_BATCH_MOD != 0).count()
+    cells = semantic_2level_cells_for(n_hist0)
+    k = semantic_coarse_for(cells)
+    is_base = (F.col("vec_id") % NEW_BATCH_MOD != 0) | (
+        F.col("vec_id") < cells
+    )
+    hist = emb.where(is_base)
+    batch = emb.where(~is_base)
+    work = tempfile.mkdtemp(prefix="spark_graft_sem_store_")
+    _t0 = time.perf_counter()
+    semantic_index_save(hist, work, cells=cells, k=k)
+    record_phase("build_s", time.perf_counter() - _t0)
+
+    # same drift gate as sim_ann_ivf_incremental: per-dim int8 flags
+    # detect, the cross-dim fraction decides (retrain iff >1/3 flag)
+    row = (
+        cohort_drift_flags(widen(emb), is_base)
+        .agg(
+            F.sum(F.col("drifted").cast("long")).alias("n_drifted"),
+            F.count("*").alias("n_dims"),
+        )
+        .first()
+    )
+    if 3 * row["n_drifted"] > row["n_dims"]:
+        # drifted ingest: rebuild on the union, union-sized grid (the
+        # crafted-shift test exercises this branch; the synthetic corpus
+        # never takes it)
+        cells_u = semantic_2level_cells_for(emb.count())
+        k_u = semantic_coarse_for(cells_u)
+        coarse, fine_grouped = two_level_index(emb, cells=cells_u, k=k_u)
+        assign = two_level_assign(
+            emb, coarse, fine_grouped, coarse_probes=2
+        ).persist()
+        return _semantic_prune(emb, assign).where(
+            (F.col("vec_id") % NEW_BATCH_MOD == 0)
+            & (F.col("vec_id") >= cells)
+        )
+
+    coarse = spark.read.parquet(f"{work}/coarse")
+    fine_grouped = spark.read.parquet(f"{work}/fine")
+    batch_assign = two_level_assign(
+        batch, coarse, fine_grouped, coarse_probes=2
+    ).persist()
+    touched = batch_assign.select("cell_id").distinct()
+    store = spark.read.parquet(f"{work}/assign").select(
+        "vec_id", F.col("cell_id").cast("long").alias("cell_id"), "cent_sim"
+    )
+    members = (
+        store.join(touched, "cell_id", "left_semi")
+        .unionByName(batch_assign)
+        .persist()
+    )
+    return _semantic_prune(emb, members).where(
+        (F.col("vec_id") % NEW_BATCH_MOD == 0) & (F.col("vec_id") >= cells)
+    )
 
 
 def _semantic_prune(

@@ -1798,6 +1798,68 @@ def test_minhash_incremental_equals_from_scratch_restricted(spark):
     assert incr == full and incr  # non-empty at sf0.01
 
 
+def test_semantic_incremental_matches_frozen_rebuild_and_drift_branch(
+    spark, tmp_path
+):
+    """dedup_semantic_incremental: (a) the frozen-index ingest (persisted
+    store probed at touched cells only) must equal a from-scratch
+    full-corpus assignment through the SAME history-sized grid restricted
+    to batch ids — the store/probe machinery can drop no member; (b) a
+    crafted encoder-shift batch takes the retrain branch end-to-end."""
+    from pyspark.sql import functions as F
+
+    from flink_http_full_cache_connector_spark.operators.dedup import (
+        _semantic_prune,
+        dedup_semantic_incremental,
+        semantic_2level_cells_for,
+        semantic_coarse_for,
+    )
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        two_level_assign,
+        two_level_index,
+    )
+    from flink_http_full_cache_connector_spark.operators.substring_dedup import (
+        NEW_BATCH_MOD,
+    )
+    from flink_http_full_cache_connector_spark.plans.registry import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n_hist0 = emb.where(F.col("vec_id") % NEW_BATCH_MOD != 0).count()
+    cells = semantic_2level_cells_for(n_hist0)
+    k = semantic_coarse_for(cells)
+    is_base = (F.col("vec_id") % NEW_BATCH_MOD != 0) | (F.col("vec_id") < cells)
+
+    # from-scratch twin: index the HISTORY, assign the FULL corpus through
+    # the frozen grid, prune everywhere, restrict to batch ids
+    coarse, fine_grouped = two_level_index(emb.where(is_base), cells=cells, k=k)
+    assign = two_level_assign(emb, coarse, fine_grouped, coarse_probes=2).persist()
+    want = {
+        (r.vec_id, r.cell_id, r.cent_sim, r.is_kept)
+        for r in _semantic_prune(emb, assign)
+        .where((F.col("vec_id") % NEW_BATCH_MOD == 0) & (F.col("vec_id") >= cells))
+        .collect()
+    }
+    got = {
+        (r.vec_id, r.cell_id, r.cent_sim, r.is_kept)
+        for r in dedup_semantic_incremental(spark, SF_DIR).collect()
+    }
+    assert got == want and got  # non-empty at sf0.01
+
+    # crafted drifted ingest (+0.5 on batch rows only) → retrain branch
+    shifted = emb.withColumn(
+        "embedding",
+        F.when(is_base, F.col("embedding")).otherwise(
+            F.transform(F.col("embedding"), lambda x: x + F.lit(0.5))
+        ),
+    )
+    shifted.write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = dedup_semantic_incremental(spark, str(tmp_path)).collect()
+    assert out, "retrain branch returned no rows"
+    assert all(
+        r.vec_id % NEW_BATCH_MOD == 0 for r in out
+    )  # still batch-restricted
+
+
 def test_zero_vector_behavior_pinned(spark):
     """Round-9 ADVICE: the 1e-300 zero-norm clamp exists only in the Arrow
     SELECTION stages, so the 'kernels agree on degenerate input' claim was
