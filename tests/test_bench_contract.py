@@ -24,11 +24,15 @@ def test_bench_emits_one_json_line_with_required_keys(tmp_path):
         SPARK_GRAFT_BENCH_RUNS="1",
         SPARK_GRAFT_BENCH_OUT=out_full,
     )
+    # 720s: the 231-query registry ran just under the previous 540s budget;
+    # round 11's three incremental/capped registrants (+43s measured quiet at
+    # sf0.001/4cpus — store writes + probe constants) pushed a quiet run to
+    # ~560s.  Sized for ~25% headroom, not for contended machines.
     proc = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True,
         text=True,
-        timeout=540,
+        timeout=720,
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
