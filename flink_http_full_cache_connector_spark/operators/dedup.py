@@ -46,6 +46,9 @@ from flink_http_full_cache_connector_spark.plans.registry import (
     normalize_events_ts,
     register,
 )
+from flink_http_full_cache_connector_spark.streaming.pipeline import (
+    scoped_stream_shuffle,
+)
 from flink_http_full_cache_connector_spark.functions.tokenize import TOKEN_DELIM_RE
 
 #: compiled once at import: the Arrow kernels split with the SAME regex the
@@ -252,14 +255,15 @@ def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("keep_id"), F.count("*").alias("dup_count")
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:12]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     from flink_http_full_cache_connector_spark.streaming.pipeline import (
         finalize_memory_sink,
     )
@@ -334,14 +338,15 @@ def streaming_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = stateful_dedup_stream(stream)
     name = f"stateful_dedup_{uuid.uuid4().hex[:12]}"
-    query = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_stream_shuffle(spark):
+        query = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     from flink_http_full_cache_connector_spark.streaming.pipeline import (
         finalize_memory_sink,
     )
@@ -1311,14 +1316,15 @@ def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
     )
     name = f"stream_ddww_{uuid.uuid4().hex[:12]}"
-    query = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_stream_shuffle(spark):
+        query = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     from flink_http_full_cache_connector_spark.streaming.pipeline import (
         finalize_memory_sink,
     )

@@ -45,6 +45,9 @@ from flink_http_full_cache_connector_spark.operators.scale import (
     widen,
 )
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+from flink_http_full_cache_connector_spark.streaming.pipeline import (
+    scoped_stream_shuffle,
+)
 
 NUM_QUERIES = 10
 TOP_K = 10
@@ -1984,14 +1987,15 @@ def streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         name = f"ann_lookup_{uuid.uuid4().hex[:12]}"
-        query = (
-            top1.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        query.awaitTermination()
+        with scoped_stream_shuffle(spark):
+            query = (
+                top1.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
         return finalize_memory_sink(spark.table(name), name)
     finally:
         shutil.rmtree(work, ignore_errors=True)

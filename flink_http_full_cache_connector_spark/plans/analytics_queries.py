@@ -659,20 +659,27 @@ def streaming_postings_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="spark_graft_postupd_")
     try:
         in_dir = f"{work}/in"
-        # each ingest slice is written as SLICE_FILES files and the
+        # each ingest slice is written as ~SLICE_FILES files and the
         # trigger consumes SLICE_FILES per microbatch: a coalesce(1)
         # slice would make every microbatch a single-file = single-task
         # scan, serializing the per-doc tokenize fold (measured 6x per
         # decade at generated sf10 before this; real ingest arrives as
-        # many files per batch anyway)
+        # many files per batch anyway).  ONE write job for all slices
+        # (write_slice_files); the deterministic sub-key spreads each
+        # slice over ~slice_files tasks/files.
         slice_files = 8
-        for i in range(POSTINGS_UPDATE_SLICES):
-            (
-                docs.where(F.col("doc_id") % POSTINGS_UPDATE_SLICES == i)
-                .repartition(slice_files)
-                .write.mode("overwrite")
-                .parquet(f"{in_dir}/slice{i}")
-            )
+        from flink_http_full_cache_connector_spark.streaming.upsert import (
+            write_slice_files,
+        )
+
+        write_slice_files(
+            docs, in_dir,
+            F.col("doc_id") % POSTINGS_UPDATE_SLICES,
+            POSTINGS_UPDATE_SLICES,
+            files_per_slice=slice_files,
+            sub_col=F.expr(f"doc_id div {POSTINGS_UPDATE_SLICES}")
+            % slice_files,
+        )
         stream = (
             spark.readStream.schema(docs.schema)
             .option("maxFilesPerTrigger", str(slice_files))

@@ -32,6 +32,9 @@ from flink_http_full_cache_connector_spark.plans.registry import (
     normalize_events_ts,
     register,
 )
+from flink_http_full_cache_connector_spark.streaming.pipeline import (
+    scoped_stream_shuffle,
+)
 from flink_http_full_cache_connector_spark.sources.local_http import (
     parquet_as_records,
     serve_json,
@@ -260,13 +263,14 @@ def streaming_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, customer, on=[("user_id", "c_custkey")], how="left"
     ).select("event_id", "user_id", "event_type", "c_name")
     name = f"stream_lookup_{uuid.uuid4().hex[:12]}"
-    query = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_stream_shuffle(spark):
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     from flink_http_full_cache_connector_spark.streaming.pipeline import (
         finalize_memory_sink,
     )
@@ -315,14 +319,15 @@ def streaming_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_window_{uuid.uuid4().hex[:12]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     from flink_http_full_cache_connector_spark.streaming.pipeline import (
         finalize_memory_sink,
     )
@@ -944,14 +949,15 @@ def streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"stream_append_{uuid.uuid4().hex[:12]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     from flink_http_full_cache_connector_spark.streaming.pipeline import (
         finalize_memory_sink,
     )
@@ -1020,14 +1026,15 @@ def streaming_session_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "session_start", "session_end", "cnt")
     )
     name = f"stream_sess_append_{uuid.uuid4().hex[:12]}"
-    query = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_stream_shuffle(spark):
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     from flink_http_full_cache_connector_spark.streaming.pipeline import (
         finalize_memory_sink,
     )

@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 
 from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+from flink_http_full_cache_connector_spark.streaming.pipeline import (
+    scoped_stream_shuffle,
+)
 
 HOUR_US = 3600 * 1_000_000
 #: anomaly gate: |z| > AZ_Z over a trailing window of AZ_LOOKBACK hours,
@@ -823,14 +826,15 @@ def streaming_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count("*").alias("cnt"))
     )
     name = f"stream_hist_{uuid.uuid4().hex[:12]}"
-    query = (
-        bins.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_stream_shuffle(spark):
+        query = (
+            bins.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     out = _quantiles_from_bins(
         spark, spark.table(name), HQ_QUANTILES, SHQ_WIDTH
     )
@@ -899,13 +903,14 @@ def streaming_histogram_quantiles_update(
     work = tempfile.mkdtemp(prefix="spark_graft_histupd_")
     try:
         in_dir = f"{work}/in"
-        for i in range(HIST_UPDATE_SLICES):
-            (
-                proj.where(F.col("event_id") % HIST_UPDATE_SLICES == i)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(f"{in_dir}/slice{i}")
-            )
+        from flink_http_full_cache_connector_spark.streaming.upsert import (
+            write_slice_files,
+        )
+
+        write_slice_files(
+            proj, in_dir, F.col("event_id") % HIST_UPDATE_SLICES,
+            HIST_UPDATE_SLICES,
+        )
         stream = (
             spark.readStream.schema(proj.schema)
             .option("maxFilesPerTrigger", "1")
@@ -1206,14 +1211,15 @@ def streaming_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wk").cast("long").alias("c1"),
     )
     name = f"stream_ks_{uuid.uuid4().hex[:12]}"
-    query = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_stream_shuffle(spark):
+        query = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     out = _ks_from_counts(spark.table(name))
     return finalize_memory_sink(out, name)
 
@@ -1288,13 +1294,14 @@ def streaming_drift_ks_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="spark_graft_ksupd_")
     try:
         in_dir = f"{work}/in"
-        for i in range(KS_UPDATE_SLICES):
-            (
-                proj.where(F.col("event_id") % KS_UPDATE_SLICES == i)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(f"{in_dir}/slice{i}")
-            )
+        from flink_http_full_cache_connector_spark.streaming.upsert import (
+            write_slice_files,
+        )
+
+        write_slice_files(
+            proj, in_dir, F.col("event_id") % KS_UPDATE_SLICES,
+            KS_UPDATE_SLICES,
+        )
         stream = (
             spark.readStream.schema(proj.schema)
             .option("maxFilesPerTrigger", "1")

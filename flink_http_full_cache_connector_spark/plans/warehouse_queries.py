@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+from flink_http_full_cache_connector_spark.streaming.pipeline import (
+    scoped_stream_shuffle,
+)
 
 TOPK_N = 100
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
@@ -928,14 +931,15 @@ def streaming_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(*_day_state_aggs())
     name = f"stream_rollup_{uuid.uuid4().hex[:12]}"
-    query = (
-        daily.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_stream_shuffle(spark):
+        query = (
+            daily.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     return finalize_memory_sink(_merge_day_states(spark.table(name)), name)
 
 
@@ -980,13 +984,14 @@ def streaming_rollup_incremental_update(
     work = tempfile.mkdtemp(prefix="spark_graft_rollupd_")
     try:
         in_dir = f"{work}/in"
-        for i in range(ROLLUP_UPDATE_SLICES):
-            (
-                proj.where(F.col("event_id") % ROLLUP_UPDATE_SLICES == i)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(f"{in_dir}/slice{i}")
-            )
+        from flink_http_full_cache_connector_spark.streaming.upsert import (
+            write_slice_files,
+        )
+
+        write_slice_files(
+            proj, in_dir, F.col("event_id") % ROLLUP_UPDATE_SLICES,
+            ROLLUP_UPDATE_SLICES,
+        )
         stream = (
             spark.readStream.schema(proj.schema)
             .option("maxFilesPerTrigger", "1")

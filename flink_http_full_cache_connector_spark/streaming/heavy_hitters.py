@@ -20,6 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from flink_http_full_cache_connector_spark.plans.registry import load_table, register
+from flink_http_full_cache_connector_spark.streaming.pipeline import (
+    scoped_stream_shuffle,
+)
 
 HH_SHARE_DEN = 20  # heavy hitter = key holding >= 1/20 of all events
 
@@ -83,14 +86,15 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     updates = running_counts_stream(stream)
     name = f"heavy_hitters_{uuid.uuid4().hex[:12]}"
-    query = (
-        updates.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    with scoped_stream_shuffle(spark):
+        query = (
+            updates.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     from flink_http_full_cache_connector_spark.streaming.pipeline import (
         finalize_memory_sink,
     )

@@ -27,6 +27,47 @@ from flink_http_full_cache_connector_spark.plans.registry import load_table, reg
 UPSERT_SLICES = 3
 
 
+def write_slice_files(
+    df: DataFrame,
+    in_dir: str,
+    slice_col,
+    n_slices: int,
+    *,
+    files_per_slice: int = 1,
+    sub_col=None,
+) -> None:
+    """Write the microbatch ingest slices of a streaming twin in ONE job.
+
+    The r11 profile showed every update-merge twin paying ``n_slices``
+    separate scan+filter+write jobs to lay out its ingest directory (one
+    per slice).  ``partitionBy`` on the slice key writes every slice dir
+    in a single pass over the source; the slice-keyed repartition puts
+    each (slice [, sub]) group in exactly one task, reproducing the
+    1-file-per-slice layout (or ~``files_per_slice`` files via
+    ``sub_col``) the loop produced.  Microbatch BOUNDARIES may shift when
+    hash collisions merge sub-groups — harmless by construction: every
+    consumer merges with an associative+commutative rule and is pinned to
+    the batch oracle, so the final state is slicing-invariant (the same
+    property the docstrings already claim for arrival order).
+
+    ``recursiveFileLookup=true`` readers skip partition inference, so the
+    stream's declared schema never sees the ``_slice`` column (partition
+    values live in dir names, not in the files)."""
+    out = df.withColumn("_slice", slice_col)
+    keys = ["_slice"]
+    if files_per_slice > 1:
+        assert sub_col is not None
+        out = out.withColumn("_sub", sub_col)
+        keys.append("_sub")
+    (
+        out.repartition(n_slices * files_per_slice, *keys)
+        .drop(*keys[1:])
+        .write.mode("overwrite")
+        .partitionBy("_slice")
+        .parquet(in_dir)
+    )
+
+
 def run_upsert_stream(
     stream_df: DataFrame,
     *,
@@ -55,13 +96,18 @@ def run_upsert_stream(
         latest.write.mode("overwrite").parquet(new_dir)
         state["current"] = new_dir
 
-    query = (
-        stream_df.writeStream.foreachBatch(merge)
-        .option("checkpointLocation", f"{out_dir}/_checkpoint")
-        .trigger(availableNow=True)
-        .start()
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        scoped_stream_shuffle,
     )
-    query.awaitTermination()
+
+    with scoped_stream_shuffle(spark):
+        query = (
+            stream_df.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{out_dir}/_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     assert state["current"] is not None, "stream produced no batches"
     return spark.read.parquet(state["current"])
 
@@ -102,14 +148,19 @@ def run_update_merge_stream(
         new.write.mode("overwrite").parquet(new_dir)
         state["current"] = new_dir
 
-    query = (
-        agg_stream.writeStream.foreachBatch(merge)
-        .outputMode("update")
-        .option("checkpointLocation", f"{out_dir}/_checkpoint")
-        .trigger(availableNow=True)
-        .start()
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        scoped_stream_shuffle,
     )
-    query.awaitTermination()
+
+    with scoped_stream_shuffle(spark):
+        query = (
+            agg_stream.writeStream.foreachBatch(merge)
+            .outputMode("update")
+            .option("checkpointLocation", f"{out_dir}/_checkpoint")
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
     assert state["current"] is not None, "stream produced no batches"
     return spark.read.parquet(state["current"])
 
@@ -145,13 +196,9 @@ def streaming_upsert_snapshot(spark, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="spark_graft_upsert_")
     in_dir = f"{work}/in"
-    for i in range(UPSERT_SLICES):
-        (
-            ev.where(F.col("event_id") % UPSERT_SLICES == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{in_dir}/slice{i}")
-        )
+    write_slice_files(
+        ev, in_dir, F.col("event_id") % UPSERT_SLICES, UPSERT_SLICES
+    )
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
