@@ -106,7 +106,28 @@ def bpe_train_merges(
     """Train ``num_merges`` BPE merges; returns
     ``[(rank, left, right, merged, pair_count), ...]`` (the merges.txt
     content a tokenizer ships).  The vocabulary stays distributed; each
-    iteration collects only the single argmax pair (metadata)."""
+    iteration collects only the single argmax pair (metadata).
+
+    Runs under :func:`scoped_cached_plan_aqe`: the per-iteration symbol
+    tables are persisted, and without the flag each cache pins the
+    pre-AQE shuffle partition count — cores-many Python tasks per
+    iteration over a vocab cache AQE would coalesce to its data size
+    (r11 A/B: 6.6 → 4.3 s at sf0.1; at real scale the advisory size
+    keeps the cache wide).  Every training action (the per-iteration
+    argmax collect) runs inside the scope, which is what makes the
+    scoped flag effective here.
+    """
+    from flink_http_full_cache_connector_spark.operators.scale import (
+        scoped_cached_plan_aqe,
+    )
+
+    with scoped_cached_plan_aqe(docs.sparkSession):
+        return _bpe_train_merges_inner(docs, num_merges)
+
+
+def _bpe_train_merges_inner(
+    docs: DataFrame, num_merges: int
+) -> list[tuple[int, str, str, str, int]]:
     cur = _initial_symbols(word_freq(docs)).persist()
     prev: DataFrame | None = None
     merges: list[tuple[int, str, str, str, int]] = []

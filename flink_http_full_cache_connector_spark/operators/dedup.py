@@ -756,19 +756,33 @@ def minhash_store_save(spark: SparkSession, hist: DataFrame, store_dir: str) -> 
     (band rows + sizes) so history tokenizes once.  The store never
     rewrites on ingest: appending a processed batch is writing ITS rows
     next to the existing ones (same contract as ``ivf_index_append``)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     sig = minhash_signatures(hist).persist()
     try:
-        _band_rows(sig).write.mode("overwrite").partitionBy("band").parquet(
-            f"{store_dir}/bands"
-        )
-        sig.select("doc_id", "n").write.mode("overwrite").parquet(
-            f"{store_dir}/sizes"
-        )
+        # the fps store needs its own corpus pass (the fused signature
+        # kernel keeps no shingle relation) and shares nothing with the
+        # sig-derived writes — overlap it so the store build's wall is
+        # max(bands+sizes, fps) instead of their sum (guide §2.6: submit
+        # independent jobs concurrently; Spark's scheduler back-fills the
+        # tails).  Job descriptions/conf are thread-local; both threads
+        # only WRITE to disjoint dirs.
+        def _fps() -> None:
+            _shingle_table(hist).select("doc_id", "fp").write.mode(
+                "overwrite"
+            ).parquet(f"{store_dir}/fps")
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            fps_fut = pool.submit(_fps)
+            _band_rows(sig).write.mode("overwrite").partitionBy("band").parquet(
+                f"{store_dir}/bands"
+            )
+            sig.select("doc_id", "n").write.mode("overwrite").parquet(
+                f"{store_dir}/sizes"
+            )
+            fps_fut.result()
     finally:
         sig.unpersist()
-    _shingle_table(hist).select("doc_id", "fp").write.mode("overwrite").parquet(
-        f"{store_dir}/fps"
-    )
 
 
 def minhash_incremental_pairs(

@@ -612,27 +612,38 @@ def posting_segments_save(
       BM25 input; corpus-level nd/total_len are one agg over it at read
       time (two bigints — cheaper to recompute than to version).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     tf = doc_term_freq(docs)
-    manifest = posting_segment_assignments(tf, seg_bytes=seg_bytes)
-    manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
-    seg_of = manifest.sparkSession.read.parquet(f"{out_dir}/manifest").select(
-        "tok", "segment_id"
-    )
-    (
-        tf.join(seg_of, "tok")
-        .repartition("segment_id")
-        .sortWithinPartitions("tok", "doc_id")
-        .write.mode("overwrite")
-        .partitionBy("segment_id")
-        .parquet(f"{out_dir}/postings")
-    )
-    (
-        tokenize_docs(docs)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("dl"))
-        .write.mode("overwrite")
-        .parquet(f"{out_dir}/doclens")
-    )
+
+    # doclens shares nothing with the manifest→postings chain (independent
+    # tokenize + per-doc count) — overlap it so the store build's wall is
+    # max(manifest+postings, doclens) instead of their sum (guide §2.6).
+    def _doclens() -> None:
+        (
+            tokenize_docs(docs)
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("dl"))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/doclens")
+        )
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        dl_fut = pool.submit(_doclens)
+        manifest = posting_segment_assignments(tf, seg_bytes=seg_bytes)
+        manifest.write.mode("overwrite").parquet(f"{out_dir}/manifest")
+        seg_of = manifest.sparkSession.read.parquet(
+            f"{out_dir}/manifest"
+        ).select("tok", "segment_id")
+        (
+            tf.join(seg_of, "tok")
+            .repartition("segment_id")
+            .sortWithinPartitions("tok", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("segment_id")
+            .parquet(f"{out_dir}/postings")
+        )
+        dl_fut.result()
 
 
 def posting_segments_load(

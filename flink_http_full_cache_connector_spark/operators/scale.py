@@ -23,6 +23,41 @@ def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df
 
 
+def scoped_cached_plan_aqe(spark):
+    """Context manager: let AQE re-plan (coalesce) CACHED relations for the
+    duration of an iterative trainer whose actions run inside the scope.
+
+    ``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning`` is off by
+    default, so every persisted intermediate pins its pre-AQE shuffle
+    partition count — an iterative trainer (BPE) then pays cores-many tasks
+    per pass over a KB-sized cached vocab table.  With the flag on, the
+    cached exchange coalesces to data-appropriate partitions (still wide at
+    real scale — the advisory size governs, not the core count).
+
+    Scoped, NOT a session default: the r11 A/B measured the session-wide
+    flag a reproducible LOSS for the minhash family (dedup_minhash_capped
+    +1.0s, dedup_minhash_incremental +3.2s at sf0.1 — their persisted
+    map-side relations gain nothing and the AQE-wrapped cached plans add
+    re-planning overhead to every reference) against wins only for the
+    trainers that materialize caches inside their own loop (bpe_merges
+    -2.4s).  Only effective where the ACTIONS run inside the scope —
+    lazily-returned query plans execute after restore and see the default.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _scope():
+        key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+        prev = spark.conf.get(key, "false")
+        spark.conf.set(key, "true")
+        try:
+            yield
+        finally:
+            spark.conf.set(key, prev)
+
+    return _scope()
+
+
 # --- phase timing hooks (round-10 verdict #6) ------------------------------
 #
 # Build-dominated queries (persisted-index twins, streaming ANN lookup)

@@ -591,8 +591,22 @@ def bm25_delta_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="spark_graft_deltaseg_")
     try:
-        posting_segments_save(docs.where(bucket != 0), f"{work}/base")
-        posting_segments_save(docs.where(bucket == 0), f"{work}/delta")
+        # the base and delta stores are built over DISJOINT document sets
+        # and share no state — build them as two concurrent driver threads
+        # (guide §2.6) so the delta ingest back-fills the base build's
+        # stage tails instead of waiting for them (r11 A/B evidence in
+        # OPTIMIZATION_r11.md).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fb = pool.submit(
+                posting_segments_save, docs.where(bucket != 0), f"{work}/base"
+            )
+            fd = pool.submit(
+                posting_segments_save, docs.where(bucket == 0), f"{work}/delta"
+            )
+            fb.result()
+            fd.result()
         out = bm25_from_segments(
             spark,
             [f"{work}/base", f"{work}/delta"],
