@@ -119,10 +119,17 @@ def pagerank_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("node"), F.lit(PR_MICRO).cast("long").alias("rank")
     )
     for _ in range(PR_ITERS):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outdeg, "src")
-            .select("dst", F.expr("rank div deg").alias("contrib"))
+        # attach deg to the NODES-sized rank relation first, so the
+        # edge-sized side goes through ONE join per iteration instead of
+        # two (r11: the old edges⋈ranks⋈outdeg shape ran a second
+        # edge-sized join per iteration; rank⋈deg is cached-outdeg-sized
+        # and broadcasts).  Same integer arithmetic, same results.
+        rd = (
+            ranks.join(outdeg, ranks.node == outdeg.src)
+            .select("node", "rank", "deg")
+        )
+        contrib = edges.join(rd, edges.src == rd.node).select(
+            "dst", F.expr("rank div deg").alias("contrib")
         )
         ranks = contrib.groupBy("dst").agg(
             (

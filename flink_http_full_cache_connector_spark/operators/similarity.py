@@ -3219,15 +3219,74 @@ def _pca_xtxv(
     return u, tr
 
 
+def pca_gram(emb: DataFrame) -> tuple["object", int]:
+    """(G = XᵀX as a numpy (dim, dim) array, n_vectors) in ONE corpus pass.
+
+    Each Arrow batch contributes its own dim×dim partial ``V_bᵀV_b`` (one
+    BLAS GEMM) plus its row count; the ~(n/batch) partials sum on the
+    driver.  A partial is dim² doubles — 4096 at dim 64, ~1 M at dim 1024:
+    the SAME metadata class as Lloyd's k×dim means the trainer family
+    already collects, far below any corpus-sized relation (the "covariance
+    never materialized" rule targets dim² ≳ executor memory, which no
+    embedding table here approaches).  The r11 motivation: the 12-step
+    power iteration paid 12 sequential corpus passes (one XᵀXv per step);
+    with G collected once, every subsequent step is a driver-side
+    dim×dim matvec — 13 corpus passes (train + verify) become 1, at any
+    scale."""
+    import numpy as np
+    import pandas as pd
+
+    base = widen(emb).select(as_double(F.col("embedding")).alias("x"))
+
+    def _g(batches):
+        G = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["x"].to_numpy())
+            G = V.T @ V if G is None else G + V.T @ V
+            n += len(pdf)
+        if G is not None:
+            yield pd.DataFrame(
+                {"g": [G.reshape(-1).tolist()], "n": [n]}
+            )
+
+    parts = base.mapInPandas(_g, "g array<double>, n long").collect()
+    n_vec = sum(int(r["n"]) for r in parts)
+    dim = int(round(len(parts[0]["g"]) ** 0.5))
+    G = np.zeros((dim, dim), dtype=np.float64)
+    for r in parts:
+        G += np.asarray(r["g"], dtype=np.float64).reshape(dim, dim)
+    return G, n_vec
+
+
 def pca_power_train(
-    emb: DataFrame, iters: int = PCA_ITERS, *, kernel: str = "arrow"
+    emb: DataFrame, iters: int = PCA_ITERS, *, kernel: str = "gram"
 ) -> tuple[list[float], float]:
     """Leading right-singular vector of the (uncentered) embedding matrix by
-    power iteration on ``X^T X`` WITHOUT forming it — each iteration is one
-    :func:`_pca_xtxv` pass (GEMV partials by default; see its docstring for
-    the kernel story).  Deterministic init: the all-ones direction.  Returns
+    power iteration on ``X^T X``.  ``kernel="gram"`` (default since r11)
+    collects the dim×dim Gram once (:func:`pca_gram`) and runs every
+    iteration as a driver-side matvec — one corpus pass total instead of
+    one per step.  ``kernel="arrow"``/``"fold"`` keep the pass-per-step
+    forms (see :func:`_pca_xtxv`); all kernels converge to the same
+    direction (the iteration is contractive; summation-order noise cannot
+    push them apart — pinned in tests) and are valid under the contract
+    gates.  Deterministic init: the all-ones direction.  Returns
     (unit vector v, rayleigh quotient λ = v·(XᵀX)v ≈ top eigenvalue).
     """
+    if kernel == "gram":
+        import numpy as np
+
+        G, _n = pca_gram(emb)
+        dim = G.shape[0]
+        v = np.full(dim, 1.0 / dim**0.5, dtype=np.float64)
+        lam = 0.0
+        for _ in range(iters):
+            u = G @ v
+            lam = float(v @ u)
+            v = u / float(np.sqrt(u @ u))
+        return v.tolist(), lam
     dim = len(emb.select("embedding").first()[0])
     v = [1.0 / dim**0.5] * dim
     lam = 0.0
@@ -3263,25 +3322,35 @@ def pca_power_train(
     "approximate eigenvector, not an arbitrary direction — the synthetic "
     "corpus is near-isotropic, λ2/λ1 ≈ 0.98, so convergence is rate-"
     "limited and the bound carries ~2x margin at 12 steps), positive Rayleigh "
-    "quotient, and dominance (λ ≥ mean eigenvalue = trace/dim). Each "
-    "iteration shuffles O(partitions × dim) partial sums — the "
-    "covariance matrix is never materialized, corpus cost is two "
-    "map-side passes per step.",
+    "quotient, and dominance (λ ≥ mean eigenvalue = trace/dim). Corpus "
+    "cost is ONE map-side pass total (r11): per-batch dim×dim Gram "
+    "partials (one GEMM each) sum on the driver — dim² doubles, the "
+    "Lloyd-means metadata class — and every power step is then a "
+    "driver-side matvec; train, verify residual, and trace all come "
+    "from the same collected Gram.",
 )
 def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    v, lam = pca_power_train(emb)
-    dim = len(v)
+    import numpy as np
 
-    base = widen(emb).select(as_double(F.col("embedding")).alias("x"))
-    # one verification pass: u = XᵀXv and trace(XᵀX) (= Σ eigenvalues)
-    u, trace = _pca_xtxv(base, v, kernel="arrow", with_trace=True)
-    # Rayleigh quotient of the FINAL v (pca_power_train's lam pairs with the
+    emb = load_table(spark, sf_dir, "embeddings")
+    # ONE corpus pass: the dim×dim Gram (+ row count) collects once, then
+    # training, the verification products u = (XᵀX)v, and trace(XᵀX) are
+    # all driver-side dim-sized numpy work (r11: the pass-per-step form
+    # paid 13 corpus passes — 12 train + 1 verify — for identical
+    # contract semantics; see pca_gram's metadata-size argument).
+    G, n_vec = pca_gram(emb)
+    dim = G.shape[0]
+    v = np.full(dim, 1.0 / dim**0.5, dtype=np.float64)
+    for _ in range(PCA_ITERS):
+        u = G @ v
+        v = u / float(np.sqrt(u @ u))
+    u = G @ v
+    trace = float(np.trace(G))
+    # Rayleigh quotient of the FINAL v (the train loop's lam pairs with the
     # previous iterate — using it here would misstate the residual)
-    lam = sum(vi * ui for vi, ui in zip(v, u))
-    resid = sum((ui - lam * vi) ** 2 for ui, vi in zip(u, v)) ** 0.5
-    norm_v = sum(x * x for x in v) ** 0.5
-    n_vec = emb.count()
+    lam = float(v @ u)
+    resid = float(np.sqrt(((u - lam * v) ** 2).sum()))
+    norm_v = float(np.sqrt(v @ v))
 
     checks = (
         abs(norm_v - 1.0) < 1e-9,
