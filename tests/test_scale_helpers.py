@@ -88,3 +88,96 @@ def test_kafka_reader_is_declarative(spark):
     )
     parsed = {r.id: r.name for r in parse_json_value(raw, schema).collect()}
     assert parsed == {7: "x", 8: None}  # missing field -> NULL (flink-json parity)
+
+
+# --- r11 optimization helpers -------------------------------------------
+
+
+def test_scoped_stream_shuffle_sets_and_restores(spark):
+    """The streaming scope must apply its partition count inside the block
+    (default 8, env-overridable) and restore the previous session value on
+    exit, including on error — a leaked value would silently resize every
+    later batch query's shuffles."""
+    from flink_http_full_cache_connector_spark.streaming.pipeline import (
+        scoped_stream_shuffle,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    with scoped_stream_shuffle(spark):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    with pytest.raises(RuntimeError):
+        with scoped_stream_shuffle(spark, partitions=5):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_write_slice_files_layout_and_content(spark, tmp_path):
+    """ONE partitionBy pass must reproduce the per-slice loop's layout:
+    every slice directory exists, 1 file per slice by default, the slice
+    key never leaks into the file schema, and the union of files is
+    exactly the input relation."""
+    import glob
+
+    from flink_http_full_cache_connector_spark.streaming.upsert import (
+        write_slice_files,
+    )
+
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    out = str(tmp_path / "slices")
+    write_slice_files(df, out, F.col("k") % 3, 3)
+    for s in range(3):
+        files = glob.glob(f"{out}/_slice={s}/*.parquet")
+        assert len(files) == 1, files
+    back = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(out)
+    )
+    assert back.columns == ["k", "v"]  # _slice stays in dir names only
+    assert back.count() == 300
+    assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
+    # files_per_slice spreads each slice over ~n sub-files (>1, <= n)
+    out2 = str(tmp_path / "slices2")
+    write_slice_files(
+        df, out2, F.col("k") % 3, 3,
+        files_per_slice=4, sub_col=F.expr("k div 3") % 4,
+    )
+    for s in range(3):
+        files = glob.glob(f"{out2}/_slice={s}/*.parquet")
+        assert 1 < len(files) <= 4, files
+    back2 = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(out2)
+    )
+    assert back2.count() == 300 and back2.columns == ["k", "v"]
+
+
+def test_pca_gram_matches_numpy_and_kernels(spark):
+    """pca_gram's per-batch GEMM partials must sum to numpy's exact X^T X
+    (float-sum ulps only), and the gram-kernel trainer (the r11 default)
+    must land on the same direction as the pass-per-step arrow kernel."""
+    import numpy as np
+
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        pca_gram,
+        pca_power_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    G, n = pca_gram(emb)
+    X = np.array(
+        [r.embedding for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    assert n == len(X)
+    assert np.allclose(G, X.T @ X, rtol=1e-12, atol=1e-9)
+    vg, lg = pca_power_train(emb, kernel="gram")
+    va, la = pca_power_train(emb, kernel="arrow")
+    vg, va = np.asarray(vg), np.asarray(va)
+    assert abs(abs(float(vg @ va)) - 1.0) < 1e-9
+    assert abs(lg - la) <= 1e-6 * abs(la)
