@@ -765,8 +765,12 @@ def minhash_store_save(spark: SparkSession, hist: DataFrame, store_dir: str) -> 
         # sig-derived writes — overlap it so the store build's wall is
         # max(bands+sizes, fps) instead of their sum (guide §2.6: submit
         # independent jobs concurrently; Spark's scheduler back-fills the
-        # tails).  Job descriptions/conf are thread-local; both threads
-        # only WRITE to disjoint dirs.
+        # tails).  Job descriptions are thread-local, but SQL conf set via
+        # spark.conf.set is SESSION-WIDE across Python threads — the real
+        # invariant here (r11 ADVICE) is that no session-conf mutation
+        # (scoped_stream_shuffle / scoped_cached_plan_aqe / ...) may
+        # overlap these pooled writes; both threads only WRITE to
+        # disjoint dirs and neither touches the conf.
         def _fps() -> None:
             _shingle_table(hist).select("doc_id", "fp").write.mode(
                 "overwrite"

@@ -3233,6 +3233,8 @@ def pca_gram(emb: DataFrame) -> tuple["object", int]:
     with G collected once, every subsequent step is a driver-side
     dim×dim matvec — 13 corpus passes (train + verify) become 1, at any
     scale."""
+    import math
+
     import numpy as np
     import pandas as pd
 
@@ -3252,7 +3254,34 @@ def pca_gram(emb: DataFrame) -> tuple["object", int]:
                 {"g": [G.reshape(-1).tolist()], "n": [n]}
             )
 
-    parts = base.mapInPandas(_g, "g array<double>, n long").collect()
+    def _sum_partials(batches):
+        G = None
+        n = 0
+        for pdf in batches:
+            for g, pn in zip(pdf["g"], pdf["n"]):
+                a = np.asarray(g, dtype=np.float64)
+                G = a if G is None else G + a
+                n += int(pn)
+        if G is not None:
+            yield pd.DataFrame({"g": [G.tolist()], "n": [n]})
+
+    partials = base.mapInPandas(_g, "g array<double>, n long")
+    # tree combine (r11 verdict #8): _g emits one dim² partial PER INPUT
+    # PARTITION, so a wide corpus scan (thousands of partitions at 100 TB,
+    # dim ≥ 1024) would collect partitions×8·dim² bytes to the driver.
+    # One √P-wide round-robin combine stage bounds the driver transfer to
+    # √P partials; skipped below 64 partitions where the collect is
+    # already metadata-sized (and the extra stage would only add a job to
+    # the sf-scale bench).  Float sums re-associate across the tree —
+    # consumers assert contract-sized tolerances, never bit-equality.
+    n_parts = base.rdd.getNumPartitions()
+    if n_parts > 64:
+        partials = partials.repartition(
+            max(4, math.isqrt(n_parts))
+        ).mapInPandas(_sum_partials, "g array<double>, n long")
+    parts = partials.collect()
+    if not parts:
+        raise ValueError("pca_gram: empty embedding relation")
     n_vec = sum(int(r["n"]) for r in parts)
     dim = int(round(len(parts[0]["g"]) ** 0.5))
     G = np.zeros((dim, dim), dtype=np.float64)
@@ -3339,6 +3368,16 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     # paid 13 corpus passes — 12 train + 1 verify — for identical
     # contract semantics; see pca_gram's metadata-size argument).
     G, n_vec = pca_gram(emb)
+    # independent coverage check (r11 ADVICE): the contract booleans are
+    # self-consistent by construction (train, residual, trace all derive
+    # from the one collected Gram), so pin the kernel's row coverage
+    # against a parquet count-star the kernel cannot influence — a Gram
+    # built over a partial scan fails here instead of passing every gate.
+    n_independent = emb.count()
+    if n_vec != n_independent:
+        raise AssertionError(
+            f"pca_gram covered {n_vec} rows, corpus has {n_independent}"
+        )
     dim = G.shape[0]
     v = np.full(dim, 1.0 / dim**0.5, dtype=np.float64)
     for _ in range(PCA_ITERS):

@@ -48,7 +48,15 @@ def write_slice_files(
     hash collisions merge sub-groups — harmless by construction: every
     consumer merges with an associative+commutative rule and is pinned to
     the batch oracle, so the final state is slicing-invariant (the same
-    property the docstrings already claim for arrival order).
+    property the docstrings already claim for arrival order).  Two layout
+    edge cases (r11 ADVICE), both covered by the same invariance: a
+    (slice, sub) hash collision can yield FEWER than ``files_per_slice``
+    files for a slice, and an EMPTY slice writes no directory at all
+    (the old per-slice coalesce(1) loop wrote one empty file), so the
+    stream simply sees fewer microbatches.  A caller needing a pinned
+    per-slice file count would repartition on an exact deterministic
+    partition-id expression instead; no current consumer does — they all
+    assert final-state equality, never batch counts.
 
     ``recursiveFileLookup=true`` readers skip partition inference, so the
     stream's declared schema never sees the ``_slice`` column (partition

@@ -140,15 +140,22 @@ def test_write_slice_files_layout_and_content(spark, tmp_path):
     assert back.columns == ["k", "v"]  # _slice stays in dir names only
     assert back.count() == 300
     assert back.exceptAll(df).count() == 0 and df.exceptAll(back).count() == 0
-    # files_per_slice spreads each slice over ~n sub-files (>1, <= n)
+    # files_per_slice spreads each slice over ~n sub-files.  The lower
+    # bound is 1, not 2 (r11 ADVICE): how many of the 12 (slice, sub)
+    # groups land in distinct partitions depends on Murmur3 hash spread,
+    # which a Spark upgrade may change — only the cap and the total
+    # spread are the helper's contract.
     out2 = str(tmp_path / "slices2")
     write_slice_files(
         df, out2, F.col("k") % 3, 3,
         files_per_slice=4, sub_col=F.expr("k div 3") % 4,
     )
+    total2 = 0
     for s in range(3):
         files = glob.glob(f"{out2}/_slice={s}/*.parquet")
-        assert 1 < len(files) <= 4, files
+        assert 1 <= len(files) <= 4, files
+        total2 += len(files)
+    assert total2 > 3  # the sub split does spread beyond 1 file/slice
     back2 = (
         spark.read.option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.parquet")
