@@ -838,25 +838,40 @@ def minhash_incremental_pairs(
         .where(F.col("_bc") <= bucket_cap)
         .drop("_bc")
     )
-    a = rows_c.where(F.col("_nb") == 1).select(
-        F.col("doc_id").alias("_da"), "band", "bkey"
+    # fused candidate generation (r11 verdict #1, guide §2.3/§2.4): the
+    # previous a⋈b self-join on (band, bkey) re-read and re-SORTED both
+    # sides of the very relation the cap window had just hash-partitioned
+    # on the same key.  One collect_list aggregation rides the window's
+    # own (band, bkey) partitioning — NO new Exchange, and the agg
+    # buffers are ≤ bucket_cap rows per group because the cap filter sits
+    # below it (the window stays the spill-safe counting form: a
+    # mega-bucket is counted and dropped without ever being collected) —
+    # then an in-row double explode emits the identical batch×bucket pair
+    # set (collect_list skips the NULLs the _nb==1 CASE leaves on
+    # history rows).
+    g = rows_c.groupBy("band", "bkey").agg(
+        F.collect_list(
+            F.when(F.col("_nb") == 1, F.col("doc_id"))
+        ).alias("ba"),
+        F.collect_list("doc_id").alias("ds"),
     )
-    b = rows_c.select(F.col("doc_id").alias("_db"), "band", "bkey")
-    cand = (
-        a.join(b, ["band", "bkey"])
+    pair = (
+        g.select(F.explode("ba").alias("_da"), "ds")
+        .select("_da", F.explode("ds").alias("_db"))
         .where(F.col("_da") != F.col("_db"))
-        .select(
+    )
+    cand = (
+        pair.select(
             F.least("_da", "_db").alias("doc_a"),
             F.greatest("_da", "_db").alias("doc_b"),
         )
         .distinct()
         .persist()  # feeds the id semi-joins AND the verify join
     )
-    ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
+    # one read of the persisted cand instead of a two-branch union
+    ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
     sh_b = _shingle_table(batch).select("doc_id", "fp")
     sh_h = spark.read.parquet(f"{store_dir}/fps")
     # candidate documents only: batch fps are batch-sized already; history
