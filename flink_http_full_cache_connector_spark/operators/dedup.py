@@ -2227,22 +2227,37 @@ def semantic_index_save(
         two_level_index,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     coarse, fine_grouped = two_level_index(hist, cells=cells, k=k)
-    coarse.write.mode("overwrite").parquet(f"{out_dir}/coarse")
-    fine_grouped.select("cent_id", "co_id", "cv", "nc").write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/fine")
     cell_map = fine_grouped.select(
         F.col("cent_id").alias("cell_id"), "co_id"
     )
-    (
-        two_level_assign(hist, coarse, fine_grouped, coarse_probes=2)
-        .join(F.broadcast(cell_map), "cell_id")  # C rows: metadata-sized
-        .sortWithinPartitions("co_id", "cell_id")
-        .write.mode("overwrite")
-        .partitionBy("co_id")
-        .parquet(f"{out_dir}/assign")
-    )
+    # the coarse/fine quantizer writes are K- and C-row jobs sharing
+    # nothing with the corpus-sized assignment chain — overlap them on a
+    # second driver thread so the store build's wall is
+    # max(assign, coarse+fine) instead of the sum (guide §2.6, the
+    # posting_segments_save / minhash_store_save discipline).  Invariant:
+    # no session-conf mutation may overlap the pooled writes (SQL conf is
+    # session-wide across Python threads); all three jobs only WRITE to
+    # disjoint dirs.
+    def _quantizers() -> None:
+        coarse.write.mode("overwrite").parquet(f"{out_dir}/coarse")
+        fine_grouped.select("cent_id", "co_id", "cv", "nc").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/fine")
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        q_fut = pool.submit(_quantizers)
+        (
+            two_level_assign(hist, coarse, fine_grouped, coarse_probes=2)
+            .join(F.broadcast(cell_map), "cell_id")  # C rows: metadata-sized
+            .sortWithinPartitions("co_id", "cell_id")
+            .write.mode("overwrite")
+            .partitionBy("co_id")
+            .parquet(f"{out_dir}/assign")
+        )
+        q_fut.result()
 
 
 def _semantic_incr_oracle() -> str:
@@ -2332,19 +2347,30 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.where(~is_base)
     work = tempfile.mkdtemp(prefix="spark_graft_sem_store_")
     _t0 = time.perf_counter()
-    semantic_index_save(hist, work, cells=cells, k=k)
-    record_phase("build_s", time.perf_counter() - _t0)
+    # the drift gate (one emb pass + a dims-sized agg) shares nothing
+    # with the index build — run it on a second driver thread so the
+    # ingest pays max(build, gate) instead of the sum (guide §2.6; r11
+    # verdict #3 "fold the drift-gate first() into the build window").
+    # Neither side mutates session conf (the pooled-write invariant).
+    from concurrent.futures import ThreadPoolExecutor
 
-    # same drift gate as sim_ann_ivf_incremental: per-dim int8 flags
-    # detect, the cross-dim fraction decides (retrain iff >1/3 flag)
-    row = (
-        cohort_drift_flags(widen(emb), is_base)
-        .agg(
-            F.sum(F.col("drifted").cast("long")).alias("n_drifted"),
-            F.count("*").alias("n_dims"),
+    def _gate():
+        # same drift gate as sim_ann_ivf_incremental: per-dim int8 flags
+        # detect, the cross-dim fraction decides (retrain iff >1/3 flag)
+        return (
+            cohort_drift_flags(widen(emb), is_base)
+            .agg(
+                F.sum(F.col("drifted").cast("long")).alias("n_drifted"),
+                F.count("*").alias("n_dims"),
+            )
+            .first()
         )
-        .first()
-    )
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        gate_fut = pool.submit(_gate)
+        semantic_index_save(hist, work, cells=cells, k=k)
+        row = gate_fut.result()
+    record_phase("build_s", time.perf_counter() - _t0)
     if 3 * row["n_drifted"] > row["n_dims"]:
         # drifted ingest: rebuild on the union, union-sized grid (the
         # crafted-shift test exercises this branch; the synthetic corpus
