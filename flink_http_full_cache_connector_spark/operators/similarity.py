@@ -395,14 +395,18 @@ def two_level_assign_arrow(
     )
     probes = v.mapInPandas(_stage1, "vec_id long, co_id long, v array<double>")
 
+    carry_through = carry_vec and not score
+
     def _stage2(key, probes_pdf, fine_pdf):
+        cols = {"vec_id": "int64", "cell_id": "int64", "sim": "float64"}
         if not len(probes_pdf) or not len(fine_pdf):
             # a cell no vector probed, or (never, by construction — every
             # coarse cell owns a fine centroid) a probe into a fine-less
             # cell: nothing to emit
-            return pd.DataFrame(
-                {"vec_id": [], "cell_id": [], "sim": []}
-            ).astype({"vec_id": "int64", "cell_id": "int64", "sim": "float64"})
+            out = pd.DataFrame({c: [] for c in cols}).astype(cols)
+            if carry_through:
+                out["v"] = []
+            return out
         fine_pdf = fine_pdf.sort_values("cent_id")
         ids = fine_pdf["cent_id"].to_numpy(dtype=np.int64)
         FM = np.stack(fine_pdf["cv"].to_numpy())
@@ -411,25 +415,42 @@ def two_level_assign_arrow(
         Vn = np.maximum(np.sqrt((V * V).sum(axis=1)), 1e-300)
         S = (V @ FM.T) / (Vn[:, None] * FMn[None, :])
         best = np.argmax(S, axis=1)  # first max = lowest cent_id on ties
-        return pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "vec_id": probes_pdf["vec_id"].to_numpy(),
                 "cell_id": ids[best],
                 "sim": S[np.arange(len(probes_pdf)), best],
             }
         )
+        if carry_through:
+            # the probe rows already carry the (double-widened) vector —
+            # passing it through lets the training path skip the
+            # identity re-attach join below (guide §2.4: the chosen⋈v
+            # inner join on vec_id matched every row 1:1 and existed
+            # only to fetch v, at one full sample-vector shuffle per
+            # Lloyd iteration)
+            out["v"] = probes_pdf["v"].to_numpy()
+        return out
 
+    stage2_schema = "vec_id long, cell_id long, sim double" + (
+        ", v array<double>" if carry_through else ""
+    )
     in_cell = (
         probes.groupBy("co_id")
         .cogroup(fine_grouped.select("co_id", "cent_id", "cv").groupBy("co_id"))
-        .applyInPandas(_stage2, "vec_id long, cell_id long, sim double")
+        .applyInPandas(_stage2, stage2_schema)
     )
-    chosen = in_cell.groupBy("vec_id").agg(
+    chosen_aggs = [
         F.max_by(
             F.col("cell_id"),
             F.struct(F.col("sim"), (-F.col("cell_id")).alias("neg")),
         ).alias("cell_id")
-    )
+    ]
+    if carry_through:
+        # both probe rows of a vector carry the IDENTICAL vector, so any
+        # row's v is THE v — first() is value-deterministic here
+        chosen_aggs.append(F.first("v").alias("v"))
+    chosen = in_cell.groupBy("vec_id").agg(*chosen_aggs)
     # exact-fold re-score of the ONE chosen centroid per vector: the
     # emitted cent_sim replays the SQL twin's IEEE sequence bit-for-bit
     fine_slim = fine_grouped.select(
@@ -439,7 +460,11 @@ def two_level_assign_arrow(
         out_cols = [F.col("vec_id").alias(id_col), F.col("cell_id")]
         if carry_vec:
             out_cols.append(F.col("v"))
-        return chosen.join(v, "vec_id").select(*out_cols)
+        # no join back to v: chosen ⊆ v 1:1 by construction (every chosen
+        # vec_id came from exactly one v row), so the old inner join was
+        # an identity — and when carry_vec is set the vector rode the
+        # cogroup instead
+        return chosen.select(*out_cols)
     vv = v.withColumn("nv", norm(F.col("v")))
     out_cols = [
         F.col("vec_id").alias(id_col),
@@ -2135,12 +2160,20 @@ def two_level_index_trained(
             F.col("cv"), F.col("qv"), F.col("nc"), F.col("nq")
         )
         f_order = F.struct(F.col("sim"), (-F.col("co_id")).alias("neg"))
+        # cv/nc ride the max_by aggregation instead of a re-attach join
+        # (guide §2.4): each cent_id's K broadcast-join copies carry the
+        # IDENTICAL cv/nc, so first() is value-deterministic and the
+        # partial agg collapses them map-side — one C-row shuffle total
+        # where the old groupBy + join(fine_df) paid two plus a join.
         return (
             fine_df.join(F.broadcast(coarse))
-            .select("cent_id", "co_id", fsim.alias("sim"))
+            .select("cent_id", "co_id", fsim.alias("sim"), "cv", "nc")
             .groupBy("cent_id")
-            .agg(F.max_by(F.col("co_id"), f_order).alias("co_id"))
-            .join(fine_df, "cent_id")
+            .agg(
+                F.max_by(F.col("co_id"), f_order).alias("co_id"),
+                F.first("cv").alias("cv"),
+                F.first("nc").alias("nc"),
+            )
         )
 
     for _ in range(iters):
