@@ -109,8 +109,21 @@ def build_training_corpus(
     clean = scored.where(
         (F.col("lang_pred") == keep_lang) & (F.col("quality") >= quality_cut)
     )
-    keep = clean.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    kept = clean.join(keep, ["fp", "doc_id"]).withColumn(
+    # keep-first dedup as ONE aggregation (guide §2.4/§3): the old
+    # groupBy(fp).min(doc_id) + join-back re-evaluated the whole scan +
+    # lang/quality ladder on the second join branch (Catalyst shares no
+    # common sub-plans across DataFrame references) and paid a second
+    # data shuffle for the join.  min_by(struct, doc_id) keeps exactly
+    # the min-doc_id row per fingerprint — doc_id is unique, so there are
+    # no ties and the kept (doc_id, text, quality) triple is identical —
+    # and the map-side partial agg ships at most one candidate row per
+    # (fp, partition), strictly fewer bytes than the join shuffled.
+    keep = clean.groupBy("fp").agg(
+        F.min_by(
+            F.struct("doc_id", "text", "quality"), F.col("doc_id")
+        ).alias("r")
+    )
+    kept = keep.select("r.doc_id", "r.text", "r.quality").withColumn(
         "split", split_column(F.col("doc_id"))
     )
     write_training_shards(
