@@ -188,3 +188,93 @@ def test_pca_gram_matches_numpy_and_kernels(spark):
     vg, va = np.asarray(vg), np.asarray(va)
     assert abs(abs(float(vg @ va)) - 1.0) < 1e-9
     assert abs(lg - la) <= 1e-6 * abs(la)
+
+
+def test_two_level_assign_carry_through_matches_scored_selection(spark):
+    """r12 training-loop fusion: with score=False the kernel now skips the
+    chosen⋈v re-attach join and (with carry_vec) passes the vector through
+    the stage-2 cogroup instead.  The SELECTION must equal the scored
+    kernel's selection row-for-row, and the carried vector must be the
+    double-widened input vector itself."""
+    from flink_http_full_cache_connector_spark.operators.similarity import (
+        two_level_assign,
+        two_level_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coarse, fine = two_level_index(emb, cells=16, k=4)
+    scored = two_level_assign(emb, coarse, fine, coarse_probes=2)
+    fast = two_level_assign(
+        emb, coarse, fine, coarse_probes=2, carry_vec=True, score=False
+    )
+    a = {r["vec_id"]: r["cell_id"] for r in scored.collect()}
+    rows = fast.collect()
+    b = {r["vec_id"]: r["cell_id"] for r in rows}
+    assert a == b  # identical selection, join or no join
+    vs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    for r in rows:
+        assert [float(x) for x in r["v"]] == vs[r["vec_id"]]
+
+
+def test_fused_minhash_probe_candidates_match_self_join(spark):
+    """r12 probe fusion: the collect_list + double-explode candidate stage
+    must emit exactly the pair set of the reference windowed self-join
+    formulation, including the bucket-cap boundary (bucket == cap kept,
+    bucket == cap+1 dropped whole)."""
+    from pyspark.sql import Window, functions as F
+
+    cap = 3
+    rows = []
+    # bucket A: 2 batch + 1 history (size 3 == cap -> kept)
+    rows += [(1, 0, "A", 1), (2, 0, "A", 1), (10, 0, "A", 0)]
+    # bucket B: 1 batch + 3 history (size 4 > cap -> dropped whole)
+    rows += [(3, 0, "B", 1), (11, 0, "B", 0), (12, 0, "B", 0), (13, 0, "B", 0)]
+    # bucket C on another band: 1 batch + 1 history
+    rows += [(1, 1, "C", 1), (14, 1, "C", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, band int, bkey string, _nb int"
+    )
+
+    wb = Window.partitionBy("band", "bkey")
+    rows_c = (
+        df.withColumn("_bc", F.count("*").over(wb))
+        .where(F.col("_bc") <= cap)
+        .drop("_bc")
+    )
+    # reference: the pre-r12 windowed self-join
+    a = rows_c.where(F.col("_nb") == 1).select(
+        F.col("doc_id").alias("_da"), "band", "bkey"
+    )
+    b = rows_c.select(F.col("doc_id").alias("_db"), "band", "bkey")
+    ref = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, ["band", "bkey"])
+        .where(F.col("_da") != F.col("_db"))
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+        )
+        .distinct()
+        .collect()
+    )
+    # fused form (mirrors minhash_incremental_pairs)
+    g = rows_c.groupBy("band", "bkey").agg(
+        F.collect_list(F.when(F.col("_nb") == 1, F.col("doc_id"))).alias("ba"),
+        F.collect_list("doc_id").alias("ds"),
+    )
+    fused = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in g.select(F.explode("ba").alias("_da"), "ds")
+        .select("_da", F.explode("ds").alias("_db"))
+        .where(F.col("_da") != F.col("_db"))
+        .select(
+            F.least("_da", "_db").alias("doc_a"),
+            F.greatest("_da", "_db").alias("doc_b"),
+        )
+        .distinct()
+        .collect()
+    )
+    assert fused == ref == [(1, 2), (1, 10), (1, 14), (2, 10)]
