@@ -1163,14 +1163,25 @@ def ivf_index_save(emb: DataFrame, out_dir: str) -> None:
     query many' posture: at 100 TB the corpus scan + assignment shuffle is
     paid once at build time, and every subsequent query reads
     ~nprobe/C of the index bytes."""
+    from concurrent.futures import ThreadPoolExecutor
+
     cent = emb.where(F.col("vec_id") < NUM_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), as_double(F.col("embedding")).alias("cv")
     )
     assign = ivf_assign(emb, cent)
-    cent.write.mode("overwrite").parquet(f"{out_dir}/centroids")
-    assign.write.mode("overwrite").partitionBy("cell_id").parquet(
-        f"{out_dir}/assign"
-    )
+
+    # the K-row centroid write shares nothing with the corpus-sized
+    # assignment write — overlap them (guide §2.6; disjoint dirs, no
+    # session-conf mutation on either side)
+    def _cent() -> None:
+        cent.write.mode("overwrite").parquet(f"{out_dir}/centroids")
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        c_fut = pool.submit(_cent)
+        assign.write.mode("overwrite").partitionBy("cell_id").parquet(
+            f"{out_dir}/assign"
+        )
+        c_fut.result()
 
 
 def ivf_index_load(spark: SparkSession, out_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -1287,21 +1298,32 @@ def sim_ann_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.where(~is_base)
     work = tempfile.mkdtemp(prefix="spark_graft_ivfincr_")
     try:
-        ivf_index_save(base, work)
-        # retrain iff MORE THAN A THIRD of dims flag: a small batch flags
-        # single dims by pure sampling noise (measured 9-10/64 at the
-        # ~100-row sf0.01 batch, 0/64 once the batch reaches ~400 rows),
-        # while an encoder change shifts MANY dims coherently (the
-        # crafted +0.5 shift in tests flags ~all 64) — the per-dim
+        # the drift gate (one emb pass + dims-sized agg) shares nothing
+        # with the standing-index build — overlap them on a second driver
+        # thread (guide §2.6, the dedup_semantic_incremental pattern);
+        # neither side mutates session conf.
+        # Gate rule: retrain iff MORE THAN A THIRD of dims flag — a small
+        # batch flags single dims by pure sampling noise (measured 9-10/64
+        # at the ~100-row sf0.01 batch, 0/64 once the batch reaches ~400
+        # rows), while an encoder change shifts MANY dims coherently (the
+        # crafted +0.5 shift in tests flags ~all 64): the per-dim
         # threshold detects, the cross-dim fraction decides
-        row = (
-            cohort_drift_flags(widen(emb), is_base)
-            .agg(
-                F.sum(F.col("drifted").cast("long")).alias("n_drifted"),
-                F.count("*").alias("n_dims"),
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _gate():
+            return (
+                cohort_drift_flags(widen(emb), is_base)
+                .agg(
+                    F.sum(F.col("drifted").cast("long")).alias("n_drifted"),
+                    F.count("*").alias("n_dims"),
+                )
+                .first()
             )
-            .first()
-        )
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            gate_fut = pool.submit(_gate)
+            ivf_index_save(base, work)
+            row = gate_fut.result()
         if 3 * row["n_drifted"] <= row["n_dims"]:
             ivf_index_append(spark, work, batch)
         else:  # drifted ingest: retrain on the union (tests craft this)
