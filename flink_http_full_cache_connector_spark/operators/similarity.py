@@ -1863,25 +1863,36 @@ def two_level_index_save(emb: DataFrame, out_dir: str) -> None:
     partitioning); every subsequent probe reads ~nprobe·(n/C) rows."""
     import math
 
+    from concurrent.futures import ThreadPoolExecutor
+
     cells = ivf2_cells_for(emb.count())
     k = max(4, math.isqrt(cells))
     coarse, fine_grouped = two_level_index(emb, cells=cells, k=k)
-    coarse.write.mode("overwrite").parquet(f"{out_dir}/coarse")
-    fine_grouped.select("cent_id", "co_id", "cv", "nc").write.mode(
-        "overwrite"
-    ).parquet(f"{out_dir}/fine")
-    (
-        _two_level_assign_carry_v(emb, coarse, fine_grouped)
-        .sortWithinPartitions("co_id", "cell_id")
-        # stored as float32 — the embeddings' native wire format, so the
-        # double→float→double round-trip is bit-exact for them (halves
-        # index bytes; a double-NATIVE corpus would lose precision here
-        # and should widen the stored type)
-        .withColumn("v", F.col("v").cast("array<float>"))
-        .write.mode("overwrite")
-        .partitionBy("co_id")
-        .parquet(f"{out_dir}/assign")
-    )
+
+    # the K/C-row quantizer writes share nothing with the corpus-sized
+    # assignment chain — overlap them (guide §2.6, the
+    # semantic_index_save pattern; disjoint dirs, no conf mutation)
+    def _quantizers() -> None:
+        coarse.write.mode("overwrite").parquet(f"{out_dir}/coarse")
+        fine_grouped.select("cent_id", "co_id", "cv", "nc").write.mode(
+            "overwrite"
+        ).parquet(f"{out_dir}/fine")
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        q_fut = pool.submit(_quantizers)
+        (
+            _two_level_assign_carry_v(emb, coarse, fine_grouped)
+            .sortWithinPartitions("co_id", "cell_id")
+            # stored as float32 — the embeddings' native wire format, so
+            # the double→float→double round-trip is bit-exact for them
+            # (halves index bytes; a double-NATIVE corpus would lose
+            # precision here and should widen the stored type)
+            .withColumn("v", F.col("v").cast("array<float>"))
+            .write.mode("overwrite")
+            .partitionBy("co_id")
+            .parquet(f"{out_dir}/assign")
+        )
+        q_fut.result()
 
 
 def two_level_index_load(
