@@ -14,6 +14,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def parquet_num_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a driver parquet table from its FOOTER metadata —
+    no Spark job (r11 verdict #6: the partition-sizing hints were paying a
+    count-star job each on paths already fighting job-count constants).
+    Returns None when the layout isn't a plain local file/dir of parquet
+    parts (callers fall back to ``df.count()``); parquet footers store the
+    row count exactly, so any consumer deriving SIZES from it (cell counts,
+    partition hints) gets the identical value either way."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isfile(path):
+            return int(pq.ParquetFile(path).metadata.num_rows)
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += int(
+                            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+                        )
+            return total
+    except Exception:
+        return None
+    return None
+
+
 def widen(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition up to cluster parallelism — only when the
     plan currently has fewer partitions (no-op on already-wide scans)."""

@@ -41,6 +41,7 @@ from flink_http_full_cache_connector_spark.functions.vectors import (
 )
 from flink_http_full_cache_connector_spark.functions.rounding import duck_trunc6, trunc6
 from flink_http_full_cache_connector_spark.operators.scale import (
+    parquet_num_rows,
     record_phase,
     widen,
 )
@@ -926,12 +927,18 @@ def ivf_train(
 def _ivf_trained_parts(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    from flink_http_full_cache_connector_spark.operators.scale import (
+        parquet_num_rows,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # small-sample partition hint (round-10 verdict #6): one metadata-
-    # sized count sizes the Lloyd sample's parallelism so tiny corpora
-    # don't pay 32-task Python stages per iteration (value-invariant)
+    # small-sample partition hint (round-10 verdict #6): sizes the Lloyd
+    # sample's parallelism so tiny corpora don't pay 32-task Python stages
+    # per iteration (value-invariant).  n comes from the parquet footer —
+    # no count-star job (r11 verdict #6); count() fallback is identical.
+    n = parquet_num_rows(sf_dir, "embeddings") or emb.count()
     parts_hint = max(4, min(
-        spark.sparkContext.defaultParallelism, emb.count() // 2 // 25_000 + 1
+        spark.sparkContext.defaultParallelism, n // 2 // 25_000 + 1
     ))
     cent = ivf_train(
         emb, sample_mod=2, min_partitions=parts_hint
@@ -1840,7 +1847,9 @@ def _two_level_assign_carry_v(
     )
 
 
-def two_level_index_save(emb: DataFrame, out_dir: str) -> None:
+def two_level_index_save(
+    emb: DataFrame, out_dir: str, *, n: int | None = None
+) -> None:
     """Persist the corpus-scaled two-level IVF index — the production
     serve layout (round-8 verdict #4).  Three relations:
 
@@ -1865,7 +1874,9 @@ def two_level_index_save(emb: DataFrame, out_dir: str) -> None:
 
     from concurrent.futures import ThreadPoolExecutor
 
-    cells = ivf2_cells_for(emb.count())
+    # callers with a plain parquet source pass the footer-exact n (r11
+    # verdict #6: one fewer count-star job); the grid is identical
+    cells = ivf2_cells_for(n if n is not None else emb.count())
     k = max(4, math.isqrt(cells))
     coarse, fine_grouped = two_level_index(emb, cells=cells, k=k)
 
@@ -1957,7 +1968,9 @@ def streaming_ann_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="spark_graft_ivfstream_")
     try:
         _t0 = time.perf_counter()
-        two_level_index_save(emb, work)
+        two_level_index_save(
+            emb, work, n=parquet_num_rows(sf_dir, "embeddings")
+        )
         record_phase("build_s", time.perf_counter() - _t0)
         coarse, fine_grouped, assign = two_level_index_load(spark, work)
         # ONE-row static relations for the stateless per-row shortlist:
@@ -2090,7 +2103,9 @@ def sim_ann_ivf_2level_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="spark_graft_ivf2idx_")
     try:
         _t0 = time.perf_counter()
-        two_level_index_save(emb, work)
+        two_level_index_save(
+            emb, work, n=parquet_num_rows(sf_dir, "embeddings")
+        )
         record_phase("build_s", time.perf_counter() - _t0)
         coarse, fine_grouped, assign = two_level_index_load(spark, work)
         nb = assign.select(
@@ -2279,8 +2294,14 @@ FROM embeddings e WHERE e.vec_id < {NUM_QUERIES}
 def sim_ann_ivf_2level_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
+    from flink_http_full_cache_connector_spark.operators.scale import (
+        parquet_num_rows,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # exact n from the parquet footer — one fewer job on a job-count-bound
+    # trainer (r11 verdict #6); count() fallback is value-identical
+    n = parquet_num_rows(sf_dir, "embeddings") or emb.count()
     cells = ivf2_cells_for(n)
     k = max(4, math.isqrt(cells))
     coarse, fine_grouped = two_level_index_trained(
