@@ -3,6 +3,7 @@ repetition signals against a pure-python n-gram counter, token-budget
 selection against a pure-python sorted prefix scan — arbitrary generated
 corpora, not just the crafted fixtures."""
 
+import pytest
 from collections import Counter
 
 from hypothesis import given, settings
@@ -37,6 +38,7 @@ def _expected_repetition(texts):
     return out
 
 
+@pytest.mark.slow  # heavy single: slow tier (r12 gate split)
 @settings(max_examples=10, deadline=None)
 @given(doc_texts)
 def test_repetition_signals_match_python_model(spark, tmp_path_factory, texts):
@@ -52,6 +54,7 @@ def test_repetition_signals_match_python_model(spark, tmp_path_factory, texts):
     assert got == _expected_repetition(texts)
 
 
+@pytest.mark.slow  # heavy property sweep: slow tier (r12 gate split)
 @settings(max_examples=8, deadline=None)
 @given(st.lists(st.integers(1, 40), min_size=1, max_size=12))
 def test_token_budget_matches_sorted_prefix_model(spark, tmp_path_factory, sizes):

@@ -37,6 +37,7 @@ specs = st.one_of(
 )
 
 
+@pytest.mark.slow  # heavy single: slow tier (r12 gate split)
 @pytest.mark.usefixtures("spark")
 @settings(max_examples=50, deadline=None)
 @given(

@@ -112,8 +112,29 @@ def _rows(spark, name):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _fast_sample(names, stride: int = 4):
+    """Deterministic ~1/stride sample by md5(name) order — the fast-tier
+    slice of the curated invariance list (r12 gate split; the slow tier
+    runs all of QUERIES)."""
+    import hashlib
+
+    return sorted(names, key=lambda n: hashlib.md5(n.encode()).hexdigest())[
+        ::stride
+    ]
+
+
+@pytest.mark.slow  # full curated sweep: slow tier (r12 gate split)
 @pytest.mark.parametrize("name", QUERIES)
 def test_result_invariant_under_shuffle_partitions(spark, name):
+    _invariance_check(spark, name)
+
+
+@pytest.mark.parametrize("name", _fast_sample(QUERIES))
+def test_result_invariant_under_shuffle_partitions_fast_sample(spark, name):
+    _invariance_check(spark, name)
+
+
+def _invariance_check(spark, name):
     orig = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")

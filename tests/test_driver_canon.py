@@ -108,12 +108,38 @@ def queries_and_oracles():
     return [(name, qs[name], osql.get(name)) for name in sorted(qs)]
 
 
+def _fast_sample(items, stride: int = 10, offset: int = 5):
+    """Deterministic ~1/stride sample by md5(name) order (offset 5 so the
+    canon sample and test_oracle_parity's sample cover DIFFERENT queries —
+    ~10% of the registry each, hash-level here, value-level there)."""
+    import hashlib
+
+    ordered = sorted(items, key=lambda t: hashlib.md5(t[0].encode()).hexdigest())
+    return ordered[offset::stride]
+
+
+#: Full-registry driver-gate replica — slow tier (see test_oracle_parity's
+#: note; the fast tier keeps the offset sample below).
+@pytest.mark.slow
 @pytest.mark.parametrize(
     ("name", "fn", "sql"),
     queries_and_oracles(),
     ids=[n for n, _, _ in queries_and_oracles()],
 )
 def test_driver_gate_replica(spark, oracle_con, name, fn, sql):
+    _canon_check(spark, oracle_con, name, fn, sql)
+
+
+@pytest.mark.parametrize(
+    ("name", "fn", "sql"),
+    _fast_sample(queries_and_oracles()),
+    ids=[n for n, _, _ in _fast_sample(queries_and_oracles())],
+)
+def test_driver_gate_replica_fast_sample(spark, oracle_con, name, fn, sql):
+    _canon_check(spark, oracle_con, name, fn, sql)
+
+
+def _canon_check(spark, oracle_con, name, fn, sql):
     sdf = fn(spark, SF_DIR).toPandas()
     # the driver canonicalizes the Spark frame even for no-oracle queries —
     # an unhashable schema errors regardless, so exercise canon always

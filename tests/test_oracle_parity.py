@@ -48,10 +48,7 @@ def queries_and_oracles():
     return [(name, qs[name], osql.get(name)) for name in sorted(qs)]
 
 
-@pytest.mark.parametrize(
-    ("name", "fn", "sql"), queries_and_oracles(), ids=[n for n, _, _ in queries_and_oracles()]
-)
-def test_query_matches_oracle(spark, oracle_con, name, fn, sql):
+def _parity_check(spark, oracle_con, name, fn, sql):
     sdf = fn(spark, SF_DIR).toPandas()
     if sql is None:
         assert len(sdf) >= 0  # rows-only check (driver's weaker gate)
@@ -61,6 +58,37 @@ def test_query_matches_oracle(spark, oracle_con, name, fn, sql):
     assert sorted(sdf.columns) == sorted(odf.columns), f"{name}: column names differ"
     s_norm, o_norm = normalize(sdf), normalize(odf)
     pd.testing.assert_frame_equal(s_norm, o_norm, check_dtype=False, check_exact=False, atol=1e-6)
+
+
+def _fast_sample(items, stride: int = 10):
+    """Deterministic ~1/stride sample by md5(name) order — rotates nothing
+    (pure function of the name set), touches every family over time as the
+    registry grows, and keeps the fast tier's oracle coverage meaningful."""
+    import hashlib
+
+    ordered = sorted(items, key=lambda t: hashlib.md5(t[0].encode()).hexdigest())
+    return ordered[::stride]
+
+
+#: The FULL registry sweep is the driver's own correctness gate replicated
+#: locally — invaluable, but ~6 min of the suite's wall (r12 verdict #2: the
+#: driver's pytest budget was blown at ~36 min total).  Slow tier runs all
+#: 234; the fast tier keeps the deterministic sample below.
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    ("name", "fn", "sql"), queries_and_oracles(), ids=[n for n, _, _ in queries_and_oracles()]
+)
+def test_query_matches_oracle(spark, oracle_con, name, fn, sql):
+    _parity_check(spark, oracle_con, name, fn, sql)
+
+
+@pytest.mark.parametrize(
+    ("name", "fn", "sql"),
+    _fast_sample(queries_and_oracles()),
+    ids=[n for n, _, _ in _fast_sample(queries_and_oracles())],
+)
+def test_query_matches_oracle_fast_sample(spark, oracle_con, name, fn, sql):
+    _parity_check(spark, oracle_con, name, fn, sql)
 
 
 def test_entry_smoke(spark):

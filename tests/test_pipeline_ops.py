@@ -48,6 +48,7 @@ def test_minhash_lsh_recall_vs_exact(spark):
     assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9 ({len(lsh)}/{len(exact)})"
 
 
+@pytest.mark.slow  # heavy single: slow tier (r12 gate split)
 def test_simhash_near_pairs_find_planted_dupes(spark):
     """Planted near-dup docs differ by a few tokens → small Hamming distance.
     The banded pair search must find mostly the same pairs as Jaccard."""
@@ -1102,6 +1103,7 @@ def test_corpus_shard_manifest_balance_and_invariance(spark, monkeypatch):
     assert sorted(map(tuple, narrow)) == sorted(map(tuple, rows))
 
 
+@pytest.mark.slow  # heavy single: slow tier (r12 gate split)
 def test_manifest_sort_width_invariance_and_derivation(spark):
     """The global-sort width is a pure parallelism knob: both manifests must
     be byte-identical at explicit widths 7 and 64, and the default width
@@ -1439,6 +1441,7 @@ def test_hybrid_batch_dense_leg_dpp_and_two_stage(spark, tmp_path):
     ), plan
 
 
+@pytest.mark.slow  # heavy single: slow tier (r12 gate split)
 def test_ann_ivf_2level_trained_recall_and_plan(spark):
     """Lloyd-trained two-level IVF (round-7 verdict #5): exact-cosine
     score agreement with brute force on shared pairs, recall pinned
@@ -1730,6 +1733,7 @@ def test_minhash_capped_equals_uncapped_at_fixture_scale(spark):
     assert "count(1) windowspecdefinition(band" in plan
 
 
+@pytest.mark.slow  # heavy single: slow tier (r12 gate split)
 def test_embedding_lsh_capped_equals_uncapped_at_fixture_scale(spark):
     """dedup_embedding_lsh_capped must be value-identical to the uncapped
     anchor at fixture scale (no honest near-dup cluster approaches the
@@ -1798,6 +1802,7 @@ def test_minhash_incremental_equals_from_scratch_restricted(spark):
     assert incr == full and incr  # non-empty at sf0.01
 
 
+@pytest.mark.slow  # heavy single: slow tier (r12 gate split)
 def test_semantic_incremental_matches_frozen_rebuild_and_drift_branch(
     spark, tmp_path
 ):

@@ -3,6 +3,7 @@ pipeline — cell sizing, nearest-centroid assignment with tie-break, the
 (centroid_sim ASC, vec_id) keep order, and the epsilon drop rule — plus
 structural invariants the oracle hash can't state directly."""
 
+import pytest
 import math
 
 import numpy as np
@@ -111,6 +112,7 @@ _vec = st.lists(st.integers(1, 8), min_size=3, max_size=3)
 _corpus = st.lists(_vec, min_size=1, max_size=32)
 
 
+@pytest.mark.slow  # heavy single: slow tier (r12 gate split)
 @settings(max_examples=10, deadline=None)
 @given(vecs=_corpus)
 def test_property_matches_numpy_model_on_generated_corpora(
@@ -240,6 +242,7 @@ def test_coarse_sizing_formula():
         assert semantic_2level_cells_for(n) == max(16, n // SEMANTIC_CELL_TARGET)
 
 
+@pytest.mark.slow  # heavy single: slow tier (r12 gate split)
 @settings(max_examples=8, deadline=None)
 @given(vecs=_corpus)
 def test_2level_property_matches_numpy_model(spark, tmp_path_factory, vecs):

@@ -5,6 +5,8 @@ crafted fixtures."""
 
 import datetime as dt
 
+import pytest
+
 import pandas as pd
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -111,6 +113,7 @@ def test_forward_asof_matches_pandas(spark, lr):
         assert got[(row.k, row.ts.to_pydatetime())] == want
 
 
+@pytest.mark.slow  # heavy property sweep: slow tier (r12 gate split)
 @settings(max_examples=10, deadline=None)
 @given(
     st.lists(
@@ -210,6 +213,7 @@ session_events = st.lists(
 )
 
 
+@pytest.mark.slow  # heavy property sweep: slow tier (r12 gate split)
 @settings(max_examples=10, deadline=None)
 @given(session_events, st.integers(1, 3))
 def test_stateful_sessionize_matches_brute_force(spark, events, n_batches):
@@ -301,6 +305,7 @@ transition_events = st.lists(
 )
 
 
+@pytest.mark.slow  # heavy property sweep: slow tier (r12 gate split)
 @settings(max_examples=10, deadline=None)
 @given(transition_events, st.integers(1, 3))
 def test_stateful_transitions_matches_batch_under_ordered_slicing(
@@ -420,6 +425,7 @@ def _run_evicting(spark, tmp):
     return spark.table(name).collect()
 
 
+@pytest.mark.slow  # heavy property sweep: slow tier (r12 gate split)
 @settings(max_examples=8, deadline=None)
 @given(session_events, st.integers(1, 3))
 def test_evicting_sessionize_matches_brute_force_ordered(spark, events, n_batches):
@@ -474,6 +480,7 @@ def test_evicting_sessionize_matches_brute_force_ordered(spark, events, n_batche
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow  # heavy property sweep: slow tier (r12 gate split)
 def test_evicting_sessionize_times_out_idle_sessions(spark):
     """State-lifecycle pin: a user whose events stop must get a
     closed=true FINAL emission via the EventTimeTimeout branch once later
